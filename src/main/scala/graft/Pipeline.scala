@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+import graft.config.PipelineConfig
+import graft.ingest.ParquetIngestor
+import graft.load.Loader
+import graft.model.{PipelineResult, Schemas}
+import graft.transform.Transforms
+import graft.validate.Validation
+
+/** End-to-end orchestrator (reference src/main.py:61-130): ingest ->
+  * transform -> validate -> load. Where the reference fully materializes
+  * six pandas copies, this composes ONE lazy Catalyst plan with exactly
+  * three action groups: validation metric collection, the report write,
+  * and the partitioned data write — with the transformed frame persisted
+  * because validation (many small aggregates) and loading both consume it.
+  */
+object Pipeline {
+
+  def run(
+      spark: SparkSession,
+      rawDir: String,
+      outPath: String,
+      reportPath: Option[String] = None,
+      cfg: PipelineConfig = PipelineConfig.default,
+      forceFullReload: Boolean = false): PipelineResult = {
+    implicit val s: SparkSession = spark
+
+    val ing = ParquetIngestor.ingest(
+      spark, rawDir, Schemas.raw,
+      checkpointPath = Some(s"$rawDir/${cfg.ingestion.checkpointFile}"),
+      incremental = cfg.ingestion.incrementalMode && !forceFullReload)
+
+    ing.data match {
+      case None =>
+        PipelineResult(success = true, 0, 0, 100.0, Seq.empty, outPath)
+      case Some(raw) =>
+        val transformed = raw.transform(Transforms.pipeline(cfg))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val result = Validation.collectMetrics(cfg)(transformed)
+          reportPath.foreach(p => Validation.writeReport(result, p))
+
+          val ts = java.time.Instant.now.toString
+          val prepared = transformed
+            .transform(Loader.addMetadata(result, cfg.pipelineVersion, ts))
+            .transform(Loader.optimizeTypes)
+          Loader.write(cfg, outPath)(prepared)
+
+          val stats = Loader.storageStats(spark, outPath)
+          val stored = result.totalRecords
+          Loader.writeMetadata(spark, outPath, result, stats, stored, ts)
+
+          PipelineResult(
+            success = true,
+            recordsIngested = result.totalRecords,
+            recordsStored = stored,
+            qualityScore = result.qualityScore,
+            issues = result.issuesFound,
+            outputPath = outPath)
+        } finally transformed.unpersist()
+    }
+  }
+}

@@ -1,0 +1,402 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.config.{Calibration, ReadingCols, ValueRange}
+import graft.functions.exact
+import graft.transform.Transforms
+import graft.validate.Validation
+
+/** Oracle-checked query surface for the SURVEY §2 operator inventory,
+  * expressed over the driver's synthetic tables. The `events` table
+  * (user_id, ts, event_type, value) plays the role of the reference's
+  * sensor readings; lineitem/customer exercise the relational shapes.
+  *
+  * Every query has a DuckDB-equivalent SQL in `oracle`, with column
+  * names aligned and numerics kept cross-engine-deterministic
+  * (see graft.functions.exact).
+  */
+object CoreQueries {
+
+  /** Events-table analogs of the reference's per-type config
+    * (config/default.yaml:29-47). */
+  val eventRanges: Map[String, ValueRange] = Map(
+    "click" -> ValueRange(0.0, 450.0),
+    "view" -> ValueRange(0.0, 300.0),
+    "purchase" -> ValueRange(0.0, 350.0),
+    "signup" -> ValueRange(0.0, 340.0),
+    "error" -> ValueRange(0.0, 320.0))
+
+  val eventCalibration: Map[String, Calibration] = Map(
+    "click" -> Calibration(1.02, -0.5),
+    "view" -> Calibration(0.98, 1.2),
+    "purchase" -> Calibration(1.05, 0.0),
+    "signup" -> Calibration(1.0, 2.5),
+    "error" -> Calibration(0.95, -1.0))
+
+  private val ec = ReadingCols.events
+
+  /** Table loader. The synthetic `events.ts` is parquet TIMESTAMP(NANOS),
+    * which Spark's vectorized reader refuses; read it as nanosecond longs
+    * and truncate to microseconds — exactly what DuckDB does on read, so
+    * both engines see identical instants. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1-flavor flagship: grouped aggregation with exact sums (lineitem
+    // pricing summary; reference daily-average pattern A1 at relational
+    // scale). Filter is pushed to the parquet scan.
+    "q01_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          exact.sumExact(col("l_quantity")).as("sum_qty"),
+          exact.sumExact(col("l_extendedprice")).as("sum_base_price"),
+          exact.avgExact(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // P1 — exact dedup over a projected column set.
+    "q02_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .dropDuplicates()
+    }),
+
+    // P2 — critical-field null drop, counted per type.
+    "q03_null_drop" -> ((s, dir) => {
+      Transforms.dropNullCritical(Seq("user_id", "ts", "event_type", "value"))(
+        t(s, dir, "events"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // P3/A2 — grouped exact median (linear interpolation, pandas parity).
+    "q04_group_median" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          expr("percentile(c_acctbal, 0.5)").cast(DoubleType).as("median_acctbal"),
+          count(lit(1)).as("n_customers"))
+    }),
+
+    // P4 — per-type linear calibration via the library's when-chain.
+    "q05_calibration" -> ((s, dir) => {
+      Transforms.calibrate(eventCalibration, ec)(t(s, dir, "events"))
+        .select(col("event_id"), col("value").as("calibrated_value"))
+    }),
+
+    // P5+P6 — fixed-offset wall-clock shift + local date derivation.
+    "q06_tz_date" -> ((s, dir) => {
+      Transforms.deriveDate(ec)(
+        Transforms.shiftToLocal(330, ec)(t(s, dir, "events")))
+        .select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("local_ts"),
+          date_format(col("date"), "yyyy-MM-dd").as("local_date"))
+    }),
+
+    // P7 — per-type range anomaly flag.
+    "q07_range_flag" -> ((s, dir) => {
+      Transforms.rangeFlag(eventRanges, ec, "range_anomaly")(t(s, dir, "events"))
+        .select(col("event_id"), col("range_anomaly"))
+    }),
+
+    // A1/J1 — per-(id, type, local day) average merged back to rows via a
+    // window (no join, one shuffle).
+    "q08_daily_avg" -> ((s, dir) => {
+      val df = Transforms.deriveDate(ec)(
+        Transforms.shiftToLocal(330, ec)(t(s, dir, "events")))
+      val w = Window.partitionBy(col("user_id"), col("event_type"), col("date"))
+      df.select(
+        col("event_id"),
+        exact.avgExactOver(col("value"), w).as("daily_avg_value"))
+    }),
+
+    // W1 — trailing 168-row rolling average per (id, type), deterministic
+    // tie-break on event_id.
+    "q09_rolling_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-167, 0)
+      t(s, dir, "events").select(
+        col("event_id"),
+        exact.avgExactOver(col("value"), w).as("rolling_avg_value"))
+    }),
+
+    // A3 — population z-score anomaly counts per type (ddof=0, n>1 and
+    // sigma>0 guards).
+    "q10_zscore_flags" -> ((s, dir) => {
+      Transforms.zscoreFlag(3.0, ec, "zscore_anomaly")(t(s, dir, "events"))
+        .groupBy(col("event_type"))
+        .agg(count(when(col("zscore_anomaly"), 1)).as("n_anomalies"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // A4 — TRY_CAST-style type probing of a string column.
+    "q11_type_violations" -> ((s, dir) => {
+      val k = regexp_extract(col("props"), "([0-9]+)", 1)
+      t(s, dir, "events")
+        .select(k.try_cast("int").as("k"))
+        .agg(
+          count(lit(1)).as("total_rows"),
+          count(col("k")).as("castable_rows"),
+          sum(col("k")).cast(LongType).as("k_sum"))
+    }),
+
+    // A6 — global time range + distinct-id stats.
+    "q12_time_stats" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("min_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_ts"),
+        countDistinct(col("user_id")).as("distinct_users"))
+    }),
+
+    // W2+J2+J3+A7 — hourly expected-grid gap detection: distinct pairs x
+    // sequence(hours), anti-join observed hours, aggregate per pair.
+    // Bounds hour-truncated (grid is hour-aligned; deterministic under
+    // sub-second noise).
+    "q13_gap_report" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("min_h"),
+        date_trunc("hour", max(col("ts"))).as("max_h"))
+      val pairs = ev.select(col("user_id"), col("event_type")).distinct()
+      val grid = pairs.crossJoin(broadcast(bounds))
+        .withColumn("expected_hour",
+          explode(expr("sequence(min_h, max_h, interval 1 hour)")))
+        .drop("min_h", "max_h")
+      val observed = ev.select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("expected_hour")).distinct()
+      grid.join(observed, Seq("user_id", "event_type", "expected_hour"), "left_anti")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(
+          count(lit(1)).as("missing_hours"),
+          date_format(min(col("expected_hour")), "yyyy-MM-dd HH:mm:ss").as("first_missing"),
+          date_format(max(col("expected_hour")), "yyyy-MM-dd HH:mm:ss").as("last_missing"))
+    }),
+
+    // A8 — missing-value profile with basis-point percentages.
+    "q14_missing_profile" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("total_readings"),
+          sum(when(col("value").isNull, 1).otherwise(0)).cast(LongType)
+            .as("missing_count"),
+          exact.pctBp(
+            sum(when(col("value").isNull, 1).otherwise(0)),
+            count(lit(1))).as("missing_bp"))
+    }),
+
+    // A10 — per-id coverage profile.
+    "q15_coverage" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          countDistinct(col("event_type")).as("reading_types"),
+          count(lit(1)).as("total_readings"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_reading"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_reading"),
+          exact.avgExact(col("value")).as("avg_value"))
+    }),
+
+    // A11 — overall stats.
+    "q16_overall_stats" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        count(lit(1)).as("total_records"),
+        countDistinct(col("user_id")).as("unique_users"),
+        countDistinct(col("event_type")).as("unique_types"),
+        exact.avgExact(col("value")).as("avg_value"))
+    }),
+
+    // W3 — duplicate probe via row_number over a candidate key.
+    "q17_dedup_probe" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("ts"), col("event_type"))
+        .orderBy(col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .agg(count(when(col("rn") > 1, 1)).as("duplicate_rows"))
+    }),
+
+    // W4 — hour-of-day pivot via conditional aggregation.
+    "q18_hourly_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(hour(col("ts")).as("hour_of_day"))
+        .agg(
+          exact.avgExact(when(col("event_type") === "click", col("value")))
+            .as("avg_click_value"),
+          exact.avgExact(when(col("event_type") === "purchase", col("value")))
+            .as("avg_purchase_value"),
+          count(lit(1)).as("n_events"))
+    }))
+
+  private def calibrationCase: String =
+    "CASE " + eventCalibration.toSeq.sortBy(_._1).map { case (k, c) =>
+      s"WHEN event_type = '$k' THEN value * ${c.multiplier} + ${c.offset}"
+    }.mkString(" ") + " ELSE value END"
+
+  private def rangeCase(flag: String): String =
+    "CASE " + eventRanges.toSeq.sortBy(_._1).map { case (k, r) =>
+      s"WHEN event_type = '$k' THEN (value < ${r.min} OR value > ${r.max})"
+    }.mkString(" ") + s" ELSE false END AS $flag"
+
+  val oracle: Map[String, String] = Map(
+
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) / count(l_discount) AS DOUBLE) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_dedup_exact" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem",
+
+    "q03_null_drop" ->
+      """SELECT event_type, count(*) AS n_rows FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND event_type IS NOT NULL AND value IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
+
+    "q04_group_median" ->
+      """SELECT c_nationkey,
+        |  CAST(median(c_acctbal) AS DOUBLE) AS median_acctbal,
+        |  count(*) AS n_customers
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "q05_calibration" ->
+      s"SELECT event_id, $calibrationCase AS calibrated_value FROM events",
+
+    "q06_tz_date" ->
+      """SELECT event_id,
+        |  strftime(ts + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS local_ts,
+        |  strftime(ts + INTERVAL 330 MINUTE, '%Y-%m-%d') AS local_date
+        |FROM events""".stripMargin,
+
+    "q07_range_flag" ->
+      s"SELECT event_id, ${rangeCase("range_anomaly")} FROM events",
+
+    "q08_daily_avg" ->
+      """SELECT event_id,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+        |       / count(value) OVER w AS DOUBLE) AS daily_avg_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type,
+        |             CAST(ts + INTERVAL 330 MINUTE AS DATE))""".stripMargin,
+
+    "q09_rolling_avg" ->
+      """SELECT event_id,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+        |       / count(value) OVER w AS DOUBLE) AS rolling_avg_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |             ROWS BETWEEN 167 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q10_zscore_flags" ->
+      """SELECT event_type,
+        |  count(CASE WHEN anom THEN 1 END) AS n_anomalies,
+        |  count(*) AS n_rows
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN cnt > 1 AND sd > 0
+        |         THEN abs((value - mu) / sd) > 3.0 ELSE false END AS anom
+        |  FROM (
+        |    SELECT event_type, value,
+        |      avg(value) OVER (PARTITION BY event_type) AS mu,
+        |      stddev_pop(value) OVER (PARTITION BY event_type) AS sd,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM events))
+        |GROUP BY event_type""".stripMargin,
+
+    "q11_type_violations" ->
+      """SELECT count(*) AS total_rows, count(k) AS castable_rows,
+        |  CAST(sum(k) AS BIGINT) AS k_sum
+        |FROM (SELECT TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS k
+        |      FROM events)""".stripMargin,
+
+    "q12_time_stats" ->
+      """SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+        |  count(DISTINCT user_id) AS distinct_users
+        |FROM events""".stripMargin,
+
+    "q13_gap_report" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS min_h,
+        |         date_trunc('hour', max(ts)) AS max_h FROM events),
+        |pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+        |grid AS (
+        |  SELECT p.user_id, p.event_type, g.expected_hour
+        |  FROM pairs p, bounds b,
+        |       LATERAL (SELECT unnest(generate_series(b.min_h, b.max_h,
+        |                INTERVAL 1 HOUR)) AS expected_hour) g),
+        |observed AS (
+        |  SELECT DISTINCT user_id, event_type,
+        |         date_trunc('hour', ts) AS expected_hour FROM events)
+        |SELECT g.user_id, g.event_type,
+        |  count(*) AS missing_hours,
+        |  strftime(min(g.expected_hour), '%Y-%m-%d %H:%M:%S') AS first_missing,
+        |  strftime(max(g.expected_hour), '%Y-%m-%d %H:%M:%S') AS last_missing
+        |FROM grid g ANTI JOIN observed o
+        |  ON g.user_id = o.user_id AND g.event_type = o.event_type
+        |  AND g.expected_hour = o.expected_hour
+        |GROUP BY g.user_id, g.event_type""".stripMargin,
+
+    "q14_missing_profile" ->
+      """SELECT event_type, count(*) AS total_readings,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count,
+        |  CAST(floor(10000.0 * sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |       / count(*)) AS BIGINT) AS missing_bp
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q15_coverage" ->
+      """SELECT user_id,
+        |  count(DISTINCT event_type) AS reading_types,
+        |  count(*) AS total_readings,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_reading,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_reading,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |       AS DOUBLE) AS avg_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q16_overall_stats" ->
+      """SELECT count(*) AS total_records,
+        |  count(DISTINCT user_id) AS unique_users,
+        |  count(DISTINCT event_type) AS unique_types,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |       AS DOUBLE) AS avg_value
+        |FROM events""".stripMargin,
+
+    "q17_dedup_probe" ->
+      """SELECT count(CASE WHEN rn > 1 THEN 1 END) AS duplicate_rows
+        |FROM (SELECT row_number() OVER (PARTITION BY user_id, ts, event_type
+        |             ORDER BY event_id) AS rn FROM events)""".stripMargin,
+
+    "q18_hourly_pivot" ->
+      """SELECT hour(ts) AS hour_of_day,
+        |  CAST(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END
+        |         AS DECIMAL(20,6))) AS DOUBLE)
+        |       / count(CASE WHEN event_type = 'click' THEN value END)
+        |       AS DOUBLE) AS avg_click_value,
+        |  CAST(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END
+        |         AS DECIMAL(20,6))) AS DOUBLE)
+        |       / count(CASE WHEN event_type = 'purchase' THEN value END)
+        |       AS DOUBLE) AS avg_purchase_value,
+        |  count(*) AS n_events
+        |FROM events GROUP BY hour(ts)""".stripMargin)
+}

@@ -1,0 +1,165 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+import graft.config.{Calibration, PipelineConfig, ReadingCols, ValueRange}
+
+/** Cleaning + calibration + time normalization + derived features +
+  * anomaly detection, each a pure `DataFrame => DataFrame` usable via
+  * `df.transform(...)`. Spark-first re-expression of the reference's
+  * five sequential pandas passes (src/components/transformation.py) —
+  * here they compose into ONE lazy Catalyst plan (no materialization
+  * between stages).
+  */
+object Transforms {
+
+  /** P1 — exact duplicate removal over all columns
+    * (reference transformation.py:107-110). */
+  def dedupExact(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** P2 — drop rows with nulls in critical fields
+    * (reference transformation.py:120-122). */
+  def dropNullCritical(critical: Seq[String])(df: DataFrame): DataFrame =
+    df.na.drop("any", critical)
+
+  /** P3 — battery median imputation: null battery_level filled with the
+    * per-sensor exact median, falling back to the global median when a
+    * sensor has no non-null batteries (reference transformation.py:116-146).
+    *
+    * Exact `percentile` (linear interpolation), not `percentile_approx`,
+    * to match pandas `.median()`. Two window passes + coalesce — no join,
+    * no collect; the per-sensor window shuffles once on the sensor key.
+    */
+  def imputeBattery(cols: ReadingCols = ReadingCols.sensor)(df: DataFrame): DataFrame = {
+    val bySensor = Window.partitionBy(col(cols.id))
+    val global = Window.partitionBy()
+    df.withColumn(
+      cols.battery,
+      coalesce(
+        col(cols.battery),
+        expr(s"percentile(${cols.battery}, 0.5)").over(bySensor),
+        expr(s"percentile(${cols.battery}, 0.5)").over(global)))
+  }
+
+  /** P4 — per-type linear calibration `value * multiplier + offset`
+    * (reference transformation.py:150-185). The calibration map is tiny
+    * config, so a folded when-chain stays inside whole-stage codegen —
+    * no lookup join, no shuffle. */
+  def calibrate(
+      calibration: Map[String, Calibration],
+      cols: ReadingCols = ReadingCols.sensor)(df: DataFrame): DataFrame = {
+    if (calibration.isEmpty) df
+    else {
+      val v = col(cols.value)
+      val calibrated = calibration.foldLeft(v) { case (acc, (typ, c)) =>
+        when(col(cols.typ) === typ, v * c.multiplier + c.offset).otherwise(acc)
+      }
+      df.withColumn(cols.value, calibrated)
+    }
+  }
+
+  /** P5 — shift the wall clock by a fixed UTC offset. Spark timestamps
+    * are instants rendered in the session tz (UTC here); the reference
+    * localizes naive timestamps as UTC then renders in UTC+05:30
+    * (transformation.py:187-228). Deriving local dates/hours therefore
+    * means shifting the instant by the offset before truncation. */
+  def shiftToLocal(
+      offsetMinutes: Int,
+      cols: ReadingCols = ReadingCols.sensor)(df: DataFrame): DataFrame =
+    df.withColumn(cols.ts,
+      col(cols.ts) + expr(s"INTERVAL '$offsetMinutes' MINUTE"))
+
+  /** P6 — derive local calendar date (reference transformation.py:243). */
+  def deriveDate(cols: ReadingCols = ReadingCols.sensor)(df: DataFrame): DataFrame =
+    df.withColumn("date", col(cols.ts).cast(DateType))
+
+  /** A1/J1 — per-(sensor, type, day) average broadcast to each row.
+    * The reference computes a groupby + left merge
+    * (transformation.py:246-254); a partitioned window computes the same
+    * value with a single shuffle and no join. */
+  def dailyAvg(cols: ReadingCols = ReadingCols.sensor)(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(cols.id), col(cols.typ), col("date"))
+    df.withColumn("daily_avg_value", avg(col(cols.value)).over(w))
+  }
+
+  /** W1 — trailing row-count rolling average: per (sensor, type) ordered
+    * by timestamp, frame = previous `windowRows-1` rows + current
+    * (reference transformation.py:256-269: `rolling(168, min_periods=1)`).
+    * `tieBreak` columns make ordering deterministic when timestamps tie. */
+  def rollingAvg(
+      windowRows: Int,
+      cols: ReadingCols = ReadingCols.sensor,
+      tieBreak: Seq[Column] = Nil)(df: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col(cols.id), col(cols.typ))
+      .orderBy(col(cols.ts) +: tieBreak: _*)
+      .rowsBetween(-(windowRows - 1L), 0L)
+    df.withColumn("rolling_avg_value", avg(col(cols.value)).over(w))
+  }
+
+  /** A3 — population z-score anomaly flag per reading type (reference
+    * transformation.py:288-302: scipy zscore, ddof=0). stddev_pop matches
+    * ddof=0; groups of one row and zero-variance groups never flag
+    * (pandas NaN > 3 == False). */
+  def zscoreFlag(
+      threshold: Double,
+      cols: ReadingCols = ReadingCols.sensor,
+      flagCol: String = "zscore_anomaly")(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(cols.typ))
+    val mu = avg(col(cols.value)).over(w)
+    val sigma = stddev_pop(col(cols.value)).over(w)
+    val n = count(col(cols.value)).over(w)
+    df.withColumn(flagCol,
+      when(n > 1 && sigma > 0,
+        abs((col(cols.value) - mu) / sigma) > threshold)
+        .otherwise(lit(false)))
+  }
+
+  /** P7 — range anomaly flag: value outside the configured [min,max] for
+    * its reading type; unconfigured types never flag
+    * (reference transformation.py:304-315). */
+  def rangeFlag(
+      ranges: Map[String, ValueRange],
+      cols: ReadingCols = ReadingCols.sensor,
+      flagCol: String = "range_anomaly")(df: DataFrame): DataFrame = {
+    val flagged = ranges.foldLeft(lit(false)) { case (acc, (typ, r)) =>
+      when(col(cols.typ) === typ,
+        col(cols.value) < r.min || col(cols.value) > r.max).otherwise(acc)
+    }
+    df.withColumn(flagCol, coalesce(flagged, lit(false)))
+  }
+
+  /** A3+P7 merged flag (reference transformation.py:285: z-score OR range). */
+  def anomalyFlag(
+      threshold: Double,
+      ranges: Map[String, ValueRange],
+      cols: ReadingCols = ReadingCols.sensor)(df: DataFrame): DataFrame =
+    df.transform(zscoreFlag(threshold, cols))
+      .transform(rangeFlag(ranges, cols))
+      .withColumn("anomalous_reading", col("zscore_anomaly") || col("range_anomaly"))
+      .drop("zscore_anomaly", "range_anomaly")
+
+  /** P9 — outlier handling: `flag` keeps rows, `remove` drops flagged rows,
+    * anything else behaves as flag (reference transformation.py:335-350). */
+  def applyOutlierMode(mode: String)(df: DataFrame): DataFrame =
+    if (mode == "remove") df.filter(!col("anomalous_reading")) else df
+
+  /** Full transformation stage — the reference's 5 eager pandas passes
+    * (transformation.py:42-91) as one lazy plan. */
+  def pipeline(cfg: PipelineConfig)(df: DataFrame): DataFrame = {
+    val c = cfg.cols
+    df.transform(dedupExact)
+      .transform(dropNullCritical(Seq(c.id, c.ts, c.typ, c.value)))
+      .transform(imputeBattery(c))
+      .transform(calibrate(cfg.calibration, c))
+      .transform(shiftToLocal(cfg.timezoneOffsetMinutes, c))
+      .transform(deriveDate(c))
+      .transform(dailyAvg(c))
+      .transform(rollingAvg(cfg.transformation.rollingWindowRows, c))
+      .transform(anomalyFlag(cfg.transformation.zScoreThreshold, cfg.ranges, c))
+      .transform(applyOutlierMode(cfg.transformation.outlierHandling))
+  }
+}

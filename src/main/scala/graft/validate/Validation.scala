@@ -1,0 +1,262 @@
+package graft.validate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{PipelineConfig, ReadingCols, ValueRange}
+import graft.model._
+
+/** Data-quality validation suite: every DuckDB SQL query from the
+  * reference's ValidationComponent (src/components/validation.py)
+  * re-expressed as a lazy DataFrame aggregate. Each builder returns a
+  * small DataFrame; `collectMetrics` triggers them and assembles the
+  * driver-side QualityMetrics/ValidationResult.
+  */
+object Validation {
+
+  /** A4 — type/sanity violation counts (reference validation.py:136-167).
+    * On an already-typed DataFrame the TRY_CAST probes reduce to null
+    * checks, kept separate for stats parity. */
+  def typeViolations(cols: ReadingCols)(df: DataFrame): DataFrame =
+    df.agg(
+      count(when(col(cols.ts).isNull, 1)).as("null_timestamps"),
+      count(when(col(cols.value).isNull, 1)).as("invalid_values"),
+      count(when(col(cols.battery).isNull, 1)).as("invalid_batteries"))
+
+  /** A5 — per-type range violation counts (reference validation.py:186-210). */
+  def rangeViolations(
+      ranges: Map[String, ValueRange],
+      cols: ReadingCols)(df: DataFrame): DataFrame = {
+    val counts = ranges.toSeq.sortBy(_._1).map { case (typ, r) =>
+      count(when(col(cols.typ) === typ &&
+        (col(cols.value) < r.min || col(cols.value) > r.max), 1)).as(typ)
+    }
+    df.agg(counts.head, counts.tail: _*)
+  }
+
+  /** P8-style battery range violation count (reference validation.py:186-210
+    * battery branch; log-only in transform, counted here). */
+  def batteryViolations(range: ValueRange, cols: ReadingCols)(df: DataFrame): DataFrame =
+    df.agg(count(when(
+      col(cols.battery) < range.min || col(cols.battery) > range.max,
+      1)).as("battery_violations"))
+
+  /** A6 — global time range + distinct sensors (reference validation.py:229-239). */
+  def timeRangeStats(cols: ReadingCols)(df: DataFrame): DataFrame =
+    df.agg(
+      min(col(cols.ts)).as("min_ts"),
+      max(col(cols.ts)).as("max_ts"),
+      countDistinct(col(cols.id)).as("distinct_sensors"))
+
+  /** W2+J2 — expected hourly grid: DISTINCT (sensor, type) x
+    * generate_series(min_ts, max_ts, 1 hour) (reference
+    * validation.py:247-272). The series bounds come from a 1-row
+    * aggregate cross-joined in (broadcast — no driver round-trip), then
+    * `sequence + explode` generates the hours distributed. */
+  def expectedGrid(
+      frequencyHours: Int,
+      cols: ReadingCols)(df: DataFrame): DataFrame = {
+    val bounds = df.agg(
+      min(col(cols.ts)).as("min_ts"), max(col(cols.ts)).as("max_ts"))
+    val pairs = df.select(col(cols.id), col(cols.typ)).distinct()
+    pairs
+      .crossJoin(broadcast(bounds))
+      .withColumn("expected_time",
+        explode(expr(
+          s"sequence(min_ts, max_ts, interval $frequencyHours hour)")))
+      .drop("min_ts", "max_ts")
+  }
+
+  /** J3 — missing readings: grid rows with no observation in the same
+    * hour (reference validation.py:273-285). Anti-join on
+    * (sensor, type, hour-truncated time). */
+  def missingReadings(
+      frequencyHours: Int,
+      cols: ReadingCols)(df: DataFrame): DataFrame = {
+    val grid = expectedGrid(frequencyHours, cols)(df)
+      .withColumn("expected_hour", date_trunc("hour", col("expected_time")))
+    val observed = df
+      .select(
+        col(cols.id), col(cols.typ),
+        date_trunc("hour", col(cols.ts)).as("expected_hour"))
+      .distinct()
+    grid.join(observed, Seq(cols.id, cols.typ, "expected_hour"), "left_anti")
+  }
+
+  /** A7 — gap aggregation: per (sensor, type) count + first/last missing
+    * hour, descending (reference validation.py:286-316). */
+  def gapReport(
+      frequencyHours: Int,
+      cols: ReadingCols)(df: DataFrame): DataFrame =
+    missingReadings(frequencyHours, cols)(df)
+      .groupBy(col(cols.id), col(cols.typ))
+      .agg(
+        count(lit(1)).as("missing_hours"),
+        min(col("expected_time")).as("first_missing"),
+        max(col("expected_time")).as("last_missing"))
+      .orderBy(desc("missing_hours"), col(cols.id), col(cols.typ))
+
+  /** A8 — missing-value profile per reading type (reference
+    * validation.py:343-366). */
+  def missingProfile(cols: ReadingCols)(df: DataFrame): DataFrame =
+    df.groupBy(col(cols.typ))
+      .agg(
+        count(lit(1)).as("total_readings"),
+        sum(when(col(cols.value).isNull, 1).otherwise(0)).as("missing_count"),
+        round(lit(100.0) * sum(when(col(cols.value).isNull, 1).otherwise(0))
+          / count(lit(1)), 2).as("missing_percentage"))
+      .orderBy(desc("missing_percentage"), col(cols.typ))
+
+  /** A9 — anomaly profile per reading type (reference validation.py:369-393). */
+  def anomalyProfile(cols: ReadingCols)(df: DataFrame): DataFrame =
+    df.filter(col("anomalous_reading").isNotNull)
+      .groupBy(col(cols.typ))
+      .agg(
+        count(lit(1)).as("total_readings"),
+        sum(when(col("anomalous_reading"), 1).otherwise(0)).as("anomaly_count"),
+        round(lit(100.0) * sum(when(col("anomalous_reading"), 1).otherwise(0))
+          / count(lit(1)), 2).as("anomaly_percentage"))
+      .orderBy(desc("anomaly_percentage"), col(cols.typ))
+
+  /** A10 — per-sensor coverage (reference validation.py:396-419). */
+  def sensorCoverage(cols: ReadingCols)(df: DataFrame): DataFrame =
+    df.groupBy(col(cols.id))
+      .agg(
+        countDistinct(col(cols.typ)).as("reading_types"),
+        count(lit(1)).as("total_readings"),
+        min(col(cols.ts)).as("first_reading"),
+        max(col(cols.ts)).as("last_reading"),
+        round(avg(col(cols.battery)), 1).as("avg_battery"))
+      .orderBy(desc("total_readings"), col(cols.id))
+
+  /** A11 — overall stats (reference validation.py:422-438). */
+  def overallStats(cols: ReadingCols)(df: DataFrame): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_records"),
+      countDistinct(col(cols.id)).as("unique_sensors"),
+      countDistinct(col(cols.typ)).as("unique_types"),
+      round(avg(col(cols.value)), 2).as("avg_value"),
+      round(avg(col(cols.battery)), 1).as("avg_battery"))
+
+  /** A12 — quality score: 100 minus capped penalties
+    * (reference validation.py:616-644, duplicated loading.py:305-336). */
+  def qualityScore(
+      missing: Seq[TypeProfile],
+      anomalies: Seq[TypeProfile],
+      totalGapHours: Long,
+      cfg: PipelineConfig): Double = {
+    val missingPenalty = missing.map(p =>
+      math.min(p.percentage, cfg.validation.maxMissingPercentage)).sum
+    val anomalyPenalty = anomalies.map(p =>
+      math.min(p.percentage, cfg.validation.maxAnomalyPercentage)).sum
+    val gapPenalty = math.min(2.0 * totalGapHours, 30.0)
+    math.max(0.0, 100.0 - missingPenalty - anomalyPenalty - gapPenalty)
+  }
+
+  /** A13 — threshold assessment (reference validation.py:448-485). */
+  def assess(
+      missing: Seq[TypeProfile],
+      anomalies: Seq[TypeProfile],
+      gaps: Seq[SensorGap],
+      cfg: PipelineConfig): Seq[String] = {
+    val issues = Seq.newBuilder[String]
+    missing.filter(_.percentage > cfg.validation.maxMissingPercentage).foreach(p =>
+      issues += s"High missing values for ${p.readingType}: ${p.percentage}%")
+    anomalies.filter(_.percentage > cfg.validation.maxAnomalyPercentage).foreach(p =>
+      issues += s"High anomaly rate for ${p.readingType}: ${p.percentage}%")
+    gaps.filter(_.missingHours > cfg.validation.maxGapHours).foreach(g =>
+      issues += s"Data gap for ${g.sensorId}/${g.readingType}: ${g.missingHours} missing hours")
+    issues.result()
+  }
+
+  /** Run the full suite: triggers the small aggregates (each collapses to
+    * a handful of rows — the only driver-side materialization), then the
+    * driver-side score + assessment. `df` should be cached by the caller
+    * when loading follows (both stages consume it). */
+  def collectMetrics(cfg: PipelineConfig)(df: DataFrame): ValidationResult = {
+    val c = cfg.cols
+    val tv = typeViolations(c)(df).head()
+    val rv = rangeViolations(cfg.ranges, c)(df).head()
+    val bv = batteryViolations(cfg.batteryRange, c)(df).head()
+    val tr = timeRangeStats(c)(df).head()
+    val ov = overallStats(c)(df).head()
+
+    val missing = missingProfile(c)(df).collect().toSeq.map(r => TypeProfile(
+      r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val anomalies =
+      (if (df.columns.contains("anomalous_reading"))
+        anomalyProfile(c)(df).collect().toSeq else Nil).map(r => TypeProfile(
+        r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val gaps = gapReport(cfg.validation.expectedFrequencyHours, c)(df)
+      .collect().toSeq.map(r => SensorGap(
+        r.get(0).toString, r.getString(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4)))
+    val coverage = sensorCoverage(c)(df).collect().toSeq.map(r => SensorCoverage(
+      r.get(0).toString, r.getLong(1), r.getLong(2),
+      r.getTimestamp(3), r.getTimestamp(4),
+      Option(r.get(5)).map(_.toString.toDouble)))
+
+    val totalGapHours = gaps.map(_.missingHours).sum
+    val score = qualityScore(missing, anomalies, totalGapHours, cfg)
+    val issues = assess(missing, anomalies, gaps, cfg)
+
+    val rangeViolationMap = cfg.ranges.keys.toSeq.sorted.map(t =>
+      t -> rv.getLong(rv.fieldIndex(t))).toMap
+
+    val metrics = QualityMetrics(
+      totalRecords = ov.getLong(0),
+      nullTimestamps = tv.getLong(0),
+      invalidValues = tv.getLong(1),
+      invalidBatteries = tv.getLong(2),
+      rangeViolations = rangeViolationMap,
+      batteryViolations = bv.getLong(0),
+      distinctSensors = tr.getLong(2),
+      timeRange = (tr.getTimestamp(0), tr.getTimestamp(1)),
+      missingProfile = missing,
+      anomalyProfile = anomalies,
+      coverage = coverage,
+      gaps = gaps,
+      totalMissingHours = totalGapHours,
+      avgValue = if (ov.isNullAt(3)) Double.NaN else ov.getDouble(3),
+      avgBattery = if (ov.isNullAt(4)) Double.NaN else ov.getDouble(4))
+
+    ValidationResult(
+      passed = issues.isEmpty,
+      totalRecords = metrics.totalRecords,
+      issuesFound = issues,
+      qualityScore = score,
+      metrics = Some(metrics))
+  }
+
+  /** S10 — long-format data-quality report (reference validation.py:487-595):
+    * one row per (category, metric, value). Built as a DataFrame so it can
+    * be written with the CSV sink. */
+  def reportRows(result: ValidationResult)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val m = result.metrics.get
+    val rows = Seq.newBuilder[(String, String, String)]
+    rows += (("overall", "total_records", m.totalRecords.toString))
+    rows += (("overall", "quality_score", result.qualityScore.toString))
+    rows += (("overall", "passed", result.passed.toString))
+    rows += (("overall", "distinct_sensors", m.distinctSensors.toString))
+    rows += (("overall", "avg_value", m.avgValue.toString))
+    rows += (("overall", "avg_battery", m.avgBattery.toString))
+    m.missingProfile.foreach(p =>
+      rows += (("missing_values", p.readingType, s"${p.percentage}")))
+    m.anomalyProfile.foreach(p =>
+      rows += (("anomalies", p.readingType, s"${p.percentage}")))
+    rows += (("time_gaps", "total_missing_hours", m.totalMissingHours.toString))
+    m.gaps.foreach(g =>
+      rows += (("time_gaps", s"${g.sensorId}/${g.readingType}", g.missingHours.toString)))
+    m.coverage.foreach(cv =>
+      rows += (("sensor_coverage", cv.sensorId, cv.totalReadings.toString)))
+    result.issuesFound.foreach(i => rows += (("issues", "issue", i)))
+    rows.result().toDF("category", "metric", "value")
+  }
+
+  /** S10 sink — single stable CSV file (reference reports/data_quality_report.csv). */
+  def writeReport(result: ValidationResult, path: String)(
+      implicit spark: SparkSession): Unit =
+    reportRows(result).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+}
