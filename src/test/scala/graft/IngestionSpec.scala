@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+import graft.ingest.{Checkpoint, ParquetIngestor, SchemaCompat}
+import graft.model.Schemas
+
+class IngestionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-ing").toString
+
+  private def writeRaw(dir: String, name: String, rows: Int = 5): Unit =
+    (1 to rows).map(i =>
+      (s"sensor_$i", java.sql.Timestamp.valueOf(f"2023-06-01 ${i % 24}%02d:00:00"),
+        "temperature", 20.0 + i, 90.0))
+      .toDF("sensor_id", "timestamp", "reading_type", "value", "battery_level")
+      .coalesce(1).write.mode("append").parquet(s"$dir/stage_$name")
+      // move the part file up as a named file
+  private def promote(dir: String, name: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(s"$dir/stage_$name"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new Path(s"$dir/$name"))
+    fs.delete(new Path(s"$dir/stage_$name"), true)
+  }
+  private def addFile(dir: String, name: String, rows: Int = 5): Unit = {
+    writeRaw(dir, name, rows); promote(dir, name)
+  }
+
+  test("schema compat lattice: timestamp units, float widening, string spellings") {
+    assert(SchemaCompat.compatible(TimestampNTZType, TimestampType))
+    assert(SchemaCompat.compatible(FloatType, DoubleType))
+    assert(SchemaCompat.compatible(VarcharType(10), StringType))
+    assert(!SchemaCompat.compatible(StringType, DoubleType))
+    assert(!SchemaCompat.compatible(LongType, TimestampType))
+  }
+
+  test("schema diff: missing/extra columns reject, order does not matter") {
+    val expected = Schemas.raw
+    val reordered = StructType(expected.fields.reverse)
+    assert(SchemaCompat.diff(reordered, expected).isEmpty)
+    val missing = StructType(expected.fields.dropRight(1))
+    assert(SchemaCompat.diff(missing, expected)
+      .exists(_.contains("missing column battery_level")))
+    val extra = StructType(expected.fields :+ StructField("location", StringType))
+    assert(SchemaCompat.diff(extra, expected)
+      .exists(_.contains("extra column location")))
+  }
+
+  test("checkpoint: load of corrupt/absent file degrades to empty") {
+    val dir = tmpDir()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Checkpoint.load(fs, new Path(s"$dir/nope.json")) === Checkpoint.empty)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/bad.json"), "{not json")
+    assert(Checkpoint.load(fs, new Path(s"$dir/bad.json")) === Checkpoint.empty)
+  }
+
+  test("checkpoint round-trip preserves files and stats") {
+    val dir = tmpDir()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cp = Checkpoint(Set("a.parquet", "b.parquet"), "2023-06-01T00:00:00Z",
+      Map("files_processed" -> 2L))
+    Checkpoint.save(fs, new Path(s"$dir/cp.json"), cp)
+    assert(Checkpoint.load(fs, new Path(s"$dir/cp.json")) === cp)
+  }
+
+  test("ingest: accepts valid files, skips wrong-schema, isolates corrupt") {
+    val dir = tmpDir()
+    addFile(dir, "2023-06-01.parquet")
+    addFile(dir, "2023-06-02.parquet")
+    // wrong schema: value as string
+    Seq(("s1", "x")).toDF("sensor_id", "value")
+      .coalesce(1).write.parquet(s"$dir/stage_2023-06-03.parquet")
+    promote(dir, "2023-06-03.parquet")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/2023-06-04.parquet"), "garbage")
+
+    val res = ParquetIngestor.ingest(spark, dir, Schemas.raw)
+    assert(res.stats.filesDiscovered === 4)
+    assert(res.accepted.toSet === Set("2023-06-01.parquet", "2023-06-02.parquet"))
+    assert(res.skipped === Seq("2023-06-03.parquet"))
+    assert(res.failed.map(_._1) === Seq("2023-06-04.parquet"))
+    assert(res.data.get.count() === 10)
+    assert(res.data.get.schema.fieldNames.toSeq === Schemas.raw.fieldNames.toSeq)
+  }
+
+  test("ingest: incremental mode skips checkpointed files") {
+    val dir = tmpDir()
+    addFile(dir, "2023-06-01.parquet")
+    addFile(dir, "2023-06-02.parquet")
+    val cpPath = s"$dir/.checkpoint"
+    val r1 = ParquetIngestor.ingest(spark, dir, Schemas.raw, Some(cpPath))
+    assert(r1.stats.filesProcessed === 2)
+    val r2 = ParquetIngestor.ingest(spark, dir, Schemas.raw, Some(cpPath))
+    assert(r2.stats.filesProcessed === 0)
+    assert(r2.data.isEmpty)
+    addFile(dir, "2023-06-05.parquet", rows = 3)
+    val r3 = ParquetIngestor.ingest(spark, dir, Schemas.raw, Some(cpPath))
+    assert(r3.accepted === Seq("2023-06-05.parquet"))
+    assert(r3.data.get.count() === 3)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, IntegerType}
+
+import graft.config.PipelineConfig
+import graft.load.Loader
+import graft.model.ValidationResult
+
+class LoaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def transformed() = Seq(
+    ("s1", java.sql.Timestamp.valueOf("2023-06-01 10:00:00"), "temperature",
+      25.5, 90.0, java.sql.Date.valueOf("2023-06-01"), 25.5, 25.5, false),
+    ("s2", java.sql.Timestamp.valueOf("2023-06-02 10:00:00"), "humidity",
+      60.0, 80.0, java.sql.Date.valueOf("2023-06-02"), 60.0, 60.0, true))
+    .toDF("sensor_id", "timestamp", "reading_type", "value", "battery_level",
+      "date", "daily_avg_value", "rolling_avg_value", "anomalous_reading")
+
+  private val vr = ValidationResult(passed = true, 2, Nil, 98.5, None)
+
+  test("P10 type optimization casts floats and ints") {
+    val df = Loader.optimizeTypes(
+      Loader.addMetadata(vr, "1.0.0", "2023-06-01T00:00:00Z")(transformed()))
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("value") === FloatType)
+    assert(types("battery_level") === FloatType)
+    assert(types("daily_avg_value") === FloatType)
+    assert(types("quality_score") === FloatType)
+    assert(types("total_issues") === IntegerType)
+  }
+
+  test("P11 metadata columns are batch-constant") {
+    val df = Loader.addMetadata(vr, "1.0.0", "T0")(transformed())
+    val rows = df.select("data_quality_passed", "pipeline_version",
+      "quality_score", "total_issues").distinct().collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(1) === "1.0.0")
+  }
+
+  test("S8 partitioned write produces hive layout with zstd; S12 stats see it") {
+    val out = Files.createTempDirectory("graft-load").toString + "/out"
+    val cfg = PipelineConfig.default
+    val prepared = Loader.optimizeTypes(
+      Loader.addMetadata(vr, "1.0.0", "T0")(transformed()))
+    Loader.write(cfg, out)(prepared)
+
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("date="))
+    assert(dirs.toSet === Set("date=2023-06-01", "date=2023-06-02"))
+    val leaf = new java.io.File(s"$out/date=2023-06-01/sensor_id=s1")
+    assert(leaf.isDirectory)
+    assert(leaf.listFiles().exists(f => f.getName.endsWith(".zstd.parquet") ||
+      f.getName.endsWith(".parquet")))
+
+    val stats = Loader.storageStats(spark, out)
+    assert(stats.totalFiles >= 2)
+    assert(stats.partitions === 2)
+    assert(stats.totalBytes > 0)
+  }
+
+  test("S8 dynamic overwrite replaces only matching partitions") {
+    val out = Files.createTempDirectory("graft-load2").toString + "/out"
+    val cfg = PipelineConfig.default
+    Loader.write(cfg, out)(transformed())
+    // second batch touches only 2023-06-01/s1 with a new value
+    val update = transformed().filter($"sensor_id" === "s1")
+      .withColumn("value", lit(99.0))
+    Loader.write(cfg, out)(update)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2) // s2 partition untouched, s1 replaced
+    val s1 = back.filter($"sensor_id" === "s1").select("value").as[Double].head()
+    assert(s1 === 99.0)
+  }
+
+  test("S11 read-back prunes partitions") {
+    val out = Files.createTempDirectory("graft-load3").toString + "/out"
+    Loader.write(PipelineConfig.default, out)(transformed())
+    val pruned = Loader.readBack(spark, out, date = Some("2023-06-01"))
+    assert(pruned.count() === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.config.{Calibration, PipelineConfig, ReadingCols, ValueRange}
+import graft.transform.Transforms
+
+class TransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val c = ReadingCols.sensor
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def readings(rows: (String, String, String, Double, java.lang.Double)*) =
+    rows.toSeq
+      .map { case (id, t, typ, v, b) =>
+        (id, ts(t), typ, v, Option(b).map(_.doubleValue))
+      }
+      .toDF("sensor_id", "timestamp", "reading_type", "value", "battery_level")
+
+  test("P1 dedup removes exact duplicates and is idempotent") {
+    val df = readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 25.5, 95.0),
+      ("s1", "2023-06-01 10:00:00", "temperature", 25.5, 95.0),
+      ("s1", "2023-06-01 11:00:00", "temperature", 26.0, 94.0))
+    val once = Transforms.dedupExact(df)
+    assert(once.count() === 2)
+    assert(Transforms.dedupExact(once).count() === 2)
+  }
+
+  test("P2 null drop keeps rows null only in battery") {
+    val df = Seq(
+      (Some("s1"), Some(ts("2023-06-01 10:00:00")), Some("temperature"), Some(25.5), None: Option[Double]),
+      (None, Some(ts("2023-06-01 10:00:00")), Some("temperature"), Some(25.5), Some(90.0)),
+      (Some("s1"), Some(ts("2023-06-01 10:00:00")), Some("temperature"), None, Some(90.0)))
+      .toDF("sensor_id", "timestamp", "reading_type", "value", "battery_level")
+    val out = Transforms.dropNullCritical(
+      Seq("sensor_id", "timestamp", "reading_type", "value"))(df)
+    assert(out.count() === 1)
+    assert(out.head.isNullAt(4)) // battery null survives
+  }
+
+  test("P3 battery imputation: per-sensor median, global fallback") {
+    val df = readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 1.0, 10.0),
+      ("s1", "2023-06-01 11:00:00", "temperature", 1.0, 20.0),
+      ("s1", "2023-06-01 12:00:00", "temperature", 1.0, null),
+      ("s2", "2023-06-01 10:00:00", "temperature", 1.0, null))
+    val out = Transforms.imputeBattery(c)(df)
+      .orderBy("sensor_id", "timestamp")
+      .select("battery_level").as[Double].collect()
+    // s1 null -> median(10,20)=15 (pandas-style interpolation)
+    // s2 all-null -> global median(10,20)=15
+    assert(out.toSeq === Seq(10.0, 20.0, 15.0, 15.0))
+  }
+
+  test("P4 calibration applies per-type multiplier/offset, leaves unknown types") {
+    val cal = Map(
+      "temperature" -> Calibration(2.0, 1.0),
+      "humidity" -> Calibration(0.5, 0.0))
+    val df = readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 10.0, 90.0),
+      ("s1", "2023-06-01 10:00:00", "humidity", 10.0, 90.0),
+      ("s1", "2023-06-01 10:00:00", "pressure", 10.0, 90.0))
+    val out = Transforms.calibrate(cal, c)(df)
+      .orderBy("reading_type").select("value").as[Double].collect()
+    assert(out.toSeq === Seq(5.0, 10.0, 21.0)) // humidity, pressure, temperature
+  }
+
+  test("P5+P6 timezone shift and date derivation (UTC+05:30 wraps day)") {
+    val df = readings(("s1", "2023-06-01 20:00:00", "temperature", 1.0, 90.0))
+    val out = Transforms.deriveDate(c)(
+      Transforms.shiftToLocal(PipelineConfig.parseUtcOffset("UTC+05:30"), c)(df))
+    val row = out.select(
+      date_format($"timestamp", "yyyy-MM-dd HH:mm").as("t"),
+      $"date".cast("string")).head
+    assert(row.getString(0) === "2023-06-02 01:30")
+    assert(row.getString(1) === "2023-06-02")
+  }
+
+  test("W1 rolling average matches the reference golden [20.0, 22.5, 25.0]") {
+    // reference tests/test_transformation.py:164-171
+    val df = readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 20.0, 90.0),
+      ("s1", "2023-06-01 11:00:00", "temperature", 25.0, 90.0),
+      ("s1", "2023-06-01 12:00:00", "temperature", 30.0, 90.0))
+    val out = Transforms.rollingAvg(168, c)(df)
+      .orderBy("timestamp").select("rolling_avg_value").as[Double].collect()
+    assert(out.toSeq === Seq(20.0, 22.5, 25.0))
+  }
+
+  test("A1 daily average is per (sensor, type, date)") {
+    val df = Transforms.deriveDate(c)(readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 20.0, 90.0),
+      ("s1", "2023-06-01 11:00:00", "temperature", 30.0, 90.0),
+      ("s1", "2023-06-02 10:00:00", "temperature", 50.0, 90.0)))
+    val out = Transforms.dailyAvg(c)(df)
+      .orderBy("timestamp").select("daily_avg_value").as[Double].collect()
+    assert(out.toSeq === Seq(25.0, 25.0, 50.0))
+  }
+
+  test("A3 z-score uses population stddev and skips n<=1 and sigma=0 groups") {
+    val base = (1 to 20).map(i =>
+      ("s1", f"2023-06-01 ${i % 24}%02d:00:00", "temperature", 10.0, 90.0: java.lang.Double))
+    val df = readings(base ++ Seq(
+      ("s1", "2023-06-02 01:00:00", "temperature", 1000.0, 90.0: java.lang.Double), // outlier
+      ("s1", "2023-06-02 02:00:00", "single", 5.0, 90.0: java.lang.Double), // n=1 group
+      ("s2", "2023-06-02 03:00:00", "constant", 7.0, 90.0: java.lang.Double),
+      ("s2", "2023-06-02 04:00:00", "constant", 7.0, 90.0: java.lang.Double)): _*) // sigma=0
+    val out = Transforms.zscoreFlag(3.0, c)(df)
+    val flagged = out.filter($"zscore_anomaly").select("value").as[Double].collect()
+    assert(flagged.toSeq === Seq(1000.0))
+  }
+
+  test("P7 range flag respects per-type bounds; unknown types never flag") {
+    val ranges = Map("temperature" -> ValueRange(-50.0, 60.0))
+    val df = readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 61.0, 90.0),
+      ("s1", "2023-06-01 10:00:00", "temperature", 60.0, 90.0),
+      ("s1", "2023-06-01 10:00:00", "other", 1e9, 90.0))
+    val out = Transforms.rangeFlag(ranges, c)(df)
+      .orderBy("value").select("range_anomaly").as[Boolean].collect()
+    assert(out.toSeq === Seq(false, true, false))
+  }
+
+  test("P9 outlier mode: remove filters flagged rows, flag keeps them") {
+    val df = readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 61.0, 90.0),
+      ("s1", "2023-06-01 11:00:00", "temperature", 20.0, 90.0))
+      .withColumn("anomalous_reading", $"value" > 60)
+    assert(Transforms.applyOutlierMode("remove")(df).count() === 1)
+    assert(Transforms.applyOutlierMode("flag")(df).count() === 2)
+    assert(Transforms.applyOutlierMode("bogus")(df).count() === 2)
+  }
+
+  test("full transform pipeline produces the derived schema") {
+    val cfg = PipelineConfig.default
+    val df = readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 25.5, 95.0),
+      ("s1", "2023-06-01 11:00:00", "temperature", 24.8, 94.0),
+      ("s2", "2023-06-01 10:00:00", "humidity", 65.2, 88.0))
+    val out = Transforms.pipeline(cfg)(df)
+    val cols = out.columns.toSet
+    assert(Set("date", "daily_avg_value", "rolling_avg_value",
+      "anomalous_reading").subsetOf(cols))
+    assert(out.count() === 3)
+  }
+}
