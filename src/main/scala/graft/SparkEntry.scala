@@ -8,8 +8,13 @@ object SparkEntry {
     queries("q01_agg")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ graft.queries.RelationalQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.EmbeddingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = CoreQueries.oracle
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracle ++ graft.queries.RelationalQueries.oracle ++
+      graft.queries.TextQueries.oracle ++
+      graft.queries.EmbeddingQueries.oracle
 }

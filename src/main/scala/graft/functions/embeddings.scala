@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives over `array<float>` columns, built on
+  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDFs.
+  *
+  * Determinism: elements are cast to double BEFORE any arithmetic and
+  * summation is a strict left fold, which matches DuckDB's
+  * list_dot_product on double lists element-for-element — verified
+  * bit-exact by the oracle harness.
+  */
+object embeddings {
+
+  /** Cast array<float> -> array<double>. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Strict left-fold sum of an array<double>. */
+  def arraySum(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two array<float/double> columns. */
+  def dot(a: Column, b: Column): Column =
+    arraySum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
+
+  /** L2 norm. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity; null-safe for zero vectors (returns null). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na > 0 && nb > 0, d / (na * nb))
+  }
+
+  /** Sign-pattern bucket over the first `bits` dimensions — a cheap,
+    * deterministic coarse quantizer for IVF-style partitioned ANN:
+    * vectors can only be near neighbors if they land in the same
+    * orthant bucket (approximate; recall traded for a bucket-local
+    * search that avoids the all-pairs shuffle at scale). */
+  def signBucket(v: Column, bits: Int = 8): Column =
+    (0 until bits).map(i =>
+      when(element_at(toDouble(v), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+}

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, quality metrics, language-ID,
+  * fingerprinting, shingling, MinHash. All are compositions of built-in
+  * (codegen'd) Catalyst expressions — no UDFs — and each has an exact
+  * DuckDB-SQL equivalent so the oracle harness can verify them
+  * bit-for-bit. Hashing is md5-based: identical across engines, stable
+  * across partitionings, no seed state.
+  */
+object text {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks — the classic pre-tokenizer split. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Count of punctuation characters (fixed class, RE2/Java-compatible). */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,;:!?'\"()\\-]", ""))
+
+  val stopwords: Seq[String] = Seq(
+    "a", "an", "the", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "that", "this")
+
+  /** Number of stopword tokens (duplicates counted). */
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(c), t => t.isin(stopwords.map(lit(_)): _*)))
+
+  /** Marker stopwords per language for the n-gram/stopword lang-ID
+    * heuristic. Deterministic argmax with fixed tie order (seq order). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "nicht"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  private def markerCount(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(markers.map(lit(_)): _*)))
+
+  /** Heuristic language-ID: argmax of per-language marker-token counts;
+    * 'und' when no marker hits. Ties resolve in langMarkers order. */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (lang, m) => lang -> markerCount(c, m) }
+    val best = scores.tail.foldLeft(scores.head._2)((acc, s) => greatest(acc, s._2))
+    // first language (in langMarkers order) reaching the max wins
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Word n-gram shingles: joined with single spaces. Documents shorter
+    * than n words produce a single whole-text shingle. */
+  def shingles(c: Column, n: Int): Column = {
+    val tok = tokens(c)
+    when(size(tok) < n, array(concat_ws(" ", tok)))
+      .otherwise(transform(
+        sequence(lit(0), size(tok) - n),
+        i => concat_ws(" ", slice(tok, i + 1, lit(n)))))
+  }
+
+  /** Content fingerprint: lexicographic min of md5 over word-n-gram
+    * shingles (a 1-perm MinHash — stable, order-independent). */
+  def fingerprint(c: Column, n: Int = 3): Column =
+    array_min(transform(shingles(c, n), s => md5(s)))
+
+  /** 32-bit integer hash from md5 (first 8 hex chars), seeded by `seed`.
+    * Cross-engine: DuckDB `('0x'||substr(md5(seed||':'||s),1,8))::BIGINT`. */
+  def md5Hash32(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 8), 16, 10).cast(LongType)
+
+  /** MinHash signature: k independent md5-seeded min-hashes over word
+    * n-gram shingles. Returns an array<long> of length k. */
+  def minhash(c: Column, k: Int, n: Int = 3): Column = {
+    val sh = shingles(c, n)
+    array((0 until k).map(i =>
+      array_min(transform(sh, s =>
+        conv(substring(md5(concat(lit(s"$i:"), s)), 1, 8), 16, 10)
+          .cast(LongType)))): _*)
+  }
+
+  /** 60-bit token hash for SimHash (15 hex chars keeps it positive in a
+    * signed 64-bit long on every engine). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+}

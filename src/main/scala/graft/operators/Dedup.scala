@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{embeddings, text}
+
+/** Deduplication operators for training-data pipelines, each designed
+  * for the 100 TB shape: no driver-side loops, candidate generation via
+  * hash-bucket shuffles (never an unbounded cross join), verification
+  * only within buckets.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: one row per distinct hash with the
+    * kept (minimum) id and the duplicate count. A hash-groupBy shuffles
+    * only (hash, id) pairs — not document bodies. */
+  def exactByHash(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(idCol), md5(col(contentCol)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Normalized exact dedup: lowercase, strip punctuation, collapse
+    * whitespace before hashing (catches trivial reformatting). */
+  def normalizedHash(c: Column): Column =
+    md5(regexp_replace(trim(regexp_replace(lower(c), "[.,;:!?'\"()\\-]", "")),
+      "\\s+", " "))
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * shingle -> k md5-seeded min-hashes -> band buckets -> join within
+    * buckets -> exact Jaccard verification. `bands` buckets of `k/bands`
+    * signature values each; a pair collides if ANY band matches
+    * (standard LSH OR-construction). The bucket join shuffles only
+    * (band value, id, signature/shingle-set) — pairs outside shared
+    * buckets are never materialized, which is what makes this survive
+    * 100 TB where naive all-pairs (O(n^2)) cannot.
+    *
+    * Returns (id_a, id_b, est_jaccard, jaccard) for verified pairs with
+    * exact shingle Jaccard >= threshold.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      k: Int = 16,
+      bands: Int = 4,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val base = df.select(
+      col(idCol).as("id"),
+      text.minhash(col(contentCol), k, shingleN).as("sig"),
+      array_distinct(text.shingles(col(contentCol), shingleN)).as("sh"))
+
+    // band value = the rows-per-band slice of the signature, stringified
+    val banded = base.select(col("id"), explode(array((0 until bands).map(b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("_", transform(slice(col("sig"), b * rows + 1, rows),
+          x => x.cast("string"))).as("band_key"))): _*)).as("band"))
+
+    val l = banded.select(col("band"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("id").as("id_b"))
+    val cand = l.join(r, l("band") === r("band") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair may collide in several bands
+
+    val a = base.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("sh").as("sh_a"))
+    val b = base.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("sh").as("sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / k)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+  }
+
+  /** Per-document 60-bit SimHash over whitespace tokens: tokens hash to
+    * 60-bit ints; each bit position accumulates +1/-1 by bit value over
+    * all tokens; positive sums set the output bit. Computed with an
+    * explode + two-level aggregation — both shuffles are on (id, bit),
+    * tiny compared to content. */
+  def simhash(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    val bits = 60
+    val tok = df.select(col(idCol).as("id"),
+      explode(text.tokens(col(contentCol))).as("tok"))
+      .withColumn("h", text.md5Hash60(col("tok")))
+    val perBit = tok
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      .groupBy("id", "bit")
+      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("bal"))
+    perBit.groupBy("id")
+      .agg(sum(when(col("bal") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
+        .cast(LongType).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: band the 60-bit hash into 4 x 15-bit
+    * chunks; pairs sharing any chunk are candidates (Hamming <= 3 pigeon-
+    * hole guarantee); verify with bit_count(xor) <= maxHamming. */
+  def simhashDup(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, contentCol)
+    val chunked = sh.withColumn("chunk",
+      explode(array((0 until 4).map(i => struct(
+        lit(i).as("chunk_id"),
+        shiftright(col("simhash"), i * 15).bitwiseAND(0x7FFF)
+          .as("chunk_val"))): _*)))
+    val l = chunked.select(col("chunk"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val r = chunked.select(col("chunk"), col("id").as("id_b"), col("simhash").as("h_b"))
+    l.join(r, l("chunk") === r("chunk") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Direct n-gram Jaccard similarity over a bounded id set (exact,
+    * quadratic — the verification primitive; use minhashLsh for scale). */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      n: Int = 2,
+      threshold: Double = 0.2): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      array_distinct(text.shingles(col(contentCol), n)).as("sh"))
+    val l = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, bucket-pruned by sign
+    * pattern: near-identical vectors share the orthant of their leading
+    * dimensions, so candidate generation joins on the sign bucket
+    * instead of all pairs. */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      signBits: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      embeddings.signBucket(col(vecCol), signBits).as("bucket"))
+    val l = base.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = base.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, l("bucket") === r("bucket") && col("id_a") < col("id_b"))
+      .withColumn("cos", embeddings.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

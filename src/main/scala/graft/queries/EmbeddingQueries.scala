@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Oracle-checked queries for similarity search and embedding near-dup
+  * over the `embeddings` table (vec_id, embedding: array<float>, label).
+  * DuckDB's list_dot_product on double lists is a strict sequential
+  * fold, matching Spark's `aggregate` — cosine values are bit-identical.
+  */
+object EmbeddingQueries {
+
+  import CoreQueries.t
+
+  /** DuckDB fragments. */
+  private val dVec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  private def dBucket(bits: Int): String =
+    (0 until bits).map(i =>
+      s"(CASE WHEN e[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force exact cosine top-5 for a small query set (broadcast).
+    "q40_embed_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        corpus = emb,
+        queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+    }),
+
+    // IVF-style sign-bucketed approximate top-3 (bucket-local search).
+    "q41_embed_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bucketedTopK(
+        corpus = emb,
+        queries = emb.filter(col("vec_id") < 50),
+        idCol = "vec_id", vecCol = "embedding", k = 3, signBits = 6)
+    }),
+
+    // Embedding near-duplicate pairs within sign buckets.
+    "q42_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500),
+        idCol = "vec_id", vecCol = "embedding",
+        threshold = 0.35, signBits = 6)
+    }),
+
+    // Per-label centroid quality: mean intra-label cosine to the label
+    // centroid — a batch "cluster cohesion" profile (exact arithmetic:
+    // every step is a deterministic double fold).
+    "q45_label_cohesion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("double")).as("sx"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vectors"),
+          sum((col("sx") * col("sx"))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+            .cast("double").as("centroid_sq_sum"))
+        .select(col("label"), col("n_vectors"),
+          floor(col("centroid_sq_sum") * 1000000).cast("long")
+            .as("centroid_sq_sum_e6"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "q40_embed_topk" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+         |  FROM (SELECT vec_id, $dVec AS e FROM embeddings)),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+         |  FROM n q, n c
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |    AND q.nrm > 0 AND c.nrm > 0),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM p)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q41_embed_ivf" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+         |    ${dBucket(6)} AS bucket
+         |  FROM (SELECT vec_id, $dVec AS e FROM embeddings)),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id
+         |    AND q.nrm > 0 AND c.nrm > 0),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM p)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "q42_embed_neardup" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+         |    ${dBucket(6)} AS bucket
+         |  FROM (SELECT vec_id, $dVec AS e FROM embeddings
+         |        WHERE vec_id < 500))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+         |FROM n a JOIN n b ON a.bucket = b.bucket
+         |WHERE a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0
+         |  AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.35""".stripMargin,
+
+    "q45_label_cohesion" ->
+      """WITH dims AS (
+        |  SELECT label, vec_id, dim - 1 AS dim, CAST(x AS DOUBLE) AS x
+        |  FROM (SELECT label, vec_id,
+        |          unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS dim
+        |        FROM embeddings)),
+        |per_dim AS (
+        |  SELECT label, dim, count(*) AS n, sum(x) AS sx
+        |  FROM dims GROUP BY label, dim)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+        |  CAST(floor(CAST(sum(CAST(sx * sx AS DECIMAL(30,12))) AS DOUBLE)
+        |    * 1000000) AS BIGINT) AS centroid_sq_sum_e6
+        |FROM per_dim GROUP BY label""".stripMargin)
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.exact
+
+/** Relational operator coverage over the TPC-H-ish tables: multi-way
+  * broadcast joins, semi/anti joins, top-n with deterministic ordering,
+  * and set operations — the join shapes from SURVEY §2.3 at relational
+  * scale. Dimension tables are explicitly broadcast; the lineitem side
+  * never shuffles for the joins (only for the final aggregation).
+  */
+object RelationalQueries {
+
+  import CoreQueries.t
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // J-pattern: fact -> dims with broadcast joins, revenue per nation.
+    "q19_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(20, 6))).cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
+    // Semi + anti join counts in one row.
+    "q20_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("with_orders"))
+      val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("without_orders"))
+      withOrders.crossJoin(withoutOrders)
+    }),
+
+    // Top-N: highest-revenue orders, deterministic tie-break on key.
+    "q21_topn" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(20, 6))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Set operations: segment customers vs customers with orders.
+    "q22_setops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ordered = o.select(col("o_custkey").as("c_custkey"))
+      val both = building.intersect(ordered).agg(count(lit(1)).as("n_intersect"))
+      val only = building.except(ordered).agg(count(lit(1)).as("n_except"))
+      both.crossJoin(only)
+    }),
+
+    // Grouping sets (rollup): revenue by (returnflag, linestatus) with
+    // subtotals — the multi-level aggregation shape.
+    "q23_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          exact.sumExact(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "q19_join_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q20_semi_anti" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |    AS with_orders,
+        |  (SELECT count(*) FROM customer
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |    AS without_orders""".stripMargin,
+
+    "q21_topn" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q22_setops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |     INTERSECT SELECT o_custkey FROM orders)) AS n_intersect,
+        |  (SELECT count(*) FROM (
+        |     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |     EXCEPT SELECT o_custkey FROM orders)) AS n_except""".stripMargin,
+
+    "q23_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+}

@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.text
+import graft.operators.Dedup
+
+/** Oracle-checked queries for the text-analysis / dedup operator set
+  * over the `documents` table. All hashing is md5-based so DuckDB
+  * reproduces it exactly.
+  */
+object TextQueries {
+
+  import CoreQueries.t
+
+  /** DuckDB fragment: whitespace tokens of trimmed text. */
+  private val dTok = raw"string_split_regex(trim(text), '\s+')"
+
+  /** DuckDB fragment: word n-gram shingles of a token list column `t`. */
+  private def dShingles(n: Int, tl: String = "t"): String =
+    s"CASE WHEN len($tl) < $n THEN [array_to_string($tl, ' ')] " +
+      s"ELSE list_transform(generate_series(0, len($tl) - $n), " +
+      s"i -> array_to_string($tl[i+1:i+$n], ' ')) END"
+
+  /** DuckDB fragment: 32-bit md5 hash with integer seed. */
+  private def dHash32(seed: Int, e: String): String =
+    s"('0x' || substr(md5('$seed:' || $e), 1, 8))::BIGINT"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup via content hash (hash-groupBy; SURVEY extension).
+    "q30_doc_dedup_exact" -> ((s, dir) => {
+      Dedup.exactByHash(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Token counting: whitespace + BPE-ish regex pre-tokenizer.
+    "q31_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        text.bpeTokenCount(col("text")).cast(LongType).as("n_bpe_tokens"),
+        length(col("text")).cast(LongType).as("n_chars"))
+    }),
+
+    // Quality scoring: integer counts + integer-arithmetic label rules
+    // (no float thresholds -> no cross-engine rounding ambiguity).
+    "q32_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        text.tokenCount(col("text")).cast(LongType).as("n_words"),
+        text.stopwordCount(col("text")).cast(LongType).as("n_stopwords"),
+        text.punctCount(col("text")).cast(LongType).as("n_punct"))
+        .withColumn("quality_label",
+          when(col("n_words") < 5, "too_short")
+            .when(col("n_stopwords") * 100 > col("n_words") * 60, "boilerplate")
+            .when(col("n_punct") * 10 > col("n_chars"), "noisy")
+            .otherwise("ok"))
+    }),
+
+    // Language-ID heuristic: per-language marker-stopword counts, argmax.
+    "q33_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(text.langId(col("text")).as("predicted_lang"))
+        .groupBy(col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Document fingerprinting: min-md5 over word trigram shingles.
+    "q34_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.fingerprint(col("text"), 3).as("fingerprint"))
+    }),
+
+    // MinHash signatures (k=8, word unigrams) as explicit columns.
+    "q35_minhash_sig" -> ((s, dir) => {
+      val sig = text.minhash(col("text"), 8, 1)
+      t(s, dir, "documents").select(
+        col("doc_id") +:
+          (0 until 8).map(i => element_at(sig, i + 1).as(s"mh$i")): _*)
+    }),
+
+    // MinHash+LSH near-duplicate detection with exact-Jaccard verify,
+    // on a bounded id range (high-overlap synthetic vocab would make the
+    // full table quadratic at sf0.1 — the operator itself prunes by
+    // band, but verification pairs here are dense by construction).
+    "q36_minhash_dedup" -> ((s, dir) => {
+      Dedup.minhashLsh(
+        t(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", k = 8, bands = 4, shingleN = 1, threshold = 0.93)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+    }),
+
+    // Direct n-gram (bigram) Jaccard pairs over a bounded id set.
+    "q37_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", n = 2, threshold = 0.05)
+    }),
+
+    // 60-bit SimHash per document.
+    "q38_simhash" -> ((s, dir) => {
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // SimHash near-dup pairs via 15-bit chunk buckets + Hamming verify.
+    "q39_simhash_dup" -> ((s, dir) => {
+      Dedup.simhashDup(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16)
+    }),
+
+    // Multimodal plumbing: opaque binary column + deterministic
+    // byte-level features (length, md5) — the decode step itself is
+    // stubbed (see graft.multimodal).
+    "q43_binary_features" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast(LongType).as("byte_len"),
+        md5(col("text")).as("content_md5"))
+    }))
+
+  private def langCase: String = {
+    val scores = text.langMarkers.map { case (lang, m) =>
+      val set = m.map(w => s"'$w'").mkString(", ")
+      lang -> s"len(list_filter($dTok, x -> x IN ($set)))"
+    }
+    val defs = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    val best = "greatest(" + scores.map("s_" + _._1).mkString(", ") + ")"
+    val cases = scores.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT CASE $cases ELSE 'und' END AS predicted_lang
+       |FROM (SELECT *, $best AS best FROM (SELECT $defs FROM documents))""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+
+    "q30_doc_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q31_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($dTok) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin,
+
+    "q32_quality" ->
+      s"""SELECT doc_id, n_chars, n_words, n_stopwords, n_punct,
+         |  CASE WHEN n_words < 5 THEN 'too_short'
+         |       WHEN n_stopwords * 100 > n_words * 60 THEN 'boilerplate'
+         |       WHEN n_punct * 10 > n_chars THEN 'noisy'
+         |       ELSE 'ok' END AS quality_label
+         |FROM (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($dTok) AS BIGINT) AS n_words,
+         |  CAST(len(list_filter($dTok, x -> x IN (${text.stopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stopwords,
+         |  CAST(length(text) - length(regexp_replace(text,
+         |    '[.,;:!?''"()\\-]', '', 'g')) AS BIGINT) AS n_punct
+         |FROM documents)""".stripMargin,
+
+    "q33_langid" ->
+      s"""SELECT predicted_lang, count(*) AS n_docs
+         |FROM ($langCase)
+         |GROUP BY predicted_lang""".stripMargin,
+
+    "q34_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_aggregate(list_transform(${dShingles(3)}, s -> md5(s)), 'min')
+         |    AS fingerprint
+         |FROM (SELECT doc_id, $dTok AS t FROM documents)""".stripMargin,
+
+    "q35_minhash_sig" ->
+      s"""SELECT doc_id,
+         |${(0 until 8).map(i =>
+        s"  list_aggregate(list_transform(sh, s -> ${dHash32(i, "s")}), 'min') AS mh$i")
+        .mkString(",\n")}
+         |FROM (SELECT doc_id, ${dShingles(1)} AS sh
+         |      FROM (SELECT doc_id, $dTok AS t FROM documents))""".stripMargin,
+
+    "q36_minhash_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, list_distinct(sh) AS shd,
+         |    [${(0 until 8).map(i =>
+        s"list_aggregate(list_transform(sh, s -> ${dHash32(i, "s")}), 'min')")
+        .mkString(", ")}] AS sig
+         |  FROM (SELECT doc_id, ${dShingles(1)} AS sh
+         |        FROM (SELECT doc_id, $dTok AS t FROM documents
+         |              WHERE doc_id < 300))),
+         |banded AS (
+         |  SELECT doc_id, shd, sig, b,
+         |    array_to_string(sig[b*2+1:b*2+2], '_') AS band_key
+         |  FROM base, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |    len(list_filter(generate_series(1, 8),
+         |        i -> a.sig[i] = b.sig[i])) / 8.0 AS est_jaccard,
+         |    len(list_intersect(a.shd, b.shd)) * 1.0
+         |      / len(list_distinct(list_concat(a.shd, b.shd))) AS jaccard
+         |  FROM cand c
+         |  JOIN base a ON a.doc_id = c.id_a
+         |  JOIN base b ON b.doc_id = c.id_b)
+         |SELECT id_a, id_b, est_jaccard, jaccard FROM scored
+         |WHERE jaccard >= 0.93""".stripMargin,
+
+    "q37_ngram_jaccard" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, list_distinct(${dShingles(2)}) AS shd
+         |  FROM (SELECT doc_id, $dTok AS t FROM documents WHERE doc_id < 50))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.shd, b.shd)) * 1.0
+         |    / len(list_distinct(list_concat(a.shd, b.shd))) AS jaccard
+         |FROM base a, base b
+         |WHERE a.doc_id < b.doc_id
+         |  AND len(list_intersect(a.shd, b.shd)) * 1.0
+         |    / len(list_distinct(list_concat(a.shd, b.shd))) >= 0.05""".stripMargin,
+
+    "q38_simhash" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tokval), 1, 15))::BIGINT AS hv
+         |  FROM (SELECT doc_id, unnest($dTok) AS tokval FROM documents)),
+         |bitbal AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b)
+         |  GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN bal > 0 THEN (1::BIGINT << b) ELSE 0 END)
+         |    AS BIGINT) AS simhash
+         |FROM bitbal GROUP BY doc_id""".stripMargin,
+
+    "q39_simhash_dup" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tokval), 1, 15))::BIGINT AS hv
+         |  FROM (SELECT doc_id, unnest($dTok) AS tokval FROM documents)),
+         |bitbal AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b)
+         |  GROUP BY doc_id, b),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN bal > 0 THEN (1::BIGINT << b) ELSE 0 END)
+         |      AS BIGINT) AS simhash
+         |  FROM bitbal GROUP BY doc_id),
+         |chunked AS (
+         |  SELECT doc_id, simhash, c,
+         |    (simhash >> (c * 15)) & 32767 AS chunk_val
+         |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS c)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         |    l.simhash AS h_a, r.simhash AS h_b
+         |  FROM chunked l JOIN chunked r
+         |    ON l.c = r.c AND l.chunk_val = r.chunk_val
+         |    AND l.doc_id < r.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(h_a, h_b)) AS hamming
+         |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 16""".stripMargin,
+
+    "q43_binary_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin)
+}
