@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("exactByHash groups identical content, keeps min id") {
+    val df = docs(
+      (1L, "same text"), (2L, "same text"), (3L, "other text"))
+    val out = Dedup.exactByHash(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 1L) // keep_id
+    assert(out(0).getLong(2) === 2L) // n_copies
+    assert(out(1).getLong(2) === 1L)
+  }
+
+  test("minhashLsh finds the planted near-duplicate pair only") {
+    val df = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // 7/9 overlap
+      (3L, "one two three four five six seven eight"))
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text",
+      k = 16, bands = 8, shingleN = 1, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    val j = pairs.head.getDouble(3)
+    assert(math.abs(j - 7.0 / 9.0) < 1e-12)
+  }
+
+  test("simhash: identical docs equal, disjoint docs differ") {
+    val df = docs(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "completely different words here"))
+    val h = Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+  }
+
+  test("simhashDup: identical docs collide at hamming 0") {
+    val df = docs(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "completely different words here"))
+    val pairs = Dedup.simhashDup(df, "doc_id", "text", maxHamming = 0)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs computes exact bigram jaccard") {
+    val df = docs(
+      (1L, "a b c d"), // bigrams: ab bc cd
+      (2L, "a b c e")) // bigrams: ab bc ce -> intersect 2, union 4
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 2,
+      threshold = 0.0).collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(2) === 0.5)
+  }
+
+  test("embeddingNearDup finds same-direction vectors within bucket") {
+    val df = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(2.0f, 2.0f, 2.0f, 2.0f)), // cos=1 with 1
+      (3L, Array(-1.0f, 1.0f, -1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      threshold = 0.99, signBits = 4).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 1),
+      "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).toSeq === Seq(4L, 2L)) // cos 1.0 then ~0.995
+  }
+
+  test("bucketedTopK only searches the query's sign bucket") {
+    val df = Seq(
+      (1L, Array(1.0f, 1.0f)),
+      (2L, Array(2.0f, 1.0f)), // same bucket (+,+)
+      (3L, Array(-1.0f, -1.0f))) // different bucket
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bucketedTopK(df, df.filter($"vec_id" === 1),
+      "vec_id", "embedding", k = 5, signBits = 2).collect()
+    assert(top.map(_.getLong(2)).toSeq === Seq(2L)) // 3 never considered
+  }
+}

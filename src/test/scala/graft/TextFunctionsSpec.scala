@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{embeddings, text}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(s: String) = Seq(s).toDF("text")
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = one("Hello, world! 42 times.").select(
+      text.tokenCount($"text").as("ws"),
+      text.bpeTokenCount($"text").as("bpe"))
+    val r = df.head
+    assert(r.getInt(0) === 4)
+    // Hello , world ! 42 times . -> 7
+    assert(r.getInt(1) === 7)
+  }
+
+  test("punctuation and stopword counts") {
+    val r = one("the cat, the hat!").select(
+      text.punctCount($"text"),
+      text.stopwordCount($"text")).head
+    assert(r.getInt(0) === 2)
+    assert(r.getInt(1) === 2) // 'the' twice; 'cat,'/'hat!' not bare stopwords
+  }
+
+  test("langId picks marker-majority language, 'und' when none") {
+    assert(one("the cat and the dog is here")
+      .select(text.langId($"text")).head.getString(0) === "en")
+    assert(one("el gato y la casa que es")
+      .select(text.langId($"text")).head.getString(0) === "es")
+    assert(one("xyzzy qwerty")
+      .select(text.langId($"text")).head.getString(0) === "und")
+  }
+
+  test("shingles: n-grams, short docs collapse to whole text") {
+    val sh = one("a b c d").select(text.shingles($"text", 3)).head.getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+    val short = one("a b").select(text.shingles($"text", 3)).head.getSeq[String](0)
+    assert(short === Seq("a b"))
+  }
+
+  test("fingerprint is order-stable and input-sensitive") {
+    val f1 = one("a b c d e").select(text.fingerprint($"text")).head.getString(0)
+    val f2 = one("a b c d e").select(text.fingerprint($"text")).head.getString(0)
+    val f3 = one("v w x y z").select(text.fingerprint($"text")).head.getString(0)
+    assert(f1 === f2)
+    assert(f1 !== f3)
+  }
+
+  test("minhash signature: length k, identical docs identical sigs") {
+    val sig = one("a b c d e").select(text.minhash($"text", 8, 1)).head.getSeq[Long](0)
+    assert(sig.length === 8)
+    val sig2 = one("a b c d e").select(text.minhash($"text", 8, 1)).head.getSeq[Long](0)
+    assert(sig === sig2)
+    // permuted word order -> same unigram shingle SET -> same minhash
+    val sig3 = one("e d c b a").select(text.minhash($"text", 8, 1)).head.getSeq[Long](0)
+    assert(sig === sig3)
+  }
+
+  test("embeddings: dot, norm, cosine on known vectors") {
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      embeddings.dot($"a", $"b"),
+      embeddings.norm($"a"),
+      embeddings.cosine($"a", $"b"),
+      embeddings.cosine($"a", $"a")).head
+    assert(r.getDouble(0) === 24.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getDouble(2) === 24.0 / 25.0)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("signBucket: orthant code over leading dims") {
+    val df = Seq(
+      (Array(1.0f, -1.0f, 1.0f), "a"),
+      (Array(1.0f, -1.0f, 2.0f), "b"), // same signs -> same bucket
+      (Array(-1.0f, 1.0f, 1.0f), "c"))
+      .toDF("v", "tag")
+    val buckets = df.select($"tag", embeddings.signBucket($"v", 3))
+      .as[(String, Long)].collect().toMap
+    assert(buckets("a") === buckets("b"))
+    assert(buckets("a") !== buckets("c"))
+    assert(buckets("a") === (1L | 4L)) // dims 1 and 3 positive
+  }
+}
