@@ -56,10 +56,15 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
+    // Signatures+shingle sets are consumed three times (banding, then
+    // both sides of the verify join) — materialize once instead of
+    // recomputing k md5 passes per use. This is the standard shape at
+    // scale too: the signature table is tiny next to the corpus.
     val base = df.select(
       col(idCol).as("id"),
       text.minhash(col(contentCol), k, shingleN).as("sig"),
       array_distinct(text.shingles(col(contentCol), shingleN)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band value = the rows-per-band slice of the signature, stringified
     val banded = base.select(col("id"), explode(array((0 until bands).map(b =>
@@ -103,15 +108,17 @@ object Dedup {
     val tok = df.select(col(idCol).as("id"),
       explode(text.tokens(col(contentCol))).as("tok"))
       .withColumn("h", text.md5Hash60(col("tok")))
-    val perBit = tok
-      .select(col("id"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
-      .groupBy("id", "bit")
-      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("bal"))
-    perBit.groupBy("id")
-      .agg(sum(when(col("bal") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
-        .cast(LongType).as("simhash"))
+    // One wide aggregate (60 ±1-sums per id) instead of exploding a
+    // (id, bit) row per token x bit — the shuffle carries id + 60 ints,
+    // not 60x the token count.
+    val balances = tok.groupBy("id").agg(
+      sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("b0"),
+      (1 until bits).map(b =>
+        sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b")): _*)
+    balances.select(col("id"),
+      (0 until bits).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).cast(LongType).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs: band the 60-bit hash into 4 x 15-bit
