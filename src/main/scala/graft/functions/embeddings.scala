@@ -20,8 +20,16 @@ object embeddings {
   def arraySum(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two array<float/double> columns. */
+  /** Dot product of two array<float> columns: fused native expression
+    * (graft.plans.FloatVecDot) — single codegen'd loop, no intermediate
+    * array. Same left-fold order as the composable
+    * `aggregate(zip_with(...))` form, so results are bit-identical. */
   def dot(a: Column, b: Column): Column =
+    graft.plans.FloatVecDot(a, b)
+
+  /** Composable-built-ins dot product (reference implementation for
+    * the native expression; used in tests as the equivalence oracle). */
+  def dotComposed(a: Column, b: Column): Column =
     arraySum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
 
   /** L2 norm. */
