@@ -1,0 +1,92 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.config.{Calibration, PipelineConfig, ReadingCols}
+import graft.model.TypeProfile
+import graft.transform.Transforms
+import graft.validate.Validation
+
+/** ScalaCheck-generator properties from the SURVEY §5 plan: dedup
+  * idempotence, calibration linearity, quality-score bounds, gap-count
+  * identity. (scalatestplus is not on the offline classpath, so
+  * generators are sampled with fixed seeds — deterministic runs.) */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = PipelineConfig.default
+
+  private def forAllN[A](gen: Gen[A], n: Int = 20)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  test("property: quality score always within [0, 100]") {
+    val profiles = Gen.listOfN(4, for {
+      pct <- Gen.choose(0.0, 100.0)
+      n <- Gen.choose(1L, 1000L)
+    } yield TypeProfile("t", n, (n * pct / 100).toLong, pct))
+    val gen = for {
+      miss <- profiles
+      anom <- profiles
+      gaps <- Gen.choose(0L, 10000L)
+    } yield (miss, anom, gaps)
+    forAllN(gen, 50) { case (miss, anom, gaps) =>
+      val s = Validation.qualityScore(miss, anom, gaps, cfg)
+      assert(s >= 0.0 && s <= 100.0)
+    }
+  }
+
+  test("property: calibration applies the exact linear map") {
+    val gen = for {
+      v <- Gen.choose(-100.0, 100.0)
+      m <- Gen.choose(0.1, 5.0)
+      o <- Gen.choose(-10.0, 10.0)
+    } yield (v, m, o)
+    forAllN(gen, 10) { case (v, m, o) =>
+      val df = Seq(("s1", java.sql.Timestamp.valueOf("2023-06-01 00:00:00"),
+        "temperature", v, 90.0))
+        .toDF("sensor_id", "timestamp", "reading_type", "value", "battery_level")
+      val out = Transforms.calibrate(
+        Map("temperature" -> Calibration(m, o)), ReadingCols.sensor)(df)
+        .select("value").as[Double].head()
+      assert(out === v * m + o)
+    }
+  }
+
+  test("property: dedup is idempotent and bounded by input size") {
+    val rows = Gen.listOfN(30, for {
+      id <- Gen.oneOf("s1", "s2")
+      h <- Gen.choose(0, 3)
+      v <- Gen.oneOf(1.0, 2.0)
+    } yield (id, java.sql.Timestamp.valueOf(f"2023-06-01 $h%02d:00:00"),
+      "temperature", v, 90.0))
+    forAllN(rows, 5) { rs =>
+      if (rs.nonEmpty) {
+        val df = rs.toDF("sensor_id", "timestamp", "reading_type", "value", "battery_level")
+        val once = Transforms.dedupExact(df)
+        val c1 = once.count()
+        assert(c1 <= rs.size)
+        assert(Transforms.dedupExact(once).count() === c1)
+      }
+    }
+  }
+
+  test("property: gap count = grid size - observed hour-slots") {
+    val gen = for {
+      span <- Gen.choose(2, 20)
+      hours <- Gen.nonEmptyListOf(Gen.choose(0, 19))
+    } yield (span, hours)
+    forAllN(gen, 10) { case (span, observedHours) =>
+      // always include hour 0 and span-1 so the grid bounds are fixed
+      val hours = (observedHours.map(_ % span) :+ 0 :+ (span - 1)).distinct
+      val rows = hours.map(h =>
+        ("s1", java.sql.Timestamp.valueOf(f"2023-06-01 $h%02d:30:00"),
+          "temperature", 1.0, 90.0))
+      val df = rows.toDF("sensor_id", "timestamp", "reading_type", "value", "battery_level")
+      val missing = Validation.missingReadings(1, ReadingCols.sensor)(df).count()
+      assert(missing === span - hours.size)
+    }
+  }
+}
