@@ -88,13 +88,13 @@ object PipelineConfig {
 
   /** Reference defaults: config/default.yaml:29-38. */
   val defaultRanges: Map[String, ValueRange] = Map(
-    "temperature" -> ValueRange(-50.0, 60.0),
+    "temperature" -> ValueRange(-10.0, 60.0),
     "humidity" -> ValueRange(0.0, 100.0))
 
-  /** Reference defaults: config/default.yaml:41-47. */
+  /** Reference defaults: identity calibration (config/default.yaml:41-47). */
   val defaultCalibration: Map[String, Calibration] = Map(
-    "temperature" -> Calibration(1.02, -0.5),
-    "humidity" -> Calibration(0.98, 1.2))
+    "temperature" -> Calibration(1.0, 0.0),
+    "humidity" -> Calibration(1.0, 0.0))
 
   val default: PipelineConfig = PipelineConfig()
 

@@ -233,7 +233,7 @@ object CoreQueries {
     // W4 — hour-of-day pivot via conditional aggregation.
     "q18_hourly_pivot" -> ((s, dir) => {
       t(s, dir, "events")
-        .groupBy(hour(col("ts")).as("hour_of_day"))
+        .groupBy(hour(col("ts")).cast(LongType).as("hour_of_day"))
         .agg(
           exact.avgExact(when(col("event_type") === "click", col("value")))
             .as("avg_click_value"),

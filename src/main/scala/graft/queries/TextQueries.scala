@@ -264,7 +264,7 @@ object TextQueries {
          |  FROM chunked l JOIN chunked r
          |    ON l.c = r.c AND l.chunk_val = r.chunk_val
          |    AND l.doc_id < r.doc_id)
-         |SELECT id_a, id_b, bit_count(xor(h_a, h_b)) AS hamming
+         |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 16""".stripMargin,
 
     "q43_binary_features" ->

@@ -63,6 +63,10 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns spark={sc} duck={dc}")
         fails.append(name)
         continue
+    for colname in sc:
+        a_t, b_t = str(spark_df[colname].dtype), str(duck_df[colname].dtype)
+        if a_t != b_t:
+            print(f"  WARN {name}.{colname}: dtype spark={a_t} duck={b_t}")
     a = spark_df[sc].sort_values(sc).reset_index(drop=True)
     b = duck_df[dc].sort_values(dc).reset_index(drop=True)
     if len(a) != len(b):
