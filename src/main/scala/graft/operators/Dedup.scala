@@ -72,10 +72,9 @@ object Dedup {
         concat_ws("_", transform(slice(col("sig"), b * rows + 1, rows),
           x => x.cast("string"))).as("band_key"))): _*)).as("band"))
 
-    val l = banded.select(col("band"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("id").as("id_b"))
-    val cand = l.join(r, l("band") === r("band") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val cand = banded.as("l").join(banded.as("r"),
+      col("l.band") === col("r.band") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct() // a pair may collide in several bands
 
     val a = base.select(col("id").as("id_a"), col("sig").as("sig_a"),
@@ -135,10 +134,10 @@ object Dedup {
         lit(i).as("chunk_id"),
         shiftright(col("simhash"), i * 15).bitwiseAND(0x7FFF)
           .as("chunk_val"))): _*)))
-    val l = chunked.select(col("chunk"), col("id").as("id_a"), col("simhash").as("h_a"))
-    val r = chunked.select(col("chunk"), col("id").as("id_b"), col("simhash").as("h_b"))
-    l.join(r, l("chunk") === r("chunk") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+    chunked.as("l").join(chunked.as("r"),
+      col("l.chunk") === col("r.chunk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.simhash").as("h_a"), col("r.simhash").as("h_b")).distinct()
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -176,11 +175,10 @@ object Dedup {
       signBits: Int = 8): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       embeddings.signBucket(col(vecCol), signBits).as("bucket"))
-    val l = base.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = base.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, l("bucket") === r("bucket") && col("id_a") < col("id_b"))
-      .withColumn("cos", embeddings.cosine(col("v_a"), col("v_b")))
+    base.as("l").join(base.as("r"),
+      col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .withColumn("cos", embeddings.cosine(col("l.v"), col("r.v")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cos"))
   }
 }

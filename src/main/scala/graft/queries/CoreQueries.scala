@@ -230,6 +230,35 @@ object CoreQueries {
         .agg(count(when(col("rn") > 1, 1)).as("duplicate_rows"))
     }),
 
+    // Lead/lag: inter-arrival delta per (user, type), deterministic order.
+    "q24_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("event_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("delta_us"))
+    }),
+
+    // Pivot: per-user event-type count matrix (fixed pivot values).
+    "q25_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // Skew-resistant salted two-stage aggregation — result identical to
+    // the plain GROUP BY (which is the oracle).
+    "q28_salted_agg" -> ((s, dir) => {
+      graft.operators.Salted.countSum(
+        t(s, dir, "events"),
+        key = col("user_id"), value = col("value"),
+        salt = col("event_id"), buckets = 8)
+        .withColumnRenamed("key", "user_id")
+    }),
+
     // W4 — hour-of-day pivot via conditional aggregation.
     "q18_hourly_pivot" -> ((s, dir) => {
       t(s, dir, "events")
@@ -386,6 +415,27 @@ object CoreQueries {
       """SELECT count(CASE WHEN rn > 1 THEN 1 END) AS duplicate_rows
         |FROM (SELECT row_number() OVER (PARTITION BY user_id, ts, event_type
         |             ORDER BY event_id) AS rn FROM events)""".stripMargin,
+
+    "q24_lag_delta" ->
+      """SELECT event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS delta_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type
+        |             ORDER BY ts, event_id)""".stripMargin,
+
+    "q25_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q28_salted_agg" ->
+      """SELECT user_id, count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q18_hourly_pivot" ->
       """SELECT hour(ts) AS hour_of_day,
