@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -76,6 +77,54 @@ object RelationalQueries {
         .agg(
           exact.sumExact(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_rows"))
+    }),
+
+    // Full cube over two dimensions.
+    "q29_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          exact.sumExact(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // Ranking family: rank / dense_rank / ntile over a deterministic
+    // ordering (acctbal is unique enough at these SFs? no — tie-break
+    // on key for stable row assignment).
+    "q26_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    // Scalar string-function surface over part names.
+    "q27_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        reverse(col("p_name")).as("name_rev"))
+    }),
+
+    // Date/time scalar surface (engine-aligned semantics: ISO weekday
+    // via strftime-independent arithmetic).
+    "q47_datetime" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_date"),
+        datediff(lit("1998-12-31").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("days_to_eoy"),
+        quarter(col("o_orderdate")).cast("long").as("q"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -121,5 +170,42 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q29_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q26_rank_family" ->
+      """SELECT c_custkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+
+    "q27_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substring(p_name, 1, 5) AS name_prefix,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  reverse(p_name) AS name_rev
+        |FROM part""".stripMargin,
+
+    "q47_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS d,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+        |    AS BIGINT) AS days_to_eoy,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q
+        |FROM orders""".stripMargin)
 }
