@@ -259,6 +259,25 @@ object CoreQueries {
         .withColumnRenamed("key", "user_id")
     }),
 
+    // As-of join: each click matched to the user's most recent purchase
+    // at-or-before it (union+window implementation; DuckDB native ASOF
+    // JOIN is the oracle).
+    "q48_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsOf.asofLeft(clicks, purchases,
+        key = "user_id", ts = "ts", rightTie = "event_id")
+        .select(
+          col("event_id"),
+          col("asof_match.event_id").as("purchase_event_id"),
+          col("asof_match.value").as("purchase_value"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_match.ts")))
+            .as("gap_us"))
+    }),
+
     // W4 — hour-of-day pivot via conditional aggregation.
     "q18_hourly_pivot" -> ((s, dir) => {
       t(s, dir, "events")
@@ -436,6 +455,21 @@ object CoreQueries {
       """SELECT user_id, count(*) AS n_rows,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q48_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, max(event_id) AS pid,
+        |    arg_max(value, event_id) AS pval
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT c.event_id,
+        |  p.pid AS purchase_event_id,
+        |  p.pval AS purchase_value,
+        |  epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     "q18_hourly_pivot" ->
       """SELECT hour(ts) AS hour_of_day,
