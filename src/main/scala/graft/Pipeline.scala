@@ -44,19 +44,25 @@ object Pipeline {
           reportPath.foreach(p => Validation.writeReport(result, p))
 
           val ts = java.time.Instant.now.toString
+          // observe(): stored-row count rides the write job itself —
+          // no separate count() action (SURVEY §7.4 hard part 8).
+          val storedObs = new org.apache.spark.sql.Observation("graft_stored")
           val prepared = transformed
             .transform(Loader.addMetadata(result, cfg.pipelineVersion, ts))
             .transform(Loader.optimizeTypes)
+            .observe(storedObs,
+              org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("rows"))
           Loader.write(cfg, outPath)(prepared)
 
           val stats = Loader.storageStats(spark, outPath)
-          val stored = result.totalRecords
+          val stored = storedObs.get("rows").asInstanceOf[Long]
           Loader.writeMetadata(spark, outPath, result, stats, stored, ts)
 
           PipelineResult(
             success = true,
             recordsIngested = result.totalRecords,
-            recordsStored = stored,
+            recordsStored = stored, // exact post-outlier-mode count
             qualityScore = result.qualityScore,
             issues = result.issuesFound,
             outputPath = outPath)
