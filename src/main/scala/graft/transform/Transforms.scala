@@ -35,13 +35,18 @@ object Transforms {
     */
   def imputeBattery(cols: ReadingCols = ReadingCols.sensor)(df: DataFrame): DataFrame = {
     val bySensor = Window.partitionBy(col(cols.id))
-    val global = Window.partitionBy()
-    df.withColumn(
-      cols.battery,
-      coalesce(
-        col(cols.battery),
-        expr(s"percentile(${cols.battery}, 0.5)").over(bySensor),
-        expr(s"percentile(${cols.battery}, 0.5)").over(global)))
+    // global median as a broadcast 1-row aggregate — an empty-partition
+    // window would funnel the whole table through one reducer at scale
+    val globalMed = df.agg(
+      expr(s"percentile(${cols.battery}, 0.5)").as("__global_med"))
+    df.crossJoin(broadcast(globalMed))
+      .withColumn(
+        cols.battery,
+        coalesce(
+          col(cols.battery),
+          expr(s"percentile(${cols.battery}, 0.5)").over(bySensor),
+          col("__global_med")))
+      .drop("__global_med")
   }
 
   /** P4 — per-type linear calibration `value * multiplier + offset`
@@ -108,14 +113,20 @@ object Transforms {
       threshold: Double,
       cols: ReadingCols = ReadingCols.sensor,
       flagCol: String = "zscore_anomaly")(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(cols.typ))
-    val mu = avg(col(cols.value)).over(w)
-    val sigma = stddev_pop(col(cols.value)).over(w)
-    val n = count(col(cols.value)).over(w)
-    df.withColumn(flagCol,
-      when(n > 1 && sigma > 0,
-        abs((col(cols.value) - mu) / sigma) > threshold)
-        .otherwise(lit(false)))
+    // reading_type has a handful of distinct values: a window
+    // partitioned by it funnels the table through that many reducers.
+    // A tiny per-type aggregate broadcast-joined back computes the same
+    // flags with an even map-side-combined shuffle.
+    val stats = df.groupBy(col(cols.typ)).agg(
+      avg(col(cols.value)).as("__mu"),
+      stddev_pop(col(cols.value)).as("__sigma"),
+      count(col(cols.value)).as("__n"))
+    df.join(broadcast(stats), Seq(cols.typ), "left")
+      .withColumn(flagCol,
+        when(col("__n") > 1 && col("__sigma") > 0,
+          abs((col(cols.value) - col("__mu")) / col("__sigma")) > threshold)
+          .otherwise(lit(false)))
+      .drop("__mu", "__sigma", "__n")
   }
 
   /** P7 — range anomaly flag: value outside the configured [min,max] for
