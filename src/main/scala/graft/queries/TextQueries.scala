@@ -113,6 +113,28 @@ object TextQueries {
         maxHamming = 16)
     }),
 
+    // Corpus vocabulary with document frequency — the vocab-building /
+    // IDF shape: explode distinct tokens per doc, aggregate df.
+    "q49_term_df" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(text.tokens(col("text")))).as("term"))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("doc_freq"))
+        .filter(col("doc_freq") >= 2)
+    }),
+
+    // Corpus length profile: exact quantiles of document length.
+    "q50_length_profile" -> ((s, dir) => {
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.75)").as("p75"),
+        max(col("n_chars")).as("max_chars"))
+    }),
+
     // Multimodal plumbing: opaque binary column + deterministic
     // byte-level features (length, md5) — the decode step itself is
     // stubbed (see graft.multimodal).
@@ -266,6 +288,21 @@ object TextQueries {
          |    AND l.doc_id < r.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 16""".stripMargin,
+
+    "q49_term_df" ->
+      s"""SELECT term, count(DISTINCT doc_id) AS doc_freq
+         |FROM (SELECT doc_id, unnest(list_distinct($dTok)) AS term
+         |      FROM documents)
+         |GROUP BY term HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    "q50_length_profile" ->
+      """SELECT count(*) AS n_docs,
+        |  min(n_chars) AS min_chars,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  max(n_chars) AS max_chars
+        |FROM documents""".stripMargin,
 
     "q43_binary_features" ->
       """SELECT doc_id,

@@ -93,4 +93,34 @@ object Streaming {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"),
         col("user_id"), col("n_events"))
+
+  /** Streaming replacement for the reference's file-name checkpoint
+    * ingestion (SURVEY §2.7): a FileStreamSource over the raw sensor
+    * directory discovers new files incrementally (Spark's own
+    * compacted source log replaces the JSON checkpoint), pushes every
+    * micro-batch through the full transform pipeline, and lands it via
+    * the partitioned writer in append mode. `Trigger.AvailableNow`
+    * drains what exists and stops — the exact batch-incremental
+    * contract, with streaming-grade exactly-once file tracking. */
+  def sensorIngest(
+      spark: SparkSession,
+      rawDir: String,
+      outPath: String,
+      cfg: graft.config.PipelineConfig,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema(graft.model.Schemas.raw)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(rawDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val transformed = batch.transform(
+          graft.transform.Transforms.pipeline(cfg))
+        val writeCfg = cfg.copy(write = cfg.write.copy(mode = "append"))
+        graft.load.Loader.write(writeCfg, outPath)(transformed)
+      }
+      .start()
+  }
 }

@@ -46,6 +46,33 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("streaming: sensor ingest drains raw files through transform to partitioned parquet") {
+    val raw = java.nio.file.Files.createTempDirectory("graft-sraw").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sout").toString + "/data"
+    val cp = java.nio.file.Files.createTempDirectory("graft-scp").toString
+    Seq(
+      ("s1", java.sql.Timestamp.valueOf("2023-06-01 10:00:00"), "temperature", 25.0, 90.0),
+      ("s1", java.sql.Timestamp.valueOf("2023-06-01 11:00:00"), "temperature", 26.0, 91.0),
+      ("s2", java.sql.Timestamp.valueOf("2023-06-01 10:30:00"), "humidity", 60.0, 80.0))
+      .toDF("sensor_id", "timestamp", "reading_type", "value", "battery_level")
+      .coalesce(1).write.mode("overwrite").parquet(raw)
+
+    val cfg = graft.config.PipelineConfig.default
+    val q = Streaming.sensorIngest(spark, raw, out, cfg, cp)
+    q.awaitTermination(60000)
+    val stored = spark.read.parquet(out)
+    assert(stored.count() === 3)
+    assert(stored.columns.contains("rolling_avg_value"))
+    // partition layout date=/sensor_id= (IST-shifted dates)
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("date=2023-06-01")))
+
+    // second run with no new files ingests nothing (source log checkpoint)
+    val q2 = Streaming.sensorIngest(spark, raw, out, cfg, cp)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
   test("streaming: session windows bound per-user activity") {
     val stream = Streaming.eventsStream(spark, "/root/testdata/sf0.001/events.parquet")
     val sessions = Streaming.runToCompletion(
