@@ -113,6 +113,24 @@ object RelationalQueries {
         reverse(col("p_name")).as("name_rev"))
     }),
 
+    // Full outer join with null-side coalescing: every nation with
+    // order-revenue on one side and customer counts on the other.
+    "q52_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val perNationCust = c.groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_customers"))
+      val perNationBal = c.filter(col("c_acctbal") > 0)
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(exact.sumExact(col("c_acctbal")).as("pos_balance"))
+      perNationCust.join(perNationBal, Seq("nk"), "full_outer")
+        .join(broadcast(n), col("nk") === col("n_nationkey"), "left")
+        .select(
+          col("n_name"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("pos_balance"), lit(0.0)).as("pos_balance"))
+    }),
+
     // Date/time scalar surface (engine-aligned semantics: ISO weekday
     // via strftime-independent arithmetic).
     "q47_datetime" -> ((s, dir) => {
@@ -197,6 +215,20 @@ object RelationalQueries {
         |  concat_ws('|', p_brand, p_type) AS brand_type,
         |  reverse(p_name) AS name_rev
         |FROM part""".stripMargin,
+
+    "q52_outer_join" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey AS nk, count(*) AS n_customers
+        |  FROM customer GROUP BY c_nationkey),
+        |bal AS (
+        |  SELECT c_nationkey AS nk,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS pos_balance
+        |  FROM customer WHERE c_acctbal > 0 GROUP BY c_nationkey)
+        |SELECT n_name,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(pos_balance, 0.0) AS pos_balance
+        |FROM cust FULL OUTER JOIN bal USING (nk)
+        |LEFT JOIN nation ON nk = n_nationkey""".stripMargin,
 
     "q47_datetime" ->
       """SELECT o_orderkey,

@@ -135,6 +135,30 @@ object TextQueries {
         max(col("n_chars")).as("max_chars"))
     }),
 
+    // Composite text-curation pipeline: exact dedup -> quality gate ->
+    // language ID -> per-(lang, quality) corpus stats. The end-to-end
+    // shape a training-data curation job runs, as ONE lazy plan.
+    "q51_text_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val deduped = docs.withColumn("__h", md5(col("text")))
+        .withColumn("__rn", org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__h")).orderBy(col("doc_id")) match {
+          case w => row_number().over(w)
+        })
+        .filter(col("__rn") === 1)
+      deduped
+        .withColumn("n_words", text.tokenCount(col("text")).cast(LongType))
+        .withColumn("n_stop", text.stopwordCount(col("text")).cast(LongType))
+        .filter(col("n_words") >= 5 &&
+          col("n_stop") * 100 <= col("n_words") * 60)
+        .withColumn("predicted_lang", text.langId(col("text")))
+        .groupBy(col("predicted_lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast(LongType).as("total_words"),
+          sum(col("n_chars")).cast(LongType).as("total_chars"))
+    }),
+
     // Multimodal plumbing: opaque binary column + deterministic
     // byte-level features (length, md5) — the decode step itself is
     // stubbed (see graft.multimodal).
@@ -303,6 +327,36 @@ object TextQueries {
         |  quantile_cont(n_chars, 0.75) AS p75,
         |  max(n_chars) AS max_chars
         |FROM documents""".stripMargin,
+
+    "q51_text_pipeline" ->
+      s"""WITH deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |                                 ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |gated AS (
+         |  SELECT *,
+         |    CAST(len($dTok) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter($dTok, x -> x IN (${text.stopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stop
+         |  FROM deduped),
+         |kept AS (
+         |  SELECT * FROM gated
+         |  WHERE n_words >= 5 AND n_stop * 100 <= n_words * 60),
+         |langed AS (
+         |  SELECT CASE ${text.langMarkers.map { case (l, m) =>
+        s"WHEN len(list_filter($dTok, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) = " +
+          "greatest(" + text.langMarkers.map { case (_, mm) =>
+          s"len(list_filter($dTok, x -> x IN (${mm.map(w => s"'$w'").mkString(", ")})))"
+        }.mkString(", ") + s") AND greatest(" + text.langMarkers.map { case (_, mm) =>
+          s"len(list_filter($dTok, x -> x IN (${mm.map(w => s"'$w'").mkString(", ")})))"
+        }.mkString(", ") + s") > 0 THEN '$l'"
+      }.mkString(" ")} ELSE 'und' END AS predicted_lang,
+         |    n_words, n_chars
+         |  FROM kept)
+         |SELECT predicted_lang, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS total_words,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM langed GROUP BY predicted_lang""".stripMargin,
 
     "q43_binary_features" ->
       """SELECT doc_id,
