@@ -113,6 +113,51 @@ object RelationalQueries {
         reverse(col("p_name")).as("name_rev"))
     }),
 
+    // TPC-H Q3 shape: top unshipped-revenue orders (filter + join +
+    // group + deterministic top-n).
+    "q53_tpch_q3" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(20, 6))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q6 shape: forecast-revenue-change (pure pushed-filter agg).
+    "q54_tpch_q6" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice") * col("l_discount"))
+            .cast(DecimalType(20, 6))).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Time-based sliding window (RANGE frame over event-time micros):
+    // events per user in the trailing hour, inclusive.
+    "q55_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events").select(
+        col("event_id"),
+        count(lit(1)).over(w).as("events_last_hour"))
+    }),
+
     // Full outer join with null-side coalescing: every nation with
     // order-revenue on one side and customer counts on the other.
     "q52_outer_join" -> ((s, dir) => {
@@ -215,6 +260,39 @@ object RelationalQueries {
         |  concat_ws('|', p_brand, p_type) AS brand_type,
         |  reverse(p_name) AS name_rev
         |FROM part""".stripMargin,
+
+    "q53_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q54_tpch_q6" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q55_range_window" ->
+      """SELECT event_id,
+        |  count(*) OVER w AS events_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q52_outer_join" ->
       """WITH cust AS (
