@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SQL registration for the engine's native expressions, making them
+  * callable from `spark.sql` text as well as the Column API.
+  *
+  * Two entry points:
+  *  - `GraftFunctions.register(spark)` — register on a live session
+  *    (used by Verify/Bench/tests);
+  *  - `class GraftExtensions` — `spark.sql.extensions` injection point
+  *    for cluster deployments where the session is built by the
+  *    platform (spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions).
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_float_dot" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "graft_float_dot(a, b) takes 2 arguments")
+      FloatVecDot(exprs.head, exprs(1))
+    })
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+
+  private[plans] def injections
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    fns.map { case (name, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[FloatVecDot].getName, name),
+        builder)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injections.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}

@@ -86,6 +86,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("graft_float_dot is callable from SQL after registration") {
+    graft.plans.GraftFunctions.register(spark)
+    Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT graft_float_dot(a, b) AS d FROM vecs").head
+    assert(r.getDouble(0) === 24.0)
+  }
+
   test("signBucket: orthant code over leading dims") {
     val df = Seq(
       (Array(1.0f, -1.0f, 1.0f), "a"),
