@@ -159,6 +159,65 @@ object TextQueries {
           sum(col("n_chars")).cast(LongType).as("total_chars"))
     }),
 
+    // TF-rarity ranking: top-3 terms per doc by term frequency weighted
+    // by inverse document frequency (integer-safe score: tf/df double
+    // division, no transcendental functions -> engine-identical).
+    "q56_tf_rarity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(text.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy((col("tf").cast("double") / col("df")).desc,
+          col("term"))
+      tf.join(broadcast(df_), "term")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast(LongType).as("rnk"),
+          col("term"), col("tf"), col("df"))
+    }),
+
+    // Deterministic hash sampling — the reproducible, cluster-stable
+    // sampling method for training-data pipelines (no RNG state).
+    "q57_hash_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(
+          conv(substring(md5(col("text")), 1, 4), 16, 10)
+            .cast(LongType) % 10 === 0)
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).cast(LongType).as("sampled_chars"))
+    }),
+
+    // Group-wise argmax: longest document per label lang.
+    "q58_argmax_doc" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+    }),
+
+    // Native bottom-k (KMV) sketch aggregate: per source, the 8 smallest
+    // distinct 32-bit content hashes — a mergeable set sketch computed by
+    // the custom TypedImperativeAggregate (partition-order independent).
+    "q59_bottomk_sketch" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          text.md5Hash32(col("text"), 0).as("h"))
+        .groupBy(col("source"))
+        .agg(graft.plans.BottomKAgg.bottomK(col("h"), 8).as("sketch_arr"))
+        .select(col("source"),
+          concat_ws(",", transform(col("sketch_arr"), x => x.cast("string")))
+            .as("sketch"))
+    }),
+
     // Multimodal plumbing: opaque binary column + deterministic
     // byte-level features (length, md5) — the decode step itself is
     // stubbed (see graft.multimodal).
@@ -357,6 +416,42 @@ object TextQueries {
          |  CAST(sum(n_words) AS BIGINT) AS total_words,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM langed GROUP BY predicted_lang""".stripMargin,
+
+    "q56_tf_rarity" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest($dTok) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM terms
+         |  GROUP BY doc_id, term),
+         |df AS (
+         |  SELECT term, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+         |ranked AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rnk
+         |  FROM tf JOIN df USING (term))
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df
+         |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    "q57_hash_sample" ->
+      """SELECT count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT % 10 = 0""".stripMargin,
+
+    "q58_argmax_doc" ->
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "q59_bottomk_sketch" ->
+      s"""SELECT source,
+         |  array_to_string(list_sort(list(DISTINCT h))[1:8], ',') AS sketch
+         |FROM (SELECT source, ${dHash32(0, "text")} AS h FROM documents)
+         |GROUP BY source""".stripMargin,
 
     "q43_binary_features" ->
       """SELECT doc_id,

@@ -86,6 +86,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("BottomKAgg: k smallest distinct values, stable across partitionings") {
+    val df = Seq(5L, 3L, 9L, 3L, 1L, 7L, 1L, 8L).toDF("v")
+    def run(parts: Int) = df.repartition(parts)
+      .agg(graft.plans.BottomKAgg.bottomK($"v", 3)).head.getSeq[Long](0)
+    assert(run(1) === Seq(1L, 3L, 5L))
+    assert(run(7) === Seq(1L, 3L, 5L)) // merge path across partials
+  }
+
   test("graft_float_dot is callable from SQL after registration") {
     graft.plans.GraftFunctions.register(spark)
     Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
