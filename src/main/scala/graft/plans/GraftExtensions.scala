@@ -23,11 +23,15 @@ object GraftFunctions {
       FloatVecDot(exprs.head, exprs(1))
     })
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     fns.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(FuseFloatVecDot))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseFloatVecDot
+  }
 
   private[plans] def injections
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
@@ -39,8 +43,10 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    ext.injectOptimizerRule(_ => FuseFloatVecDot)
+  }
 }

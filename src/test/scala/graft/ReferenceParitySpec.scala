@@ -63,11 +63,30 @@ class ReferenceParitySpec extends SparkSpec {
 
     assert(m.batteryViolations === 2) // issue_3: 2 battery out of range
 
-    val topGap = m.gaps.head
-    assert(topGap.sensorId === "sensor_3")
-    assert(topGap.readingType === "temperature")
-    assert(topGap.missingHours === 70) // issue_4: 70 hour gap
-    assert(topGap.firstMissing.toString.startsWith("2023-06-02 06:45:00"))
+    // complete gap list parity with the recorded significant_gaps
+    // (_validation_metadata.json)
+    val gaps = m.gaps.map(g => (g.sensorId, g.readingType, g.missingHours))
+    assert(gaps === Seq(
+      ("sensor_3", "temperature", 70L), ("sensor_3", "humidity", 68L),
+      ("sensor_1", "humidity", 66L), ("sensor_2", "temperature", 66L),
+      ("sensor_4", "temperature", 66L), ("sensor_1", "temperature", 65L),
+      ("sensor_2", "humidity", 63L), ("sensor_4", "humidity", 62L),
+      ("sensor_5", "temperature", 60L), ("sensor_5", "humidity", 57L)))
+    assert(m.gaps.head.firstMissing.toString.startsWith("2023-06-02 06:45:00"))
+
+    // per-sensor coverage incl. battery averages AFTER exact-median
+    // imputation (pandas .median() parity, recorded to 1 decimal)
+    val cov = m.coverage.map(c =>
+      c.sensorId -> (c.totalReadings, c.avgBattery.get)).toMap
+    assert(cov("sensor_5") === ((27L, 61.6)))
+    assert(cov("sensor_2") === ((14L, 64.1)))
+    assert(cov("sensor_4") === ((14L, 53.0)))
+    assert(cov("sensor_1") === ((12L, 51.6)))
+    assert(cov("sensor_3") === ((5L, 76.2)))
+
+    // overall statistics as recorded (rounded 2 / 1 decimals)
+    assert(m.avgValue === 44.29)
+    assert(m.avgBattery === 59.8)
 
     assert(!result.passed) // demo run fails thresholds (anomaly % > 10)
   }

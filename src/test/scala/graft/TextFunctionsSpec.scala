@@ -94,6 +94,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(run(7) === Seq(1L, 3L, 5L)) // merge path across partials
   }
 
+  test("FuseFloatVecDot rule rewrites the composable pattern to the native expression") {
+    graft.plans.GraftFunctions.register(spark)
+    val emb = graft.queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.select($"vec_id",
+      embeddings.dotComposed($"embedding", $"embedding").as("d"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("floatvecdot"), optimized)
+    // fused result equals the native-API form on real data
+    val native = emb.select($"vec_id",
+      embeddings.dot($"embedding", $"embedding").as("d"))
+    assert(q.exceptAll(native).count() === 0)
+  }
+
   test("graft_float_dot is callable from SQL after registration") {
     graft.plans.GraftFunctions.register(spark)
     Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
