@@ -121,13 +121,13 @@ object PipelineConfig {
     Option(root.get("timezone")).foreach(n => cfg = cfg.copy(timezone = n.asText))
     Option(root.get("pipeline_version")).foreach(n => cfg = cfg.copy(pipelineVersion = n.asText))
     Option(root.get("ranges")).foreach { n =>
-      val m = n.asInstanceOf[ObjectNode].fields.asScala.map { e =>
+      val m = n.asInstanceOf[ObjectNode].properties.asScala.map { e =>
         e.getKey -> ValueRange(e.getValue.get("min").asDouble, e.getValue.get("max").asDouble)
       }.toMap
       cfg = cfg.copy(ranges = m)
     }
     Option(root.get("calibration")).foreach { n =>
-      val m = n.asInstanceOf[ObjectNode].fields.asScala.map { e =>
+      val m = n.asInstanceOf[ObjectNode].properties.asScala.map { e =>
         e.getKey -> Calibration(
           e.getValue.get("multiplier").asDouble, e.getValue.get("offset").asDouble)
       }.toMap

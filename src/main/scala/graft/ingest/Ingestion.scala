@@ -76,7 +76,7 @@ object Checkpoint {
           _.elements.asScala.map(_.asText).toSet).getOrElse(Set.empty),
         Option(root.get("last_update")).map(_.asText).getOrElse(""),
         Option(root.get("last_run_stats")).map(
-          _.asInstanceOf[ObjectNode].fields.asScala
+          _.asInstanceOf[ObjectNode].properties.asScala
             .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty))
     }.getOrElse(empty)
 
