@@ -69,10 +69,11 @@ object Streaming {
   def runToCompletion(
       spark: SparkSession,
       agg: DataFrame,
-      name: String): DataFrame = {
+      name: String,
+      outputMode: String = "complete"): DataFrame = {
     val checkpoint = Files.createTempDirectory(s"graft-stream-$name").toString
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .option("checkpointLocation", checkpoint)
@@ -93,6 +94,41 @@ object Streaming {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"),
         col("user_id"), col("n_events"))
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * totals emitted on every micro-batch update. The state (count + sum
+    * + last seen event time) is the engine-managed store shape —
+    * checkpointed, recovered, and bounded by watermark/timeout at
+    * scale. */
+  final case class UserRunning(nEvents: Long, sumValue: Double, lastTs: Long)
+  final case class UserUpdate(userId: Long, nEvents: Long, sumValue: Double)
+
+  def runningUserTotals(
+      spark: SparkSession,
+      events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Double, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Double, Long)],
+         state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(0L, 0.0, Long.MinValue))
+          var n = prev.nEvents
+          var s = prev.sumValue
+          var last = prev.lastTs
+          rows.foreach { case (_, v, t) =>
+            n += 1; s += v; last = math.max(last, t)
+          }
+          state.update(UserRunning(n, s, last))
+          Iterator.single(UserUpdate(userId, n, s))
+        })
+      .toDF()
+  }
 
   /** Streaming replacement for the reference's file-name checkpoint
     * ingestion (SURVEY §2.7): a FileStreamSource over the raw sensor

@@ -73,6 +73,25 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("streaming: flatMapGroupsWithState running totals equal batch totals") {
+    val stream = Streaming.eventsStream(spark, "/root/testdata/sf0.001/events.parquet")
+    val updates = Streaming.runToCompletion(
+      spark, Streaming.runningUserTotals(spark, stream), "spec_running",
+      outputMode = "append")
+    // last update per user carries the final running totals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"userId").orderBy($"nEvents".desc)
+    val finals = updates
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1)
+    val batch = graft.queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val mismatch = finals.join(batch, finals("userId") === batch("user_id"))
+      .filter($"nEvents" =!= $"n").count()
+    assert(mismatch === 0)
+    assert(finals.count() === batch.count())
+  }
+
   test("streaming: session windows bound per-user activity") {
     val stream = Streaming.eventsStream(spark, "/root/testdata/sf0.001/events.parquet")
     val sessions = Streaming.runToCompletion(

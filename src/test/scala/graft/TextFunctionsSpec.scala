@@ -74,6 +74,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("native FloatVecCosine is bit-identical to the composable form") {
+    val emb = graft.queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = emb.select($"vec_id", $"embedding".as("va"))
+    val b = emb.select(($"vec_id" + 1).as("vec_id"), $"embedding".as("vb"))
+    val joined = a.join(b, "vec_id")
+    val diff = joined.select(
+      embeddings.cosine($"va", $"vb").as("native"),
+      embeddings.cosineComposed($"va", $"vb").as("composed"))
+      .filter($"native" =!= $"composed")
+    assert(diff.count() === 0)
+  }
+
   test("native FloatVecDot is bit-identical to the composable form") {
     val emb = graft.queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "embeddings")
     val a = emb.select($"vec_id", $"embedding".as("va"))
