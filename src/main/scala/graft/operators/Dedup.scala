@@ -163,6 +163,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected pair list (id_a, id_b):
+    * resolves near-duplicate PAIRS into duplicate CLUSTERS, labelling
+    * every member with the minimum reachable id (the canonical doc).
+    *
+    * Iterative min-label propagation — each round joins labels across
+    * edges and keeps the minimum; converges in O(component diameter)
+    * rounds. All shuffles are equi-joins on ids; each round's result is
+    * persisted and the previous unpersisted, so lineage stays bounded
+    * (no exponential plan growth at scale). */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val updated = labels.as("l")
+        .join(nbrMin, col("l.id") === col("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nbr_min"), col("l.label")))
+            .as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = updated.as("u")
+        .join(labels.as("o"), col("u.id") === col("o.id"))
+        .filter(col("u.label") =!= col("o.label"))
+        .isEmpty
+      labels.unpersist()
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs, bucket-pruned by sign
     * pattern: near-identical vectors share the orthant of their leading
     * dimensions, so candidate generation joins on the sign bucket

@@ -218,6 +218,18 @@ object TextQueries {
             .as("sketch"))
     }),
 
+    // Near-dup cluster resolution: MinHash pairs -> connected components
+    // -> cluster label (canonical = min doc_id) + size per cluster.
+    "q60_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(
+        t(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", k = 8, bands = 4, shingleN = 1, threshold = 0.93)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+    }),
+
     // Multimodal plumbing: opaque binary column + deterministic
     // byte-level features (length, md5) — the decode step itself is
     // stubbed (see graft.multimodal).
@@ -227,6 +239,35 @@ object TextQueries {
         length(col("text").cast("binary")).cast(LongType).as("byte_len"),
         md5(col("text")).as("content_md5"))
     }))
+
+  /** Shared CTE chain producing MinHash LSH candidate pairs with exact
+    * Jaccard over doc_id < 300 (used by q36 and q60). */
+  private def minhashPairCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, list_distinct(sh) AS shd,
+       |    [${(0 until 8).map(i =>
+      s"list_aggregate(list_transform(sh, s -> ${dHash32(i, "s")}), 'min')")
+      .mkString(", ")}] AS sig
+       |  FROM (SELECT doc_id, ${dShingles(1)} AS sh
+       |        FROM (SELECT doc_id, $dTok AS t FROM documents
+       |              WHERE doc_id < 300))),
+       |banded AS (
+       |  SELECT doc_id, shd, sig, b,
+       |    array_to_string(sig[b*2+1:b*2+2], '_') AS band_key
+       |  FROM base, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM banded l JOIN banded r
+       |    ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_filter(generate_series(1, 8),
+       |        i -> a.sig[i] = b.sig[i])) / 8.0 AS est_jaccard,
+       |    len(list_intersect(a.shd, b.shd)) * 1.0
+       |      / len(list_distinct(list_concat(a.shd, b.shd))) AS jaccard
+       |  FROM cand c
+       |  JOIN base a ON a.doc_id = c.id_a
+       |  JOIN base b ON b.doc_id = c.id_b)""".stripMargin
 
   private def langCase: String = {
     val scores = text.langMarkers.map { case (lang, m) =>
@@ -291,33 +332,24 @@ object TextQueries {
          |      FROM (SELECT doc_id, $dTok AS t FROM documents))""".stripMargin,
 
     "q36_minhash_dedup" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, list_distinct(sh) AS shd,
-         |    [${(0 until 8).map(i =>
-        s"list_aggregate(list_transform(sh, s -> ${dHash32(i, "s")}), 'min')")
-        .mkString(", ")}] AS sig
-         |  FROM (SELECT doc_id, ${dShingles(1)} AS sh
-         |        FROM (SELECT doc_id, $dTok AS t FROM documents
-         |              WHERE doc_id < 300))),
-         |banded AS (
-         |  SELECT doc_id, shd, sig, b,
-         |    array_to_string(sig[b*2+1:b*2+2], '_') AS band_key
-         |  FROM base, (SELECT unnest(generate_series(0, 3)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM banded l JOIN banded r
-         |    ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
-         |scored AS (
-         |  SELECT c.id_a, c.id_b,
-         |    len(list_filter(generate_series(1, 8),
-         |        i -> a.sig[i] = b.sig[i])) / 8.0 AS est_jaccard,
-         |    len(list_intersect(a.shd, b.shd)) * 1.0
-         |      / len(list_distinct(list_concat(a.shd, b.shd))) AS jaccard
-         |  FROM cand c
-         |  JOIN base a ON a.doc_id = c.id_a
-         |  JOIN base b ON b.doc_id = c.id_b)
+      s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, est_jaccard, jaccard FROM scored
          |WHERE jaccard >= 0.93""".stripMargin,
+
+    "q60_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.93),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT cluster_id, count(*) AS n_members FROM (
+         |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |GROUP BY cluster_id""".stripMargin,
 
     "q37_ngram_jaccard" ->
       s"""WITH base AS (

@@ -63,6 +63,15 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getDouble(2) === 0.5)
   }
 
+  test("connectedComponents resolves chains and keeps components separate") {
+    // chain 1-2-3 (via 1-2, 2-3), separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) === 1L && labels(2L) === 1L && labels(3L) === 1L)
+    assert(labels(10L) === 10L && labels(11L) === 10L)
+  }
+
   test("embeddingNearDup finds same-direction vectors within bucket") {
     val df = Seq(
       (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
