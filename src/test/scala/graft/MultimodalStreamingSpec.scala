@@ -92,6 +92,20 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(finals.count() === batch.count())
   }
 
+  test("streaming: stream-static broadcast join enriches events") {
+    val stream = Streaming.eventsStream(spark, "/root/testdata/sf0.001/events.parquet")
+    // static dimension: per-user tier from the customer table shape
+    val dim = spark.range(0, 200).select(
+      $"id".as("user_id"),
+      (pmod($"id", lit(3))).cast("int").as("tier"))
+    val joined = stream.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+    val out = Streaming.runToCompletion(spark, joined, "spec_dimjoin")
+    assert(out.agg(sum($"n")).head.getLong(0) === 1000L)
+    assert(out.count() === 3) // all users matched a tier
+  }
+
   test("streaming: session windows bound per-user activity") {
     val stream = Streaming.eventsStream(spark, "/root/testdata/sf0.001/events.parquet")
     val sessions = Streaming.runToCompletion(
