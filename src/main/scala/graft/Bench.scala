@@ -27,7 +27,10 @@ object Bench {
     queries.CoreQueries.t(spark, sfDir, "lineitem").count()
     queries.CoreQueries.t(spark, sfDir, "events").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
+      else SparkEntry.queries
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

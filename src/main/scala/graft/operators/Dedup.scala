@@ -174,32 +174,93 @@ object Dedup {
     * (no exponential plan growth at scale). */
   def connectedComponents(
       pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 30,
+      driverEdgeThreshold: Long = 10000000L): DataFrame = {
+    // Duplicate-pair graphs are SPARSE relative to the corpus (LSH
+    // candidates that survived verification). Up to ~10M edges a
+    // driver-side union-find solves the whole graph in milliseconds —
+    // far cheaper than per-iteration Spark jobs. The distributed
+    // label-propagation path below remains the fallback for genuinely
+    // huge dup graphs.
+    val materialized = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = materialized.count()
+    if (nEdges <= driverEdgeThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = materialized.collect().map(r => (r.getLong(0), r.getLong(1)))
+      materialized.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root)
+          root = parent.getOrElse(root, root)
+        var cur = x // path compression
+        while (parent.getOrElse(cur, cur) != root) {
+          val next = parent.getOrElse(cur, cur)
+          parent(cur) = root
+          cur = next
+        }
+        root
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins -> canonical = min id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "label")
+    }
+    connectedComponentsDistributed(materialized, maxIter)
+  }
+
+  /** Distributed fallback: iterative min-label propagation with path
+    * compression, used when the pair graph exceeds driver capacity. */
+  def connectedComponentsDistributed(
+      pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var i = 0
+    // Per round: neighbor-min relaxation + path compression (label of
+    // label) -> O(log diameter) rounds. localCheckpoint truncates the
+    // lineage each round (iterative plans otherwise snowball), and the
+    // change flag is computed in-row so convergence costs one cheap
+    // count over the checkpointed frame.
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val updated = labels.as("l")
+      val relaxed = labels.as("l")
         .join(nbrMin, col("l.id") === col("src"), "left")
-        .select(col("l.id").as("id"),
+        .select(col("l.id").as("id"), col("l.label").as("old_label"),
           least(col("l.label"), coalesce(col("nbr_min"), col("l.label")))
             .as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = updated.as("u")
-        .join(labels.as("o"), col("u.id") === col("o.id"))
-        .filter(col("u.label") =!= col("o.label"))
-        .isEmpty
-      labels.unpersist()
-      labels = updated
+      val ptr = relaxed.select(col("id").as("lid"), col("label").as("llabel"))
+      val updated = relaxed.as("r")
+        .join(ptr, col("r.label") === col("lid"), "left")
+        .select(col("r.id").as("id"),
+          least(col("r.label"), coalesce(col("llabel"), col("r.label")))
+            .as("label"),
+          (least(col("r.label"), coalesce(col("llabel"), col("r.label")))
+            < col("r.old_label")).as("changed"))
+        .localCheckpoint()
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.drop("changed")
       i += 1
     }
+    sym.unpersist()
     labels
   }
 

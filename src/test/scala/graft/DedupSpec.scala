@@ -72,6 +72,16 @@ class DedupSpec extends SparkSpec {
     assert(labels(10L) === 10L && labels(11L) === 10L)
   }
 
+  test("distributed connectedComponents agrees with union-find path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val uf = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponentsDistributed(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf === dist)
+  }
+
   test("embeddingNearDup finds same-direction vectors within bucket") {
     val df = Seq(
       (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
