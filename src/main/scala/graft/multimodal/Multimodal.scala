@@ -89,6 +89,25 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation would decode, scale, and
+    * re-encode; the fake deterministically downsamples the payload
+    * bytes by `factor` (every factor-th byte), preserving the
+    * binary-in/binary-out plumbing shape and a predictable size
+    * contract (len/factor, rounded up). */
+  def resize(media: Dataset[MediaRow], factor: Int = 4): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length
+        val out = new Array[Byte]((n + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+        r.copy(payload = out, declared_format = s"${r.declared_format};resized/$factor")
+      }
+    }
+  }
+
   /** STUB frame sampling for video payloads: every `stride`-th fixed-
     * size chunk stands in for a decoded frame. Output is exploded to
     * one row per frame — the shape a real frame sampler produces. */

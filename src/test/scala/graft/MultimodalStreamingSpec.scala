@@ -23,6 +23,15 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(feats2(1L) === feats(1L).checksum)
   }
 
+  test("multimodal: resize stub downsamples deterministically with size contract") {
+    val df = Seq((1L, "abcdefghij")).toDF("id", "payload") // 10 bytes
+    val media = Multimodal.asMediaTable(df, "id", "payload")
+    val resized = Multimodal.resize(media, factor = 4).collect().head
+    assert(resized.payload.length === 3) // ceil(10/4)
+    assert(new String(resized.payload) === "aei") // every 4th byte
+    assert(resized.declared_format.endsWith("resized/4"))
+  }
+
   test("multimodal: frame sampling yields every stride-th chunk") {
     val payload = ("x" * 640)
     val df = Seq((1L, payload)).toDF("id", "payload")
