@@ -60,6 +60,34 @@ object text {
     }
   }
 
+  /** Character trigram profiles per language (most frequent trigrams of
+    * each language's function words) for the char-n-gram lang-ID. */
+  val charTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", " th", "he ", "ing", " of"),
+    "es" -> Seq(" de", "que", " la", "el ", " qu", "ión"),
+    "fr" -> Seq(" le", "es ", " et", "de ", "la ", "ent"),
+    "de" -> Seq("der", "ein", "ich", "sch", "und", " un"))
+
+  /** Character trigrams of the text (lowercased), as an array. */
+  def charTrigrams(c: Column): Column = {
+    val t = lower(c)
+    when(length(t) < 3, array(t)).otherwise(
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+  }
+
+  /** Char-n-gram language-ID: count how many trigrams of the text occur
+    * in each language's profile; argmax with fixed tie order. */
+  def langIdNgram(c: Column): Column = {
+    val grams = charTrigrams(c)
+    val scores = charTrigramProfiles.map { case (lang, profile) =>
+      lang -> size(filter(grams, g => g.isin(profile.map(lit(_)): _*)))
+    }
+    val best = scores.tail.foldLeft(scores.head._2)((acc, s) => greatest(acc, s._2))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
   /** Word n-gram shingles: joined with single spaces. Documents shorter
     * than n words produce a single whole-text shingle. */
   def shingles(c: Column, n: Int): Column = {

@@ -218,6 +218,14 @@ object TextQueries {
             .as("sketch"))
     }),
 
+    // Char-n-gram language-ID variant: trigram-profile argmax.
+    "q61_langid_ngram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(text.langIdNgram(col("text")).as("predicted_lang"))
+        .groupBy(col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Near-dup cluster resolution: MinHash pairs -> connected components
     // -> cluster label (canonical = min doc_id) + size per cluster.
     "q60_dup_clusters" -> ((s, dir) => {
@@ -268,6 +276,24 @@ object TextQueries {
        |  FROM cand c
        |  JOIN base a ON a.doc_id = c.id_a
        |  JOIN base b ON b.doc_id = c.id_b)""".stripMargin
+
+  private def langNgramCase: String = {
+    val grams = "CASE WHEN length(lower(text)) < 3 THEN [lower(text)] " +
+      "ELSE list_transform(generate_series(1, length(lower(text)) - 2), " +
+      "i -> lower(text)[i:i+2]) END"
+    val scores = text.charTrigramProfiles.map { case (lang, profile) =>
+      val set = profile.map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
+      lang -> s"len(list_filter(g, x -> x IN ($set)))"
+    }
+    val defs = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    val best = "greatest(" + scores.map("s_" + _._1).mkString(", ") + ")"
+    val cases = scores.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT CASE $cases ELSE 'und' END AS predicted_lang
+       |FROM (SELECT *, $best AS best FROM (
+       |  SELECT $defs FROM (SELECT $grams AS g FROM documents)))""".stripMargin
+  }
 
   private def langCase: String = {
     val scores = text.langMarkers.map { case (lang, m) =>
@@ -330,6 +356,11 @@ object TextQueries {
         .mkString(",\n")}
          |FROM (SELECT doc_id, ${dShingles(1)} AS sh
          |      FROM (SELECT doc_id, $dTok AS t FROM documents))""".stripMargin,
+
+    "q61_langid_ngram" ->
+      s"""SELECT predicted_lang, count(*) AS n_docs
+         |FROM ($langNgramCase)
+         |GROUP BY predicted_lang""".stripMargin,
 
     "q36_minhash_dedup" ->
       s"""WITH $minhashPairCtes

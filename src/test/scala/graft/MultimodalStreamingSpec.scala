@@ -101,6 +101,17 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(finals.count() === batch.count())
   }
 
+  test("streaming: dropDuplicates with watermark dedups within the horizon") {
+    val stream = Streaming.eventsStream(spark,
+      "/root/testdata/sf0.001/events.parquet", watermark = "48 hours")
+    val deduped = stream
+      .dropDuplicates("event_id")
+      .groupBy().agg(count(lit(1)).as("n"))
+    val out = Streaming.runToCompletion(spark, deduped, "spec_streamdedup")
+    // event_id is unique in the source -> dedup keeps all 1000
+    assert(out.head.getLong(0) === 1000L)
+  }
+
   test("streaming: stream-static broadcast join enriches events") {
     val stream = Streaming.eventsStream(spark, "/root/testdata/sf0.001/events.parquet")
     // static dimension: per-user tier from the customer table shape
