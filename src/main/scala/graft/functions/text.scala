@@ -68,19 +68,24 @@ object text {
     "fr" -> Seq(" le", "es ", " et", "de ", "la ", "ent"),
     "de" -> Seq("der", "ein", "ich", "sch", "und", " un"))
 
-  /** Character trigrams of the text (lowercased), as an array. */
-  def charTrigrams(c: Column): Column = {
-    val t = lower(c)
-    when(length(t) < 3, array(t)).otherwise(
-      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-  }
+  /** Occurrences of a fixed substring, via replace-length arithmetic —
+    * linear in text length, no array materialization, and identical
+    * non-overlapping-count semantics on every engine. */
+  def substrCount(t: Column, pattern: String): Column =
+    ((length(t) - length(replace(t, lit(pattern), lit("")))) / pattern.length)
+      .cast("int")
 
-  /** Char-n-gram language-ID: count how many trigrams of the text occur
-    * in each language's profile; argmax with fixed tie order. */
+  /** Per-language char-trigram profile score: total occurrences of the
+    * profile trigrams in the lowercased text. */
+  def charNgramScore(c: Column, profile: Seq[String]): Column =
+    profile.map(p => substrCount(c, p)).reduce(_ + _)
+
+  /** Char-n-gram language-ID: argmax of per-language trigram-occurrence
+    * scores over the lowercased text; fixed tie order. */
   def langIdNgram(c: Column): Column = {
-    val grams = charTrigrams(c)
+    val t = lower(c)
     val scores = charTrigramProfiles.map { case (lang, profile) =>
-      lang -> size(filter(grams, g => g.isin(profile.map(lit(_)): _*)))
+      lang -> charNgramScore(t, profile)
     }
     val best = scores.tail.foldLeft(scores.head._2)((acc, s) => greatest(acc, s._2))
     scores.foldRight(lit("und")) { case ((lang, s), acc) =>

@@ -218,10 +218,24 @@ object TextQueries {
             .as("sketch"))
     }),
 
-    // Char-n-gram language-ID variant: trigram-profile argmax.
+    // Char-n-gram language-ID variant: trigram-occurrence argmax via
+    // replace-length counting, scores staged as columns so each is
+    // evaluated once (the argmax CASE references every score twice).
     "q61_langid_ngram" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(text.langIdNgram(col("text")).as("predicted_lang"))
+      val scored = t(s, dir, "documents")
+        .select(lower(col("text")).as("lt"))
+        .select(text.charTrigramProfiles.map { case (lang, profile) =>
+          text.charNgramScore(col("lt"), profile).as(s"s_$lang")
+        }: _*)
+        .withColumn("best",
+          text.charTrigramProfiles.map(p => col(s"s_${p._1}"))
+            .reduce(greatest(_, _)))
+      val pick = text.charTrigramProfiles.foldRight(lit("und")) {
+        case ((lang, _), acc) =>
+          when(col(s"s_$lang") === col("best") && col("best") > 0, lang)
+            .otherwise(acc)
+      }
+      scored.select(pick.as("predicted_lang"))
         .groupBy(col("predicted_lang"))
         .agg(count(lit(1)).as("n_docs"))
     }),
@@ -278,12 +292,12 @@ object TextQueries {
        |  JOIN base b ON b.doc_id = c.id_b)""".stripMargin
 
   private def langNgramCase: String = {
-    val grams = "CASE WHEN length(lower(text)) < 3 THEN [lower(text)] " +
-      "ELSE list_transform(generate_series(1, length(lower(text)) - 2), " +
-      "i -> lower(text)[i:i+2]) END"
+    def cnt(p: String): String = {
+      val q = p.replace("'", "''")
+      s"CAST((length(g) - length(replace(g, '$q', ''))) / ${p.length} AS INT)"
+    }
     val scores = text.charTrigramProfiles.map { case (lang, profile) =>
-      val set = profile.map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
-      lang -> s"len(list_filter(g, x -> x IN ($set)))"
+      lang -> profile.map(cnt).mkString(" + ")
     }
     val defs = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
     val best = "greatest(" + scores.map("s_" + _._1).mkString(", ") + ")"
@@ -292,7 +306,7 @@ object TextQueries {
     }.mkString(" ")
     s"""SELECT CASE $cases ELSE 'und' END AS predicted_lang
        |FROM (SELECT *, $best AS best FROM (
-       |  SELECT $defs FROM (SELECT $grams AS g FROM documents)))""".stripMargin
+       |  SELECT $defs FROM (SELECT lower(text) AS g FROM documents)))""".stripMargin
   }
 
   private def langCase: String = {

@@ -36,6 +36,17 @@ class TextFunctionsSpec extends SparkSpec {
       .select(text.langId($"text")).head.getString(0) === "und")
   }
 
+  test("langIdNgram scores char trigram occurrences, 'und' when none") {
+    assert(one("the thing and the other thing")
+      .select(text.langIdNgram($"text")).head.getString(0) === "en")
+    assert(one("der dichter und das schiff")
+      .select(text.langIdNgram($"text")).head.getString(0) === "de")
+    assert(one("zzz qqq")
+      .select(text.langIdNgram($"text")).head.getString(0) === "und")
+    // substrCount: non-overlapping occurrences
+    assert(one("ababab").select(text.substrCount($"text", "ab")).head.getInt(0) === 3)
+  }
+
   test("shingles: n-grams, short docs collapse to whole text") {
     val sh = one("a b c d").select(text.shingles($"text", 3)).head.getSeq[String](0)
     assert(sh === Seq("a b c", "b c d"))
