@@ -27,13 +27,24 @@ object Bench {
     queries.CoreQueries.t(spark, sfDir, "lineitem").count()
     queries.CoreQueries.t(spark, sfDir, "events").count()
 
+    // Drop every cached/checkpointed block a query left behind so no
+    // measurement pays for a predecessor's storage (GC pressure and
+    // block eviction otherwise degrade the tail of the run).
+    def releaseAll(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
       else SparkEntry.queries
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      releaseAll()
+      name -> sec
     }
 
     // End-to-end transform pipeline over events (cleaning, calibration,

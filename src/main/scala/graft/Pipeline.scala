@@ -37,7 +37,15 @@ object Pipeline {
       case None =>
         PipelineResult(success = true, 0, 0, 100.0, Seq.empty, outPath)
       case Some(raw) =>
-        val transformed = raw.transform(Transforms.pipeline(cfg))
+        // observe(): the raw (pre-clean) row count rides whichever action
+        // first materializes the plan — no extra scan. It feeds the
+        // checkpoint's records_ingested after a successful load.
+        val rawObs = new org.apache.spark.sql.Observation("graft_ingested")
+        val transformed = raw
+          .observe(rawObs,
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("rows"))
+          .transform(Transforms.pipeline(cfg))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val result = Validation.collectMetrics(cfg)(transformed)
@@ -58,6 +66,12 @@ object Pipeline {
           val stats = Loader.storageStats(spark, outPath)
           val stored = storedObs.get("rows").asInstanceOf[Long]
           Loader.writeMetadata(spark, outPath, result, stats, stored, ts)
+
+          // Only now — data validated, written, and metadata recorded —
+          // mark the batch's files as processed. A failure above leaves
+          // the checkpoint untouched, so the next run retries the files
+          // instead of silently dropping them.
+          ing.commit(rawObs.get("rows").asInstanceOf[Long])
 
           PipelineResult(
             success = true,

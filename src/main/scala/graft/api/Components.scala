@@ -32,13 +32,18 @@ final class IngestionComponent(
   @volatile var lastResult: Option[ParquetIngestor.Result] = None
 
   /** Discover + schema-validate + read new raw files (reference
-    * ingestion.execute, ingestion.py:44-108). */
+    * ingestion.execute, ingestion.py:44-108). Like the reference this is
+    * the EAGER entry point: the batch is counted here and the checkpoint
+    * committed immediately (ingestion.py:96-98 updates after the eager
+    * read). Pipeline.run instead defers the commit until after the load
+    * stage succeeds — strictly safer when the stages run as one plan. */
   def execute(forceFullReload: Boolean = false): Option[DataFrame] = {
     val res = ParquetIngestor.ingest(
       spark, rawDir, Schemas.raw,
       checkpointPath = Some(s"$rawDir/${cfg.ingestion.checkpointFile}"),
       incremental = cfg.ingestion.incrementalMode && !forceFullReload)
     lastResult = Some(res)
+    res.commit(res.data.map(_.count()).getOrElse(0L))
     res.data
   }
 }
@@ -75,13 +80,19 @@ final class LoadingComponent(
     * loading.execute, loading.py:51-97). */
   def execute(transformed: DataFrame, result: ValidationResult): Boolean = {
     val ts = java.time.Instant.now.toString
+    // observe(): stored-row count rides the write job — exact even when
+    // outlierHandling=remove has dropped rows since validation counted.
+    val storedObs = new org.apache.spark.sql.Observation()
     val prepared = transformed
       .transform(Loader.addMetadata(result, cfg.pipelineVersion, ts))
       .transform(Loader.optimizeTypes)
+      .observe(storedObs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
     Loader.write(cfg, outPath)(prepared)
     val stats = Loader.storageStats(spark, outPath)
     Loader.writeMetadata(spark, outPath, result, stats,
-      result.totalRecords, ts)
+      storedObs.get("rows").asInstanceOf[Long], ts)
     true
   }
 

@@ -135,7 +135,17 @@ object ParquetIngestor {
       accepted: Seq[String],
       skipped: Seq[String],
       failed: Seq[(String, String)],
-      stats: IngestionStats)
+      stats: IngestionStats,
+      private val save: Long => Unit = _ => ()) {
+    /** Mark this batch's files as processed, recording how many records
+      * were actually read. A no-op unless the ingest ran in incremental
+      * mode with a checkpoint path and fresh files (reference
+      * ingestion.py:96-98 guards the same way). Call AFTER the batch has
+      * been materialized/written — committing at ingest() time would
+      * permanently skip the files if the downstream job fails, because
+      * the returned DataFrame is lazy. */
+    def commit(recordsIngested: Long): Unit = save(recordsIngested)
+  }
 
   /** S1 — discover *.parquet files, name-sorted (reference ingestion.py:110-141). */
   def discover(spark: SparkSession, dir: String): Seq[Path] = {
@@ -229,20 +239,24 @@ object ParquetIngestor {
       case (a, b) => a.orElse(b)
     }
 
-    // S4 — checkpoint update: union of names + run stats.
-    val nRecords = 0L // caller counts if needed; keep ingest lazy
-    checkpointPath.foreach { cpp =>
-      val updated = Checkpoint(
-        cp.processedFiles ++ accepted.map(_.getName),
-        java.time.Instant.now.toString,
-        Map(
-          "files_discovered" -> all.size.toLong,
-          "files_processed" -> accepted.size.toLong,
-          "files_skipped" -> skipped.size.toLong,
-          "files_failed" -> failed.size.toLong,
-          "records_ingested" -> nRecords))
-      Checkpoint.save(fs, new Path(cpp), updated)
-    }
+    // S4 — checkpoint update, DEFERRED to Result.commit: the reference
+    // saves only in incremental mode and only after the (eager) read
+    // (ingestion.py:96-98); our read is lazy, so the save must wait for
+    // the caller to materialize the batch. Only accepted file names are
+    // recorded — skipped/failed files stay eligible for retry.
+    val save: Long => Unit =
+      if (checkpointPath.isDefined && incremental && fresh.nonEmpty) {
+        nRecords =>
+          Checkpoint.save(fs, new Path(checkpointPath.get), Checkpoint(
+            cp.processedFiles ++ accepted.map(_.getName),
+            java.time.Instant.now.toString,
+            Map(
+              "files_discovered" -> all.size.toLong,
+              "files_processed" -> accepted.size.toLong,
+              "files_skipped" -> skipped.size.toLong,
+              "files_failed" -> failed.size.toLong,
+              "records_ingested" -> nRecords)))
+      } else _ => ()
 
     Result(
       data,
@@ -253,6 +267,7 @@ object ParquetIngestor {
         filesDiscovered = all.size,
         filesProcessed = accepted.size,
         filesSkipped = skipped.size,
-        filesFailed = failed.size))
+        filesFailed = failed.size),
+      save)
   }
 }

@@ -81,7 +81,7 @@ object Dedup {
       col("sh").as("sh_a"))
     val b = base.select(col("id").as("id_b"), col("sig").as("sig_b"),
       col("sh").as("sh_b"))
-    cand.join(a, "id_a").join(b, "id_b")
+    val pairs = cand.join(a, "id_a").join(b, "id_b")
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("sig_a"), col("sig_b"),
@@ -92,6 +92,13 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+    // Eagerly materialize the (small) verified-pair list so the returned
+    // plan no longer references `base`, then release it — otherwise the
+    // signature+shingle cache outlives the call and accumulates across
+    // queries in a long-lived session.
+    val out = pairs.localCheckpoint()
+    base.unpersist()
+    out
   }
 
   /** Per-document 60-bit SimHash over whitespace tokens: tokens hash to
@@ -215,7 +222,11 @@ object Dedup {
       return parent.keys.toSeq.sorted.map(id => (id, find(id)))
         .toDF("id", "label")
     }
-    connectedComponentsDistributed(materialized, maxIter)
+    val out = connectedComponentsDistributed(materialized, maxIter)
+    // `out` is localCheckpoint-ed inside the loop, so its plan no longer
+    // references the edge list — safe to release here.
+    materialized.unpersist()
+    out
   }
 
   /** Distributed fallback: iterative min-label propagation with path

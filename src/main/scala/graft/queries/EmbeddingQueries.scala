@@ -51,15 +51,17 @@ object EmbeddingQueries {
     }),
 
     // Per-label centroid quality: mean intra-label cosine to the label
-    // centroid — a batch "cluster cohesion" profile (exact arithmetic:
-    // every step is a deterministic double fold).
+    // centroid — a batch "cluster cohesion" profile. The per-(label,dim)
+    // sum accumulates as decimal (graft.functions.exact pattern) so the
+    // value is independent of partial-aggregation order; the only IEEE
+    // operation is the final square.
     "q45_label_cohesion" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       emb.select(col("label"), col("vec_id"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("label"), col("dim"))
         .agg(count(lit(1)).as("n"),
-          sum(col("x").cast("double")).as("sx"))
+          graft.functions.exact.sumExact(col("x").cast("double")).as("sx"))
         .groupBy(col("label"))
         .agg(max(col("n")).as("n_vectors"),
           sum((col("sx") * col("sx"))
@@ -129,7 +131,8 @@ object EmbeddingQueries {
         |          generate_subscripts(embedding, 1) AS dim
         |        FROM embeddings)),
         |per_dim AS (
-        |  SELECT label, dim, count(*) AS n, sum(x) AS sx
+        |  SELECT label, dim, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS sx
         |  FROM dims GROUP BY label, dim)
         |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
         |  CAST(floor(CAST(sum(CAST(sx * sx AS DECIMAL(30,12))) AS DOUBLE)

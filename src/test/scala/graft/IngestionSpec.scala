@@ -88,19 +88,42 @@ class IngestionSpec extends SparkSpec {
     assert(res.data.get.schema.fieldNames.toSeq === Schemas.raw.fieldNames.toSeq)
   }
 
-  test("ingest: incremental mode skips checkpointed files") {
+  test("ingest: incremental mode skips files only after commit()") {
     val dir = tmpDir()
     addFile(dir, "2023-06-01.parquet")
     addFile(dir, "2023-06-02.parquet")
     val cpPath = s"$dir/.checkpoint"
     val r1 = ParquetIngestor.ingest(spark, dir, Schemas.raw, Some(cpPath))
     assert(r1.stats.filesProcessed === 2)
+
+    // No commit yet (downstream "failed") -> the same files are retried.
+    val retry = ParquetIngestor.ingest(spark, dir, Schemas.raw, Some(cpPath))
+    assert(retry.stats.filesProcessed === 2)
+
+    r1.commit(r1.data.get.count())
     val r2 = ParquetIngestor.ingest(spark, dir, Schemas.raw, Some(cpPath))
     assert(r2.stats.filesProcessed === 0)
     assert(r2.data.isEmpty)
+
+    // Committed checkpoint carries the real record count.
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cp = Checkpoint.load(fs, new Path(cpPath))
+    assert(cp.lastRunStats("records_ingested") === 10L)
+
     addFile(dir, "2023-06-05.parquet", rows = 3)
     val r3 = ParquetIngestor.ingest(spark, dir, Schemas.raw, Some(cpPath))
     assert(r3.accepted === Seq("2023-06-05.parquet"))
     assert(r3.data.get.count() === 3)
+  }
+
+  test("ingest: commit is a no-op in full-reload mode") {
+    val dir = tmpDir()
+    addFile(dir, "2023-06-01.parquet")
+    val cpPath = s"$dir/.checkpoint"
+    val r = ParquetIngestor.ingest(spark, dir, Schemas.raw, Some(cpPath),
+      incremental = false)
+    r.commit(5L)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Checkpoint.load(fs, new Path(cpPath)) === Checkpoint.empty)
   }
 }
