@@ -113,15 +113,42 @@ object text {
   def md5Hash32(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 8), 16, 10).cast(LongType)
 
-  /** MinHash signature: k independent md5-seeded min-hashes over word
-    * n-gram shingles. Returns an array<long> of length k. */
-  def minhash(c: Column, k: Int, n: Int = 3): Column = {
-    val sh = shingles(c, n)
-    array((0 until k).map(i =>
-      array_min(transform(sh, s =>
-        conv(substring(md5(concat(lit(s"$i:"), s)), 1, 8), 16, 10)
-          .cast(LongType)))): _*)
-  }
+  /** Smallest prime above 2^32 — the modulus of the minhash permutation
+    * family. With a < 2^31 and h < 2^32, a*h + b < 2^63: no overflow in
+    * Java longs and no overflow error in DuckDB BIGINTs, so the
+    * arithmetic is engine-identical. */
+  val minhashPrime: Long = 4294967311L
+
+  /** Deterministic affine-permutation constants (31-bit odd multiplier,
+    * 31-bit offset) — golden-ratio Weyl mixing, mirrored verbatim into
+    * the DuckDB oracle fragments. */
+  def minhashPerm(i: Int): (Long, Long) = (
+    (((i + 1) * 0x9E3779B9L) | 1L) & 0x7FFFFFFFL,
+    ((i + 1) * 0x85EBCA6BL) & 0x7FFFFFFFL)
+
+  /** One 32-bit base hash per word-n-gram shingle (single md5 pass —
+    * the k permutations below are integer arithmetic, not k md5 scans). */
+  def shingleHashes(c: Column, n: Int): Column =
+    transform(shingles(c, n), s =>
+      conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
+
+  /** MinHash signature from pre-hashed shingles: one fold computing all
+    * k minima at once — k universal-hash permutations (a_i*h+b_i) mod p
+    * of the shared base hash. Returns array<long> of length k. */
+  def minhashFromHashes(hs: Column, k: Int): Column =
+    aggregate(hs,
+      array((0 until k).map(_ => lit(Long.MaxValue)): _*),
+      (acc, h) => zip_with(acc,
+        array((0 until k).map { i =>
+          val (a, b) = minhashPerm(i)
+          (h * lit(a) + lit(b)) % lit(minhashPrime)
+        }: _*),
+        (x, y) => least(x, y)))
+
+  /** MinHash signature: k universal-hash minima over word n-gram
+    * shingles (one md5 per shingle). Returns an array<long> of length k. */
+  def minhash(c: Column, k: Int, n: Int = 3): Column =
+    minhashFromHashes(shingleHashes(c, n), k)
 
   /** 60-bit token hash for SimHash (15 hex chars keeps it positive in a
     * signed 64-bit long on every engine). */

@@ -56,14 +56,19 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    // Signatures+shingle sets are consumed three times (banding, then
-    // both sides of the verify join) — materialize once instead of
-    // recomputing k md5 passes per use. This is the standard shape at
-    // scale too: the signature table is tiny next to the corpus.
-    val base = df.select(
-      col(idCol).as("id"),
-      text.minhash(col(contentCol), k, shingleN).as("sig"),
-      array_distinct(text.shingles(col(contentCol), shingleN)).as("sh"))
+    // Signatures+shingle-hash sets are consumed three times (banding,
+    // then both sides of the verify join) — materialize once instead of
+    // recomputing the md5 pass per use. Shingles travel as 32-bit hash
+    // sets, not strings: Jaccard over the hash sets is identical modulo
+    // md5 collisions (mirrored by the oracle), and the verify join
+    // shuffles long arrays instead of text. This is the standard shape
+    // at scale too: the signature table is tiny next to the corpus.
+    val base = df
+      .select(col(idCol).as("id"),
+        text.shingleHashes(col(contentCol), shingleN).as("hs"))
+      .select(col("id"),
+        text.minhashFromHashes(col("hs"), k).as("sig"),
+        array_distinct(col("hs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band value = the rows-per-band slice of the signature, stringified

@@ -28,6 +28,17 @@ object TextQueries {
   private def dHash32(seed: Int, e: String): String =
     s"('0x' || substr(md5('$seed:' || $e), 1, 8))::BIGINT"
 
+  /** DuckDB fragment: unseeded 32-bit md5 base hash (minhash). */
+  private def dHash32u(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** DuckDB fragment: i-th minhash permutation of base-hash expr `h` —
+    * the same (a*h+b) mod p constants as text.minhashPerm. */
+  private def dPerm(i: Int, h: String): String = {
+    val (a, b) = text.minhashPerm(i)
+    s"($h * $a + $b) % ${text.minhashPrime}"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup via content hash (hash-groupBy; SURVEY extension).
@@ -263,16 +274,18 @@ object TextQueries {
     }))
 
   /** Shared CTE chain producing MinHash LSH candidate pairs with exact
-    * Jaccard over doc_id < 300 (used by q36 and q60). */
+    * Jaccard (over hashed-shingle sets) for doc_id < 300 (q36, q60). */
   private def minhashPairCtes: String =
     s"""base AS (
-       |  SELECT doc_id, list_distinct(sh) AS shd,
+       |  SELECT doc_id, list_distinct(hs) AS shd,
        |    [${(0 until 8).map(i =>
-      s"list_aggregate(list_transform(sh, s -> ${dHash32(i, "s")}), 'min')")
+      s"list_aggregate(list_transform(hs, h -> ${dPerm(i, "h")}), 'min')")
       .mkString(", ")}] AS sig
-       |  FROM (SELECT doc_id, ${dShingles(1)} AS sh
-       |        FROM (SELECT doc_id, $dTok AS t FROM documents
-       |              WHERE doc_id < 300))),
+       |  FROM (SELECT doc_id,
+       |          list_transform(sh, s -> ${dHash32u("s")}) AS hs
+       |        FROM (SELECT doc_id, ${dShingles(1)} AS sh
+       |              FROM (SELECT doc_id, $dTok AS t FROM documents
+       |                    WHERE doc_id < 300)))),
        |banded AS (
        |  SELECT doc_id, shd, sig, b,
        |    array_to_string(sig[b*2+1:b*2+2], '_') AS band_key
@@ -366,10 +379,11 @@ object TextQueries {
     "q35_minhash_sig" ->
       s"""SELECT doc_id,
          |${(0 until 8).map(i =>
-        s"  list_aggregate(list_transform(sh, s -> ${dHash32(i, "s")}), 'min') AS mh$i")
+        s"  list_aggregate(list_transform(hs, h -> ${dPerm(i, "h")}), 'min') AS mh$i")
         .mkString(",\n")}
-         |FROM (SELECT doc_id, ${dShingles(1)} AS sh
-         |      FROM (SELECT doc_id, $dTok AS t FROM documents))""".stripMargin,
+         |FROM (SELECT doc_id, list_transform(sh, s -> ${dHash32u("s")}) AS hs
+         |      FROM (SELECT doc_id, ${dShingles(1)} AS sh
+         |            FROM (SELECT doc_id, $dTok AS t FROM documents)))""".stripMargin,
 
     "q61_langid_ngram" ->
       s"""SELECT predicted_lang, count(*) AS n_docs
