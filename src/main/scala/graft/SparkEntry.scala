@@ -11,12 +11,14 @@ object SparkEntry {
     CoreQueries.queries ++ graft.queries.RelationalQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.EmbeddingQueries.queries ++
-      graft.queries.StreamingQueries.queries
+      graft.queries.StreamingQueries.queries ++
+      graft.queries.CurationQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ graft.queries.RelationalQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.EmbeddingQueries.oracle ++
-      graft.queries.StreamingQueries.oracle
+      graft.queries.StreamingQueries.oracle ++
+      graft.queries.CurationQueries.oracle
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.text
+
+/** Training-data curation operators beyond the reference surface:
+  * sessionization, cross-document boilerplate profiling, benchmark
+  * contamination checks, stratified deterministic sampling, and KMV
+  * distinct estimation. Each is a composition of built-in (codegen'd)
+  * Catalyst expressions shaped for the 100 TB case: candidate
+  * generation by hash-bucket equi-joins, aggregation with map-side
+  * combine, no driver-side data paths.
+  */
+object Curation {
+
+  /** Gap-based sessionization: assigns a per-user session_id (1-based)
+    * that increments whenever the gap to the previous event exceeds
+    * `gapMinutes`. Timestamp comparison is integer microseconds, so the
+    * session boundaries are engine-exact; `tieCol` makes the ordering a
+    * deterministic total order when timestamps collide.
+    *
+    * One shuffle (by userCol) and two window passes over sorted
+    * partitions — the batch analog of the streaming session windows in
+    * graft.streaming. Skewed users salt naturally via AQE at scale. */
+  def sessionize(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    df.withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev_us").isNull ||
+          unix_micros(col(tsCol)) - col("__prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new_session"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_us", "__new_session")
+  }
+
+  /** Per-document distinct word-n-gram hash table: (id, h) pairs, the
+    * shared primitive for boilerplate and contamination analysis. */
+  def shingleHashTable(
+      df: DataFrame, idCol: String, contentCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(array_distinct(text.shingleHashes(col(contentCol), n))).as("h"))
+
+  /** Cross-document boilerplate profile: for each document, how many of
+    * its distinct n-gram shingles occur in >= minDf documents — the
+    * "remove spans repeated across the corpus" signal used when cleaning
+    * crawl data. Two aggregations on the shingle hash (both map-side
+    * combinable) and one equi-join back; shuffles carry (hash, id)
+    * pairs, never document bodies. */
+  def boilerplateProfile(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      n: Int = 5,
+      minDf: Int = 3): DataFrame = {
+    val sh = shingleHashTable(df, idCol, contentCol, n)
+    val dfreq = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df")) // sh is distinct per (id, h)
+    sh.join(dfreq, "h")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"),
+        graft.functions.exact.pctBp(
+          sum(when(col("df") >= minDf, 1L).otherwise(0L)),
+          count(lit(1))).as("boiler_bp"))
+  }
+
+  /** Benchmark contamination check: candidate documents sharing at
+    * least `minShared` distinct n-gram shingles with the benchmark set.
+    * The benchmark's distinct shingle hashes are a small broadcast side
+    * (benchmarks are ~thousands of docs even at 100 TB corpus scale);
+    * candidates semi-join on the hash, so the corpus is scanned once
+    * and no pair list is ever materialized. */
+  def contamination(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      isBenchmark: Column,
+      n: Int = 5,
+      minShared: Int = 3): DataFrame = {
+    val sh = shingleHashTable(df, idCol, contentCol, n)
+      .withColumn("bench", isBenchmark)
+    val benchHashes = sh.filter(col("bench")).select(col("h")).distinct()
+    sh.filter(!col("bench"))
+      .join(broadcast(benchHashes), "h")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Stratified deterministic sample: the `perStratum` "random but
+    * reproducible" rows per stratum, ordered by content md5 (uniform,
+    * engine-identical, no RNG state) with an id tie-break. One shuffle
+    * on the stratum key; rank early-exits per partition at scale via
+    * the window's running row_number. */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      hashCol: Column,
+      tieCol: String,
+      perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(hashCol), col(tieCol))
+    df.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= perStratum)
+  }
+
+  /** KMV (bottom-k minimum values) distinct-count estimate from the
+    * native BottomKAgg sketch: est = (k-1) * 2^32 / h_k where h_k is the
+    * k-th smallest distinct 32-bit hash. Falls back to the exact count
+    * when the group has fewer than k distinct values (the sketch IS the
+    * exact set then). The sketch is mergeable, so at scale the estimate
+    * costs one map-side-combined aggregation regardless of group size. */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCol: String,
+      hashCol: Column,
+      k: Int = 8): DataFrame =
+    df.select(col(groupCol), hashCol.as("__h"))
+      .groupBy(col(groupCol))
+      .agg(
+        graft.plans.BottomKAgg.bottomK(col("__h"), k).as("__sk"),
+        countDistinct(col("__h")).as("n_exact"))
+      .withColumn("__kth", element_at(col("__sk"), k))
+      .withColumn("n_est",
+        when(size(col("__sk")) >= k,
+          expr(s"CAST(${(k - 1).toLong * 4294967296L} div __kth AS BIGINT)"))
+          .otherwise(col("n_exact")))
+      .drop("__sk", "__kth")
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+  private def ts(m: Int): Timestamp = new Timestamp(t0 + m * 60000L)
+
+  test("sessionize: 30-min gap starts a new session, ties break on id") {
+    // user 1: events at 10:00, 10:10, 11:00 (gap 50m -> new), 11:20
+    // user 2: one event
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(60), 3L), (1L, ts(80), 4L),
+      (2L, ts(5), 5L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Curation.sessionize(df, "user_id", "ts", "event_id", 30)
+      .select($"user_id", $"event_id", $"session_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Array(
+      (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 5L, 1L)))
+  }
+
+  test("sessionize: exactly-at-gap stays in session, one past starts new") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val df = Seq(
+      (1L, new Timestamp(base), 1L),
+      (1L, new Timestamp(base + 30 * 60000L), 2L), // exactly 30m -> same
+      (1L, new Timestamp(base + 60 * 60000L + 1), 3L)) // 30m + 1ms -> new
+      .toDF("user_id", "ts", "event_id")
+    val out = Curation.sessionize(df, "user_id", "ts", "event_id", 30)
+      .select($"event_id", $"session_id").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out === Array((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("boilerplateProfile: repeated 5-gram spans are flagged") {
+    val boiler = "one two three four five"
+    val df = Seq(
+      (1L, s"$boiler unique1a unique1b"),
+      (2L, s"$boiler unique2a unique2b"),
+      (3L, s"$boiler unique3a unique3b"),
+      (4L, "all fresh words here nothing shared"))
+      .toDF("doc_id", "text")
+    val out = Curation.boilerplateProfile(df, "doc_id", "text", n = 5, minDf = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // docs 1-3: 3 shingles each ("one two three four five",
+    // "two three four five uniqueXa", "three four five uniqueXa uniqueXb")
+    // — only the first is shared by >= 3 docs.
+    assert(out.take(3).forall { case (_, n, b, bp) =>
+      n === 3L && b === 1L && bp === 3333L })
+    assert(out(3) === ((4L, 2L, 0L, 0L)))
+  }
+
+  test("contamination: only docs overlapping the benchmark survive") {
+    val bench = "alpha beta gamma delta epsilon zeta eta"
+    val df = Seq(
+      (1L, bench), // benchmark
+      (25L, s"$bench padded with extra words"), // contaminated copy
+      (26L, "completely different content with no overlap at all"))
+      .toDF("doc_id", "text")
+    val out = Curation.contamination(
+      df, "doc_id", "text", isBenchmark = col("id") < 20, n = 5, minShared = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1) === Seq(25L))
+    assert(out.head._2 >= 3L)
+  }
+
+  test("stratifiedSample: deterministic across runs, n per stratum") {
+    val df = (1 to 100).map(i => (s"lang${i % 3}", s"doc body $i", i.toLong))
+      .toDF("lang", "text", "doc_id")
+    def run() = Curation.stratifiedSample(df, "lang", col("text"), "doc_id", 5)
+      .select($"lang", $"rn", $"doc_id")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val a = run(); val b = run()
+    assert(a === b)
+    assert(a.groupBy(_._1).values.forall(_.size === 5))
+  }
+
+  test("kmvDistinct: exact below k, estimate within 2x at 25 values") {
+    val small = (1 to 5).map(i => ("g1", s"v$i")) // 5 distinct < k=8
+    val big = (1 to 25).map(i => ("g2", s"w$i"))
+    val df = (small ++ big).toDF("source", "text")
+    val out = Curation.kmvDistinct(
+      df, "source", text.md5Hash32(col("text"), 0), k = 8)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.head === (("g1", 5L, 5L))) // exact fallback
+    val (_, exact2, est2) = out(1)
+    assert(exact2 === 25L)
+    assert(est2 > 12L && est2 < 50L) // KMV estimate in a sane band
+  }
+}
