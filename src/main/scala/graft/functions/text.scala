@@ -93,15 +93,20 @@ object text {
     }
   }
 
-  /** Word n-gram shingles: joined with single spaces. Documents shorter
-    * than n words produce a single whole-text shingle. */
-  def shingles(c: Column, n: Int): Column = {
-    val tok = tokens(c)
+  /** Word n-gram shingles over an already-tokenized array column.
+    * Callers that explode shingles should bind the token array to a
+    * column FIRST (one split per row): inside a Generate there is no
+    * common-subexpression elimination, so an inlined tokens(text) here
+    * would re-split the document once per shingle. */
+  def shinglesOf(tok: Column, n: Int): Column =
     when(size(tok) < n, array(concat_ws(" ", tok)))
       .otherwise(transform(
         sequence(lit(0), size(tok) - n),
         i => concat_ws(" ", slice(tok, i + 1, lit(n)))))
-  }
+
+  /** Word n-gram shingles: joined with single spaces. Documents shorter
+    * than n words produce a single whole-text shingle. */
+  def shingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
 
   /** Content fingerprint: lexicographic min of md5 over word-n-gram
     * shingles (a 1-perm MinHash — stable, order-independent). */
@@ -129,7 +134,12 @@ object text {
   /** One 32-bit base hash per word-n-gram shingle (single md5 pass —
     * the k permutations below are integer arithmetic, not k md5 scans). */
   def shingleHashes(c: Column, n: Int): Column =
-    transform(shingles(c, n), s =>
+    shingleHashesOf(tokens(c), n)
+
+  /** Shingle hashes over a pre-bound token array column (see
+    * shinglesOf for why explode-paths must stage the tokens). */
+  def shingleHashesOf(tok: Column, n: Int): Column =
+    transform(shinglesOf(tok, n), s =>
       conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
 
   /** MinHash signature from pre-hashed shingles: one fold computing all

@@ -45,18 +45,22 @@ object Curation {
   }
 
   /** Per-document distinct word-n-gram hash table: (id, h) pairs, the
-    * shared primitive for boilerplate and contamination analysis. */
+    * shared primitive for boilerplate and contamination analysis. The
+    * token array is bound to a column before the explode — a Generate
+    * has no common-subexpression elimination, so an inlined tokens()
+    * would re-split the document once per emitted shingle. */
   def shingleHashTable(
       df: DataFrame, idCol: String, contentCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-      explode(array_distinct(text.shingleHashes(col(contentCol), n))).as("h"))
+    df.select(col(idCol).as("id"), text.tokens(col(contentCol)).as("__t"))
+      .select(col("id"),
+        explode(array_distinct(text.shingleHashesOf(col("__t"), n))).as("h"))
 
   /** Cross-document boilerplate profile: for each document, how many of
     * its distinct n-gram shingles occur in >= minDf documents — the
     * "remove spans repeated across the corpus" signal used when cleaning
-    * crawl data. Two aggregations on the shingle hash (both map-side
-    * combinable) and one equi-join back; shuffles carry (hash, id)
-    * pairs, never document bodies. */
+    * crawl data. The document frequency rides a window over the shingle
+    * hash, so the corpus is shingled ONCE and never self-joined; both
+    * shuffles carry (hash, id) pairs, never document bodies. */
   def boilerplateProfile(
       df: DataFrame,
       idCol: String,
@@ -64,9 +68,7 @@ object Curation {
       n: Int = 5,
       minDf: Int = 3): DataFrame = {
     val sh = shingleHashTable(df, idCol, contentCol, n)
-    val dfreq = sh.groupBy(col("h"))
-      .agg(count(lit(1)).as("df")) // sh is distinct per (id, h)
-    sh.join(dfreq, "h")
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("id").as(idCol))
       .agg(
         count(lit(1)).as("n_shingles"),
@@ -78,10 +80,12 @@ object Curation {
 
   /** Benchmark contamination check: candidate documents sharing at
     * least `minShared` distinct n-gram shingles with the benchmark set.
-    * The benchmark's distinct shingle hashes are a small broadcast side
-    * (benchmarks are ~thousands of docs even at 100 TB corpus scale);
-    * candidates semi-join on the hash, so the corpus is scanned once
-    * and no pair list is ever materialized. */
+    * `isBenchmark` is evaluated on the INPUT rows, so the benchmark
+    * side's predicate pushes into its scan and only benchmark documents
+    * are shingled there (a small broadcast side — benchmarks are
+    * ~thousands of docs even at 100 TB corpus scale); candidates
+    * semi-join on the hash, so the corpus is shingled once and no pair
+    * list is ever materialized. */
   def contamination(
       df: DataFrame,
       idCol: String,
@@ -89,10 +93,9 @@ object Curation {
       isBenchmark: Column,
       n: Int = 5,
       minShared: Int = 3): DataFrame = {
-    val sh = shingleHashTable(df, idCol, contentCol, n)
-      .withColumn("bench", isBenchmark)
-    val benchHashes = sh.filter(col("bench")).select(col("h")).distinct()
-    sh.filter(!col("bench"))
+    val benchHashes = shingleHashTable(df.filter(isBenchmark), idCol, contentCol, n)
+      .select(col("h")).distinct()
+    shingleHashTable(df.filter(!isBenchmark), idCol, contentCol, n)
       .join(broadcast(benchHashes), "h")
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_shared"))

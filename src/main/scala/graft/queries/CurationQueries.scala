@@ -70,7 +70,7 @@ object CurationQueries {
     "q64_contamination" -> ((s, dir) => {
       Curation.contamination(
         t(s, dir, "documents"), "doc_id", "text",
-        isBenchmark = col("id") < 20, n = 5, minShared = 3)
+        isBenchmark = col("doc_id") < 20, n = 5, minShared = 3)
     }),
 
     // Stratified deterministic sample: 10 docs per lang, ordered by

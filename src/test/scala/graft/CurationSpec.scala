@@ -67,7 +67,7 @@ class CurationSpec extends SparkSpec {
       (26L, "completely different content with no overlap at all"))
       .toDF("doc_id", "text")
     val out = Curation.contamination(
-      df, "doc_id", "text", isBenchmark = col("id") < 20, n = 5, minShared = 3)
+      df, "doc_id", "text", isBenchmark = col("doc_id") < 20, n = 5, minShared = 3)
       .as[(Long, Long)].collect().toSeq
     assert(out.map(_._1) === Seq(25L))
     assert(out.head._2 >= 3L)
