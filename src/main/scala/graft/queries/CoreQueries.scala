@@ -168,23 +168,51 @@ object CoreQueries {
     // Bounds hour-truncated (grid is hour-aligned; deterministic under
     // sub-second noise).
     "q13_gap_report" -> ((s, dir) => {
+      // Logically: (distinct pairs x hourly grid) ANTI JOIN observed,
+      // grouped per pair (the oracle's formulation). Physically the
+      // grid is NEVER materialized — at 100 TB pairs x hours is
+      // trillions of rows. Instead: one lead() window over the
+      // distinct observed hours per pair; the missing count is
+      // total_hours - n_observed, and first/last missing come from the
+      // leading/trailing boundary regions plus interior gap edges. All
+      // arithmetic is integer (hour-aligned microseconds), so the
+      // result hash-matches the grid spec exactly.
       val ev = t(s, dir, "events")
       val bounds = ev.agg(
         date_trunc("hour", min(col("ts"))).as("min_h"),
         date_trunc("hour", max(col("ts"))).as("max_h"))
-      val pairs = ev.select(col("user_id"), col("event_type")).distinct()
-      val grid = pairs.crossJoin(broadcast(bounds))
-        .withColumn("expected_hour",
-          explode(expr("sequence(min_h, max_h, interval 1 hour)")))
-        .drop("min_h", "max_h")
       val observed = ev.select(col("user_id"), col("event_type"),
-        date_trunc("hour", col("ts")).as("expected_hour")).distinct()
-      grid.join(observed, Seq("user_id", "event_type", "expected_hour"), "left_anti")
+        date_trunc("hour", col("ts")).as("h")).distinct()
+      val oneHour = expr("INTERVAL 1 HOUR")
+      val nextH = lead(col("h"), 1).over(
+        Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("h")))
+      val gapped = observed
+        .withColumn("gap_first",
+          when(nextH > col("h") + oneHour, col("h") + oneHour))
+        .withColumn("gap_last",
+          when(nextH > col("h") + oneHour, nextH - oneHour))
+      gapped
         .groupBy(col("user_id"), col("event_type"))
         .agg(
-          count(lit(1)).as("missing_hours"),
-          date_format(min(col("expected_hour")), "yyyy-MM-dd HH:mm:ss").as("first_missing"),
-          date_format(max(col("expected_hour")), "yyyy-MM-dd HH:mm:ss").as("last_missing"))
+          count(lit(1)).as("n_obs"),
+          min(col("h")).as("min_obs"), max(col("h")).as("max_obs"),
+          min(col("gap_first")).as("gap_first"),
+          max(col("gap_last")).as("gap_last"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("missing_hours",
+          ((unix_micros(col("max_h")) - unix_micros(col("min_h"))) /
+            lit(3600000000L)).cast(LongType) + 1L - col("n_obs"))
+        .filter(col("missing_hours") > 0)
+        .select(
+          col("user_id"), col("event_type"), col("missing_hours"),
+          date_format(
+            when(col("min_obs") > col("min_h"), col("min_h"))
+              .otherwise(coalesce(col("gap_first"), col("max_obs") + oneHour)),
+            "yyyy-MM-dd HH:mm:ss").as("first_missing"),
+          date_format(
+            when(col("max_obs") < col("max_h"), col("max_h"))
+              .otherwise(coalesce(col("gap_last"), col("min_obs") - oneHour)),
+            "yyyy-MM-dd HH:mm:ss").as("last_missing"))
     }),
 
     // A8 — missing-value profile with basis-point percentages.
