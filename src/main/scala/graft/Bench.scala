@@ -3,12 +3,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line. A warmup pass (trivial
-  * range + one parquet scan) precedes timing so the first measured query
-  * doesn't absorb JVM/codegen/reader initialization; queries run in
-  * name order for stable attribution. Also measures the full
-  * events-table transform pipeline as records/s — comparable to the
-  * reference's ~20k rec/s end-to-end figure (BASELINE.md). */
+  * SPARK_GRAFT_SF_DIR and prints a compact JSON line per query as it
+  * completes (so partial output still attributes cost), then one
+  * summary JSON line. A warmup pass (trivial range + one parquet scan)
+  * precedes timing so the first measured query doesn't absorb
+  * JVM/codegen/reader initialization; queries run in name order for
+  * stable attribution.
+  *
+  * Between queries the harness releases everything a query can leave
+  * behind in a shared JVM — cached blocks, persistent RDDs, memory-sink
+  * temp views, orphaned streams — and triggers a GC so the
+  * ContextCleaner actually reclaims accumulated broadcast blocks and
+  * shuffle state. Without this, broadcast hash relations from ~70
+  * queries pile up in the block manager and the tail of the run
+  * measures GC pressure instead of plan cost (r2: q61 111 s in-suite
+  * vs 3.1 s isolated).
+  *
+  * Also measures the full events-table transform pipeline as records/s
+  * — batch (`pipeline_e2e`) and streaming (`pipeline_stream`, append
+  * foreachBatch with Trigger.AvailableNow, bounded state) — comparable
+  * to the reference's ~20k rec/s end-to-end figure (BASELINE.md).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,6 +34,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The SQL/status listeners retain per-execution plan graphs even
+      // with the UI off; cap retention so a 70-query run doesn't hoard
+      // plan strings on the driver.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -27,14 +48,24 @@ object Bench {
     queries.CoreQueries.t(spark, sfDir, "lineitem").count()
     queries.CoreQueries.t(spark, sfDir, "events").count()
 
-    // Drop every cached/checkpointed block a query left behind so no
-    // measurement pays for a predecessor's storage (GC pressure and
-    // block eviction otherwise degrade the tail of the run).
+    // Drop everything a query left behind so no measurement pays for a
+    // predecessor's storage: orphaned streams, memory-sink temp views,
+    // cached/persistent blocks. The explicit GC is what lets Spark's
+    // ContextCleaner release broadcast variables and shuffle state —
+    // they are reference-tracked, so on a 128 GiB heap they otherwise
+    // survive the whole run.
     def releaseAll(): Unit = {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      System.gc()
     }
+
+    def r4(sec: Double): Double = math.rint(sec * 10000) / 10000
 
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
@@ -42,7 +73,8 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = r4((System.nanoTime() - t0) / 1e9)
+      println(s"""{"query":"$name","sec":$sec}""")
       releaseAll()
       name -> sec
     }
@@ -56,14 +88,39 @@ object Bench {
     val t0 = System.nanoTime()
     val nRecords = queries.CoreQueries.t(spark, sfDir, "events")
       .transform(transform.Transforms.pipeline(cfg)).count()
-    val pipeSec = (System.nanoTime() - t0) / 1e9
-    val recPerSec = nRecords / pipeSec
+    val pipeSec = r4((System.nanoTime() - t0) / 1e9)
+    val recPerSec = math.rint(nRecords / pipeSec)
+    println(s"""{"query":"pipeline_e2e","sec":$pipeSec}""")
+    releaseAll()
 
-    val all = results :+ ("pipeline_e2e" -> pipeSec)
+    // Streaming variant of the same pipeline: FileStreamSource over the
+    // events table, each micro-batch through the full transform chain in
+    // append-mode foreachBatch, Trigger.AvailableNow. No aggregation
+    // state, no memory sink — the production-shaped incremental path.
+    val streamAcc = spark.sparkContext.longAccumulator("stream_records")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-stream")
+    val t1 = System.nanoTime()
+    val sq = streaming.Streaming.eventsStream(spark, s"$sfDir/events.parquet")
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        streamAcc.add(
+          batch.transform(transform.Transforms.pipeline(cfg)).count())
+      }
+      .start()
+    sq.awaitTermination()
+    val streamSec = r4((System.nanoTime() - t1) / 1e9)
+    val streamRecPerSec = math.rint(streamAcc.value / streamSec)
+    streaming.Streaming.deleteRecursively(ckpt)
+    println(s"""{"query":"pipeline_stream","sec":$streamSec}""")
+    releaseAll()
+
+    val all = results :+ ("pipeline_e2e" -> pipeSec) :+ ("pipeline_stream" -> streamSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_records":$nRecords,"pipeline_records_per_sec":$recPerSec}""")
+    val total = r4(all.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_records":$nRecords,"pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec}""")
     spark.stop()
   }
 }

@@ -49,16 +49,24 @@ object text {
   private def markerCount(c: Column, markers: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(markers.map(lit(_)): _*)))
 
+  /** Deterministic single-pass argmax over (lang, score) pairs:
+    * array_max over struct(score, -position, lang) — struct comparison
+    * is lexicographic, so the max carries the highest score and, on
+    * ties, the earliest language in declaration order. Each score
+    * expression appears exactly once in the plan (a when-chain argmax
+    * re-inlines every score into every branch after CollapseProject,
+    * multiplying the scan-heavy counting work per row). */
+  private def argmaxLang(scores: Seq[(String, Column)]): Column = {
+    val best = array_max(array(scores.zipWithIndex.map { case ((lang, s), i) =>
+      struct(s.as("score"), lit(-i).as("ord"), lit(lang).as("lang"))
+    }: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
   /** Heuristic language-ID: argmax of per-language marker-token counts;
     * 'und' when no marker hits. Ties resolve in langMarkers order. */
-  def langId(c: Column): Column = {
-    val scores = langMarkers.map { case (lang, m) => lang -> markerCount(c, m) }
-    val best = scores.tail.foldLeft(scores.head._2)((acc, s) => greatest(acc, s._2))
-    // first language (in langMarkers order) reaching the max wins
-    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lang).otherwise(acc)
-    }
-  }
+  def langId(c: Column): Column =
+    argmaxLang(langMarkers.map { case (lang, m) => lang -> markerCount(c, m) })
 
   /** Character trigram profiles per language (most frequent trigrams of
     * each language's function words) for the char-n-gram lang-ID. */
@@ -81,16 +89,13 @@ object text {
     profile.map(p => substrCount(c, p)).reduce(_ + _)
 
   /** Char-n-gram language-ID: argmax of per-language trigram-occurrence
-    * scores over the lowercased text; fixed tie order. */
+    * scores over the lowercased text; fixed tie order. Single-pass: the
+    * lowercase and every replace-length count run once per row. */
   def langIdNgram(c: Column): Column = {
     val t = lower(c)
-    val scores = charTrigramProfiles.map { case (lang, profile) =>
+    argmaxLang(charTrigramProfiles.map { case (lang, profile) =>
       lang -> charNgramScore(t, profile)
-    }
-    val best = scores.tail.foldLeft(scores.head._2)((acc, s) => greatest(acc, s._2))
-    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lang).otherwise(acc)
-    }
+    })
   }
 
   /** Word n-gram shingles over an already-tokenized array column.

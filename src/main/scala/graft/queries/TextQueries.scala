@@ -131,7 +131,10 @@ object TextQueries {
         .select(col("doc_id"),
           explode(array_distinct(text.tokens(col("text")))).as("term"))
         .groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("doc_freq"))
+        // (doc_id, term) pairs are already distinct after
+        // array_distinct, so a plain count IS the document frequency —
+        // no second distinct-aggregate exchange.
+        .agg(count(lit(1)).as("doc_freq"))
         .filter(col("doc_freq") >= 2)
     }),
 
@@ -185,7 +188,10 @@ object TextQueries {
         .partitionBy(col("doc_id"))
         .orderBy((col("tf").cast("double") / col("df")).desc,
           col("term"))
-      tf.join(broadcast(df_), "term")
+      // No broadcast hint: a document-frequency table is vocabulary-
+      // sized — billions of terms at 100 TB would OOM the driver. AQE
+      // broadcasts it at runtime when it is actually small.
+      tf.join(df_, "term")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("rnk").cast(LongType).as("rnk"),
@@ -230,23 +236,12 @@ object TextQueries {
     }),
 
     // Char-n-gram language-ID variant: trigram-occurrence argmax via
-    // replace-length counting, scores staged as columns so each is
-    // evaluated once (the argmax CASE references every score twice).
+    // replace-length counting. Single-pass argmax (array_max over
+    // struct(score, -pos, lang) in text.langIdNgram) — each score is
+    // computed exactly once per row regardless of projection collapse.
     "q61_langid_ngram" -> ((s, dir) => {
-      val scored = t(s, dir, "documents")
-        .select(lower(col("text")).as("lt"))
-        .select(text.charTrigramProfiles.map { case (lang, profile) =>
-          text.charNgramScore(col("lt"), profile).as(s"s_$lang")
-        }: _*)
-        .withColumn("best",
-          text.charTrigramProfiles.map(p => col(s"s_${p._1}"))
-            .reduce(greatest(_, _)))
-      val pick = text.charTrigramProfiles.foldRight(lit("und")) {
-        case ((lang, _), acc) =>
-          when(col(s"s_$lang") === col("best") && col("best") > 0, lang)
-            .otherwise(acc)
-      }
-      scored.select(pick.as("predicted_lang"))
+      t(s, dir, "documents")
+        .select(text.langIdNgram(col("text")).as("predicted_lang"))
         .groupBy(col("predicted_lang"))
         .agg(count(lit(1)).as("n_docs"))
     }),

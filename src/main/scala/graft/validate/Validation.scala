@@ -1,6 +1,7 @@
 package graft.validate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.config.{PipelineConfig, ReadingCols, ValueRange}
@@ -48,53 +49,119 @@ object Validation {
       max(col(cols.ts)).as("max_ts"),
       countDistinct(col(cols.id)).as("distinct_sensors"))
 
-  /** W2+J2 — expected hourly grid: DISTINCT (sensor, type) x
-    * generate_series(min_ts, max_ts, 1 hour) (reference
-    * validation.py:247-272). The series bounds come from a 1-row
-    * aggregate cross-joined in (broadcast — no driver round-trip), then
-    * `sequence + explode` generates the hours distributed. */
-  def expectedGrid(
+  /** W2+J2+J3 — per-pair maximal MISSING-hour ranges against the
+    * reference's expected grid (validation.py:247-285): logically,
+    * DISTINCT (sensor, type) x generate_series(min_ts, max_ts, f hours)
+    * anti-joined with the observed hours. The grid instants are
+    * min_ts + k*f hours — they carry min_ts's sub-hour offset, and a
+    * grid row is missing when no observation shares its hour-truncated
+    * slot.
+    *
+    * Physically the grid is NEVER materialized — at 100 TB, pairs x
+    * hours is trillions of rows. Instead one lead() window over the
+    * distinct observed hours per pair yields each maximal missing range
+    * directly: interior gaps from consecutive observed hours more than
+    * one step apart, plus the leading/trailing regions against the
+    * global bounds. Output: one row per range —
+    * (id, typ, start_h, end_h, offset_us) in hour-truncated space, with
+    * the sub-hour grid offset carried for reconstruction. */
+  private def missingRanges(
       frequencyHours: Int,
       cols: ReadingCols)(df: DataFrame): DataFrame = {
-    val bounds = df.agg(
-      min(col(cols.ts)).as("min_ts"), max(col(cols.ts)).as("max_ts"))
-    val pairs = df.select(col(cols.id), col(cols.typ)).distinct()
-    pairs
+    val stepUs = frequencyHours * 3600000000L
+    val step = expr(s"INTERVAL $frequencyHours HOUR")
+    // Grid anchor = hour-truncated min_ts; offset = min_ts's sub-hour
+    // part; top_h = anchor of the LAST grid instant <= max_ts.
+    val bounds = df
+      .agg(min(col(cols.ts)).as("min_ts"), max(col(cols.ts)).as("max_ts"))
+      .select(
+        date_trunc("hour", col("min_ts")).as("min_h"),
+        (unix_micros(col("min_ts")) -
+          unix_micros(date_trunc("hour", col("min_ts")))).as("offset_us"),
+        timestamp_micros(
+          unix_micros(date_trunc("hour", col("min_ts"))) +
+            floor((unix_micros(col("max_ts")) - unix_micros(col("min_ts")))
+              / stepUs).cast("long") * stepUs).as("top_h"))
+    val observed = df
+      .select(col(cols.id), col(cols.typ),
+        date_trunc("hour", col(cols.ts)).as("h"))
+      .distinct()
       .crossJoin(broadcast(bounds))
-      .withColumn("expected_time",
-        explode(expr(
-          s"sequence(min_ts, max_ts, interval $frequencyHours hour)")))
-      .drop("min_ts", "max_ts")
+    // Observed hours that land on a grid slot (off-grid hours exist only
+    // when min_ts is not step-aligned with the observation's hour).
+    val onGrid = observed.filter(
+      col("h") <= col("top_h") &&
+        (unix_micros(col("h")) - unix_micros(col("min_h"))) % stepUs === 0)
+    val wOrd = Window.partitionBy(col(cols.id), col(cols.typ)).orderBy(col("h"))
+    val wAll = Window.partitionBy(col(cols.id), col(cols.typ))
+      .orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranges = onGrid
+      .withColumn("next_h", lead(col("h"), 1).over(wOrd))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("max_obs", max(col("h")).over(wAll))
+      .select(col(cols.id), col(cols.typ), col("offset_us"),
+        explode(array_compact(array(
+          // leading region: grid start up to the first observed hour
+          when(col("rn") === 1 && col("h") > col("min_h"),
+            struct(col("min_h").as("start_h"), (col("h") - step).as("end_h"))),
+          // interior gap after this observed hour
+          when(col("next_h") > col("h") + step,
+            struct((col("h") + step).as("start_h"),
+              (col("next_h") - step).as("end_h"))),
+          // trailing region: after the last observed hour to grid top
+          when(col("next_h").isNull && col("max_obs") < col("top_h"),
+            struct((col("max_obs") + step).as("start_h"),
+              col("top_h").as("end_h")))))).as("r"))
+      .select(col(cols.id), col(cols.typ),
+        col("r.start_h").as("start_h"), col("r.end_h").as("end_h"),
+        col("offset_us"))
+    // Pairs whose every observed hour falls off-grid (reachable only
+    // with non-aligned bounds): the whole grid is missing for them.
+    val emptyPairs = observed.select(col(cols.id), col(cols.typ)).distinct()
+      .join(onGrid.select(col(cols.id), col(cols.typ)).distinct(),
+        Seq(cols.id, cols.typ), "left_anti")
+      .crossJoin(broadcast(bounds))
+      .select(col(cols.id), col(cols.typ),
+        col("min_h").as("start_h"), col("top_h").as("end_h"),
+        col("offset_us"))
+    ranges.union(emptyPairs)
   }
 
-  /** J3 — missing readings: grid rows with no observation in the same
-    * hour (reference validation.py:273-285). Anti-join on
-    * (sensor, type, hour-truncated time). */
+  /** J3 — missing readings, one row per missing grid instant (reference
+    * validation.py:273-285). Materializes ONLY the missing hours
+    * (explode over the gap ranges), never the full expected grid. */
   def missingReadings(
       frequencyHours: Int,
-      cols: ReadingCols)(df: DataFrame): DataFrame = {
-    val grid = expectedGrid(frequencyHours, cols)(df)
-      .withColumn("expected_hour", date_trunc("hour", col("expected_time")))
-    val observed = df
-      .select(
-        col(cols.id), col(cols.typ),
-        date_trunc("hour", col(cols.ts)).as("expected_hour"))
-      .distinct()
-    grid.join(observed, Seq(cols.id, cols.typ, "expected_hour"), "left_anti")
-  }
+      cols: ReadingCols)(df: DataFrame): DataFrame =
+    missingRanges(frequencyHours, cols)(df)
+      .select(col(cols.id), col(cols.typ), col("offset_us"),
+        explode(expr(
+          s"sequence(start_h, end_h, interval $frequencyHours hour)"))
+          .as("expected_hour"))
+      .withColumn("expected_time",
+        timestamp_micros(unix_micros(col("expected_hour")) + col("offset_us")))
+      .drop("offset_us")
 
   /** A7 — gap aggregation: per (sensor, type) count + first/last missing
-    * hour, descending (reference validation.py:286-316). */
+    * grid instant, descending (reference validation.py:286-316).
+    * Aggregates the gap ranges directly — per-pair arithmetic only, no
+    * per-missing-hour rows anywhere in the plan. */
   def gapReport(
       frequencyHours: Int,
-      cols: ReadingCols)(df: DataFrame): DataFrame =
-    missingReadings(frequencyHours, cols)(df)
+      cols: ReadingCols)(df: DataFrame): DataFrame = {
+    val stepUs = frequencyHours * 3600000000L
+    missingRanges(frequencyHours, cols)(df)
       .groupBy(col(cols.id), col(cols.typ))
       .agg(
-        count(lit(1)).as("missing_hours"),
-        min(col("expected_time")).as("first_missing"),
-        max(col("expected_time")).as("last_missing"))
+        sum(((unix_micros(col("end_h")) - unix_micros(col("start_h")))
+          / stepUs).cast("long") + 1L).cast("long").as("missing_hours"),
+        timestamp_micros(min(unix_micros(col("start_h"))) +
+          first(col("offset_us"))).as("first_missing"),
+        timestamp_micros(max(unix_micros(col("end_h"))) +
+          first(col("offset_us"))).as("last_missing"))
       .orderBy(desc("missing_hours"), col(cols.id), col(cols.typ))
+  }
 
   /** A8 — missing-value profile per reading type (reference
     * validation.py:343-366). */
