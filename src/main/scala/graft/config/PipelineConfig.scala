@@ -28,7 +28,12 @@ final case class TransformConfig(
     zScoreThreshold: Double = 3.0,
     rollingWindowDays: Int = 7,
     readingsPerDay: Int = 24,
-    outlierHandling: String = "flag") {
+    outlierHandling: String = "flag",
+    /** Exact global-median fallback for battery imputation (pandas
+      * parity). Set false at scale: the exact global percentile buffers
+      * the whole table in one aggregation buffer; the approx sketch is
+      * bounded and mergeable. Per-sensor medians stay exact either way. */
+    exactGlobalMedian: Boolean = true) {
   /** Trailing row-count frame: 7 days x 24 obs/day = 168 rows
     * (reference transformation.py:262-264 — row-count, not time-range). */
   def rollingWindowRows: Int = rollingWindowDays * readingsPerDay
@@ -45,6 +50,24 @@ final case class ValidationConfig(
 final case class IngestionConfig(
     incrementalMode: Boolean = true,
     checkpointFile: String = ".checkpoint")
+
+/** File-system layout. Reference: config/default.yaml:8-13,
+  * src/config/models.py DataPaths. */
+final case class PathsConfig(
+    dataRaw: String = "data/raw",
+    dataProcessed: String = "data/processed",
+    reportsDir: String = "reports",
+    dqReportCsv: String = "reports/data_quality_report.csv")
+
+/** Expected raw schema declaration. Reference: config/default.yaml:15-27,
+  * src/config/models.py SchemaDefinition (YAML key "schema"). */
+final case class SchemaConfig(
+    expectedColumns: Seq[String] = Seq(
+      "sensor_id", "timestamp", "reading_type", "value", "battery_level"),
+    types: Map[String, String] = Map(
+      "sensor_id" -> "VARCHAR", "timestamp" -> "TIMESTAMP",
+      "reading_type" -> "VARCHAR", "value" -> "DOUBLE",
+      "battery_level" -> "DOUBLE"))
 
 /** Column-name binding so every stage works over any table shaped like
   * (id, timestamp, type, value[, battery]) — the reference hard-codes
@@ -77,6 +100,8 @@ final case class PipelineConfig(
     transformation: TransformConfig = TransformConfig(),
     validation: ValidationConfig = ValidationConfig(),
     ingestion: IngestionConfig = IngestionConfig(),
+    paths: PathsConfig = PathsConfig(),
+    schema: SchemaConfig = SchemaConfig(),
     cols: ReadingCols = ReadingCols.sensor) {
 
   /** "UTC+05:30" -> signed minutes east of UTC (330). Mirrors the
@@ -146,6 +171,7 @@ object PipelineConfig {
       Option(n.get("z_score_threshold")).foreach(x => t = t.copy(zScoreThreshold = x.asDouble))
       Option(n.get("rolling_window_days")).foreach(x => t = t.copy(rollingWindowDays = x.asInt))
       Option(n.get("outlier_handling")).foreach(x => t = t.copy(outlierHandling = x.asText))
+      Option(n.get("exact_global_median")).foreach(x => t = t.copy(exactGlobalMedian = x.asBoolean))
       cfg = cfg.copy(transformation = t)
     }
     Option(root.get("validation")).foreach { n =>
@@ -163,5 +189,190 @@ object PipelineConfig {
       cfg = cfg.copy(ingestion = i)
     }
     cfg
+  }
+
+  /** Load a reference-layout YAML config (config/default.yaml shape,
+    * src/config/models.py:131-141 from_yaml). Parsed with the built-in
+    * indentation-subset parser below — no external YAML dependency.
+    * Any omitted section keeps its default; `ranges.battery_level`
+    * feeds `batteryRange` like the reference's battery branch. */
+  def fromYaml(path: String): PipelineConfig = {
+    val root = MiniYaml.parse(Files.readString(Paths.get(path)))
+    var cfg = default
+
+    def objOf(k: String): Option[MiniYaml.Obj] = root.get(k).collect {
+      case o: MiniYaml.Obj => o
+    }
+    def str(o: MiniYaml.Obj, k: String): Option[String] = o.get(k).collect {
+      case MiniYaml.Scalar(Some(v)) => v
+    }
+    def num(o: MiniYaml.Obj, k: String): Option[Double] = str(o, k).map(_.toDouble)
+    def list(o: MiniYaml.Obj, k: String): Option[Seq[String]] = o.get(k).collect {
+      case MiniYaml.Arr(items) => items.collect {
+        case MiniYaml.Scalar(Some(v)) => v
+      }
+    }
+
+    objOf("pipeline").foreach(p =>
+      str(p, "version").foreach(v => cfg = cfg.copy(pipelineVersion = v)))
+    objOf("project").foreach(p =>
+      str(p, "timezone").foreach(v => cfg = cfg.copy(timezone = v)))
+    objOf("paths").foreach { p =>
+      var ps = cfg.paths
+      str(p, "data_raw").foreach(v => ps = ps.copy(dataRaw = v))
+      str(p, "data_processed").foreach(v => ps = ps.copy(dataProcessed = v))
+      str(p, "reports_dir").foreach(v => ps = ps.copy(reportsDir = v))
+      str(p, "dq_report_csv").foreach(v => ps = ps.copy(dqReportCsv = v))
+      cfg = cfg.copy(paths = ps)
+    }
+    objOf("schema").foreach { sc =>
+      var s = cfg.schema
+      list(sc, "expected_columns").foreach(v => s = s.copy(expectedColumns = v))
+      sc.get("types").collect { case o: MiniYaml.Obj =>
+        s = s.copy(types = o.entries.collect {
+          case (k, MiniYaml.Scalar(Some(v))) => k -> v
+        }.toMap)
+      }
+      cfg = cfg.copy(schema = s)
+    }
+    objOf("ranges").foreach { r =>
+      val all = r.entries.collect { case (k, o: MiniYaml.Obj) =>
+        k -> ValueRange(num(o, "min").get, num(o, "max").get)
+      }
+      all.find(_._1 == "battery_level").foreach(b =>
+        cfg = cfg.copy(batteryRange = b._2))
+      cfg = cfg.copy(ranges = all.filterNot(_._1 == "battery_level").toMap)
+    }
+    objOf("calibration").foreach { c =>
+      cfg = cfg.copy(calibration = c.entries.collect {
+        case (k, o: MiniYaml.Obj) => k -> Calibration(
+          num(o, "multiplier").getOrElse(1.0), num(o, "offset").getOrElse(0.0))
+      }.toMap)
+    }
+    objOf("write").foreach { w =>
+      var wc = cfg.write
+      str(w, "compression").foreach(v => wc = wc.copy(compression = v))
+      list(w, "partition_by").foreach(v => wc = wc.copy(partitionBy = v))
+      str(w, "mode").foreach(v => wc = wc.copy(mode = v))
+      cfg = cfg.copy(write = wc)
+    }
+    objOf("transformation").foreach { t =>
+      var tc = cfg.transformation
+      num(t, "z_score_threshold").foreach(v => tc = tc.copy(zScoreThreshold = v))
+      num(t, "rolling_window_days").foreach(v => tc = tc.copy(rollingWindowDays = v.toInt))
+      str(t, "outlier_handling").foreach(v => tc = tc.copy(outlierHandling = v))
+      str(t, "exact_global_median").foreach(v => tc = tc.copy(exactGlobalMedian = v.toBoolean))
+      cfg = cfg.copy(transformation = tc)
+    }
+    objOf("validation").foreach { v =>
+      var vc = cfg.validation
+      num(v, "max_missing_percentage").foreach(x => vc = vc.copy(maxMissingPercentage = x))
+      num(v, "max_anomaly_percentage").foreach(x => vc = vc.copy(maxAnomalyPercentage = x))
+      num(v, "expected_frequency_hours").foreach(x => vc = vc.copy(expectedFrequencyHours = x.toInt))
+      num(v, "max_gap_hours").foreach(x => vc = vc.copy(maxGapHours = x))
+      cfg = cfg.copy(validation = vc)
+    }
+    objOf("ingestion").foreach { i =>
+      var ic = cfg.ingestion
+      str(i, "incremental_mode").foreach(v => ic = ic.copy(incrementalMode = v.toBoolean))
+      str(i, "checkpoint_file").foreach(v => ic = ic.copy(checkpointFile = v))
+      cfg = cfg.copy(ingestion = ic)
+    }
+    cfg
+  }
+}
+
+/** Minimal YAML-subset parser covering the reference's config layout:
+  * nested maps by 2+-space indentation, scalar lists ("- item"),
+  * quoted/unquoted scalars, `null`, and `#` comments. Deliberately NOT
+  * a general YAML implementation — no anchors, no flow style, no
+  * multi-line scalars — just enough to read config/default.yaml-shaped
+  * files without adding a dependency. */
+private[config] object MiniYaml {
+
+  sealed trait Node
+  /** Insertion-ordered mapping. */
+  final case class Obj(entries: Vector[(String, Node)]) extends Node {
+    def get(k: String): Option[Node] = entries.find(_._1 == k).map(_._2)
+  }
+  final case class Arr(items: Vector[Node]) extends Node
+  /** Scalar; None encodes YAML null. */
+  final case class Scalar(value: Option[String]) extends Node
+
+  def parse(text: String): Obj = {
+    val lines = text.linesIterator
+      .map(stripComment)
+      .filter(_.trim.nonEmpty)
+      .map(l => (l.takeWhile(_ == ' ').length, l.trim))
+      .toVector
+    if (lines.isEmpty) Obj(Vector.empty)
+    else parseBlock(lines, 0, lines.head._1)._1 match {
+      case o: Obj => o
+      case other => Obj(Vector("root" -> other))
+    }
+  }
+
+  /** Cut an unquoted `#` comment (YAML: preceded by start-of-line or
+    * whitespace). */
+  private def stripComment(line: String): String = {
+    var inQuote: Char = 0
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuote != 0) { if (c == inQuote) inQuote = 0 }
+      else if (c == '"' || c == '\'') inQuote = c
+      else if (c == '#' && (i == 0 || line.charAt(i - 1).isWhitespace))
+        return line.take(i)
+      i += 1
+    }
+    line
+  }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 &&
+      ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
+      s.substring(1, s.length - 1)
+    else s
+
+  private def scalar(s: String): Scalar =
+    if (s == "null" || s == "~") Scalar(None) else Scalar(Some(unquote(s)))
+
+  /** Parse the run of lines at exactly `indent` starting at `start`;
+    * deeper lines belong to the entry opened just above. Returns the
+    * node and the index of the first unconsumed line. */
+  private def parseBlock(
+      lines: Vector[(Int, String)],
+      start: Int,
+      indent: Int): (Node, Int) = {
+    val n = lines.length
+    if (lines(start)._2.startsWith("-")) {
+      var i = start
+      val items = Vector.newBuilder[Node]
+      while (i < n && lines(i)._1 == indent && lines(i)._2.startsWith("-")) {
+        items += scalar(lines(i)._2.drop(1).trim)
+        i += 1
+      }
+      (Arr(items.result()), i)
+    } else {
+      var i = start
+      val es = Vector.newBuilder[(String, Node)]
+      while (i < n && lines(i)._1 == indent && !lines(i)._2.startsWith("-")) {
+        val line = lines(i)._2
+        val ci = line.indexOf(':')
+        require(ci > 0, s"malformed YAML line: '$line'")
+        val key = unquote(line.take(ci).trim)
+        val rest = line.drop(ci + 1).trim
+        if (rest.nonEmpty) { es += key -> scalar(rest); i += 1 }
+        else {
+          i += 1
+          if (i < n && lines(i)._1 > indent) {
+            val (child, ni) = parseBlock(lines, i, lines(i)._1)
+            es += key -> child
+            i = ni
+          } else es += key -> Scalar(None)
+        }
+      }
+      (Obj(es.result()), i)
+    }
   }
 }

@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed per-partition with
   * typed Datasets.
   *
-  * The actual media decoding (JPEG/PNG/ffmpeg) is STUBBED — the image
-  * and audio libraries are not in this container — with a clearly
-  * deterministic fake so the Spark-side plumbing (schema, encoders,
-  * partitioning, batch shape) is real and testable. Swap
-  * `decodeStub`'s body for a real codec to productionize; nothing else
-  * changes.
+  * Container-header parsing (PNG / JPEG / GIF magic bytes +
+  * dimensions) is REAL — `parseImageHeader` below reads the actual
+  * byte layout. Full pixel/audio decoding is STUBBED with a
+  * deterministic fake (the codec libraries are not in this container):
+  * the Spark-side plumbing (schema, encoders, partitioning, batch
+  * shape) is real and testable, and swapping the fallback branch of
+  * `decodeFeatures` for a real codec changes nothing else.
   */
 object Multimodal {
 
@@ -33,8 +34,57 @@ object Multimodal {
       byte_len: Long,
       header_byte: Int,
       checksum: Long, // deterministic payload checksum
-      width: Int, // STUB: derived, not decoded
+      format: String, // png | jpeg | gif | unknown (header-detected)
+      width: Int, // real for recognized headers; derived fake otherwise
       height: Int)
+
+  /** Parse a real image container header: magic bytes + dimensions.
+    * Returns (format, width, height). No codec needed — these fields
+    * live at fixed/locatable offsets in the container byte layout:
+    *  - PNG:  8-byte signature, then the IHDR chunk carries width and
+    *    height as big-endian u32 at offsets 16 and 20.
+    *  - JPEG: FF D8 start-of-image, then a marker-segment walk to the
+    *    first SOFn (C0-CF minus C4/C8/CC), whose payload is
+    *    [precision u8][height u16][width u16] big-endian.
+    *  - GIF:  "GIF87a"/"GIF89a", then width and height as
+    *    little-endian u16 at offsets 6 and 8. */
+  def parseImageHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    @inline def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+
+    if (bytes.length >= 24 &&
+      u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+      u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+      bytes.slice(12, 16).sameElements("IHDR".getBytes))
+      Some(("png", be32(16), be32(20)))
+    else if (bytes.length >= 10 &&
+      bytes.slice(0, 6).sameElements("GIF87a".getBytes) ||
+      bytes.length >= 10 && bytes.slice(0, 6).sameElements("GIF89a".getBytes))
+      Some(("gif", le16(6), le16(8)))
+    else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // marker-segment walk to the first start-of-frame
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if (u8(i) != 0xff) return None // desynced — not a well-formed JPEG
+        var m = u8(i + 1)
+        while (m == 0xff && i + 2 < bytes.length) { i += 1; m = u8(i + 1) } // fill bytes
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          return if (i + 8 < bytes.length)
+            Some(("jpeg", be16(i + 7), be16(i + 5)))
+          else None
+        } else if ((m >= 0xd0 && m <= 0xd9) || m == 0x01) {
+          i += 2 // standalone marker, no length field
+        } else {
+          if (i + 3 >= bytes.length) return None
+          i += 2 + be16(i + 2)
+        }
+      }
+      None
+    } else None
+  }
 
   /** Wrap any table with a string payload column as a media table —
     * used by tests and the demo queries to fabricate binary payloads
@@ -54,11 +104,12 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode: a real implementation would parse the image header
-    * and decode pixels here. The fake derives every field
-    * deterministically from the payload bytes so results are stable
-    * across partitionings and engines. */
-  private def decodeStub(r: MediaRow): MediaFeatures = {
+  /** Per-asset features: REAL container-header parse for recognized
+    * formats (PNG/JPEG/GIF dimensions straight from the byte layout);
+    * unrecognized payloads fall back to a deterministic fake (stable
+    * across partitionings and engines) in place of a pixel decode —
+    * swap that branch for a codec to productionize. */
+  private def decodeFeatures(r: MediaRow): MediaFeatures = {
     val bytes = r.payload
     var sum = 0L
     var i = 0
@@ -66,15 +117,19 @@ object Multimodal {
       sum = sum * 31 + (bytes(i) & 0xff)
       i += 1
     }
-    val fakeWidth = ((sum % 1024) + 1024).toInt % 1024 + 1
+    val (format, width, height) = parseImageHeader(bytes).getOrElse {
+      val fakeWidth = ((sum % 1024) + 1024).toInt % 1024 + 1
+      ("unknown", fakeWidth, fakeWidth * 3 / 4)
+    }
     MediaFeatures(
       media_id = r.media_id,
       kind = r.kind,
       byte_len = bytes.length.toLong,
       header_byte = if (bytes.nonEmpty) bytes(0) & 0xff else -1,
       checksum = sum,
-      width = fakeWidth,
-      height = fakeWidth * 3 / 4)
+      format = format,
+      width = width,
+      height = height)
   }
 
   /** Feature extraction over partitions: the mapPartitions boundary is
@@ -85,7 +140,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       // real impl: val codec = Codec.open() once per partition
-      rows.map(decodeStub)
+      rows.map(decodeFeatures)
     }
   }
 

@@ -100,7 +100,12 @@ object Dedup {
     // Eagerly materialize the (small) verified-pair list so the returned
     // plan no longer references `base`, then release it — otherwise the
     // signature+shingle cache outlives the call and accumulates across
-    // queries in a long-lived session.
+    // queries in a long-lived session. NOTE: the returned frame is
+    // itself backed by locally-checkpointed blocks (that is what makes
+    // dropping `base` safe); a long-lived session accumulating many
+    // results should release them once consumed — e.g. unpersist via
+    // sparkContext.getPersistentRDDs, as the bench harness does
+    // between queries.
     val out = pairs.localCheckpoint()
     base.unpersist()
     out
@@ -187,13 +192,15 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 30,
-      driverEdgeThreshold: Long = 10000000L): DataFrame = {
+      driverEdgeThreshold: Long = 1000000L): DataFrame = {
     // Duplicate-pair graphs are SPARSE relative to the corpus (LSH
-    // candidates that survived verification). Up to ~10M edges a
+    // candidates that survived verification). Up to ~1M edges a
     // driver-side union-find solves the whole graph in milliseconds —
-    // far cheaper than per-iteration Spark jobs. The distributed
-    // label-propagation path below remains the fallback for genuinely
-    // huge dup graphs.
+    // far cheaper than per-iteration Spark jobs — while staying well
+    // under driver-heap risk (1M (Long,Long) tuples ~ 100 MB of JVM
+    // objects; 10M was defensible but leaves no safety margin). The
+    // distributed label-propagation path below is the path for
+    // genuinely huge dup graphs.
     val materialized = pairs
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -240,14 +247,32 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 30): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sc = pairs.sparkSession.sparkContext
 
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(lvl)
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    // localCheckpoint persists its backing RDD; without explicit
+    // release, every round's checkpoint stays cached for the life of
+    // the session. Track the ids each eager checkpoint adds and drop
+    // the previous round's blocks once the new round is materialized
+    // (its lineage is truncated, so nothing references them). The
+    // final round's blocks are the result and are kept.
+    var prevIds = scala.collection.Set.empty[Int]
+    def checkpointTracked(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint() // eager: materialized here
+      val added = sc.getPersistentRDDs.keySet -- before
+      prevIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = added
+      out
+    }
+
+    var labels = checkpointTracked(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var converged = false
     var i = 0
     // Per round: neighbor-min relaxation + path compression (label of
@@ -271,9 +296,9 @@ object Dedup {
             .as("label"),
           (least(col("r.label"), coalesce(col("llabel"), col("r.label")))
             < col("r.old_label")).as("changed"))
-        .localCheckpoint()
-      converged = updated.filter(col("changed")).isEmpty
-      labels = updated.drop("changed")
+      val checkpointed = checkpointTracked(updated)
+      converged = checkpointed.filter(col("changed")).isEmpty
+      labels = checkpointed.drop("changed")
       i += 1
     }
     sym.unpersist()

@@ -46,6 +46,15 @@ object TextQueries {
       Dedup.exactByHash(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Normalized exact dedup: lowercase / strip punctuation / collapse
+    // whitespace before hashing — catches trivially-reformatted copies.
+    "q70_normalized_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.normalizedHash(col("text")).as("norm_hash"))
+        .groupBy(col("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
     // Token counting: whitespace + BPE-ish regex pre-tokenizer.
     "q31_token_stats" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -337,6 +346,12 @@ object TextQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q70_normalized_dedup" ->
+      """SELECT md5(regexp_replace(trim(regexp_replace(lower(text),
+        |    '[.,;:!?''"()\-]', '', 'g')), '\s+', ' ', 'g')) AS norm_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q31_token_stats" ->
       s"""SELECT doc_id,

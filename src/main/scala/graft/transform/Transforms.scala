@@ -32,13 +32,24 @@ object Transforms {
     * Exact `percentile` (linear interpolation), not `percentile_approx`,
     * to match pandas `.median()`. Two window passes + coalesce — no join,
     * no collect; the per-sensor window shuffles once on the sensor key.
-    */
-  def imputeBattery(cols: ReadingCols = ReadingCols.sensor)(df: DataFrame): DataFrame = {
+    *
+    * Scale note: Spark's exact percentile buffers every value of its
+    * group. Per sensor that is bounded by one sensor's history, but the
+    * GLOBAL fallback is one group holding the whole table — at 100 TB
+    * that single aggregation buffer is the job's OOM. Setting
+    * `exactGlobalMedian=false` (TransformConfig) switches just the
+    * global fallback to `percentile_approx` (mergeable bounded sketch,
+    * accuracy 1e-5 relative rank); per-sensor medians stay exact. */
+  def imputeBattery(
+      cols: ReadingCols = ReadingCols.sensor,
+      exactGlobalMedian: Boolean = true)(df: DataFrame): DataFrame = {
     val bySensor = Window.partitionBy(col(cols.id))
     // global median as a broadcast 1-row aggregate — an empty-partition
     // window would funnel the whole table through one reducer at scale
-    val globalMed = df.agg(
-      expr(s"percentile(${cols.battery}, 0.5)").as("__global_med"))
+    val globalExpr =
+      if (exactGlobalMedian) s"percentile(${cols.battery}, 0.5)"
+      else s"percentile_approx(${cols.battery}, 0.5, 100000)"
+    val globalMed = df.agg(expr(globalExpr).cast("double").as("__global_med"))
     df.crossJoin(broadcast(globalMed))
       .withColumn(
         cols.battery,
@@ -164,7 +175,7 @@ object Transforms {
     val c = cfg.cols
     df.transform(dedupExact)
       .transform(dropNullCritical(Seq(c.id, c.ts, c.typ, c.value)))
-      .transform(imputeBattery(c))
+      .transform(imputeBattery(c, cfg.transformation.exactGlobalMedian))
       .transform(calibrate(cfg.calibration, c))
       .transform(shiftToLocal(cfg.timezoneOffsetMinutes, c))
       .transform(deriveDate(c))

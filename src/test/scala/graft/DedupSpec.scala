@@ -82,6 +82,25 @@ class DedupSpec extends SparkSpec {
     assert(uf === dist)
   }
 
+  test("graph above driverEdgeThreshold routes through the distributed path") {
+    // 300 edges: one long chain (diameter stresses the propagation
+    // rounds) + a separate clique-ish component. Threshold 10 forces
+    // the distributed path through the public entry point.
+    val chain = (1L until 250L).map(i => (i, i + 1))
+    val clique = for (a <- 1000L to 1010L; b <- (a + 1) to 1010L) yield (a, b)
+    val pairs = (chain ++ clique).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val labels = Dedup.connectedComponents(pairs, driverEdgeThreshold = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 250L).forall(labels(_) === 1L))
+    assert((1000L to 1010L).forall(labels(_) === 1000L))
+    // intermediate per-round checkpoints were released: at most the
+    // result's own checkpoint blocks remain beyond the baseline
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"leaked checkpoints: $before persistent RDDs before, $after after")
+  }
+
   test("embeddingNearDup finds same-direction vectors within bucket") {
     val df = Seq(
       (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),

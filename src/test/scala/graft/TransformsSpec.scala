@@ -57,6 +57,21 @@ class TransformsSpec extends SparkSpec {
     assert(out.toSeq === Seq(10.0, 20.0, 15.0, 15.0))
   }
 
+  test("P3 battery imputation: bounded approx global fallback at scale") {
+    val df = readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 1.0, 10.0),
+      ("s1", "2023-06-01 11:00:00", "temperature", 1.0, 20.0),
+      ("s1", "2023-06-01 12:00:00", "temperature", 1.0, 30.0),
+      ("s2", "2023-06-01 10:00:00", "temperature", 1.0, null))
+    val out = Transforms.imputeBattery(c, exactGlobalMedian = false)(df)
+      .orderBy("sensor_id", "timestamp")
+      .select("battery_level").as[Double].collect()
+    // s2 all-null -> approx global median; with 3 values the sketch is
+    // exact: 20. s1 rows keep their observed values (per-sensor path
+    // stays exact regardless of the global-median mode).
+    assert(out.toSeq === Seq(10.0, 20.0, 30.0, 20.0))
+  }
+
   test("P4 calibration applies per-type multiplier/offset, leaves unknown types") {
     val cal = Map(
       "temperature" -> Calibration(2.0, 1.0),
