@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{exact, text}
+import graft.functions.{exact, scrub, text}
 import graft.operators.Curation
 
 /** Oracle-checked queries for the curation operator set: sessionization,
@@ -136,6 +136,88 @@ object CurationQueries {
           sum(col("k")).cast(LongType).as("sum_k"),
           min(col("k")).cast(LongType).as("min_k"),
           max(col("k")).cast(LongType).as("max_k"))
+    }),
+
+    // PII scrubbing: detect + redact emails / phone fragments / IPv4
+    // literals. The synthetic corpus is clean, so every 7th doc gets a
+    // deterministic dirty suffix injected (mirrored in the oracle) to
+    // exercise real matches; output = per-doc detection counts + md5 of
+    // the redacted text (the scrubber's full output, hashed so the
+    // compare ships digests, not documents).
+    "q71_pii_scrub" -> ((s, dir) => {
+      val dirty = when(col("doc_id") % 7 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com tel 555-"),
+          (col("doc_id") % 9000 + 1000).cast("string"),
+          lit(" host 10.0."), (col("doc_id") % 200).cast("string"),
+          lit("."), (col("doc_id") * 7 % 250).cast("string")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("dt"))
+        .select(
+          col("doc_id"),
+          scrub.countMatches(col("dt"), scrub.emailRe).as("n_emails"),
+          scrub.countMatches(col("dt"), scrub.phoneRe).as("n_phones"),
+          scrub.countMatches(col("dt"), scrub.ipRe).as("n_ips"),
+          md5(scrub.redactPii(col("dt"))).as("redacted_md5"))
+    }),
+
+    // Intra-document repetition profile (RefinedWeb/Gopher-style
+    // repetition signals): duplicate-token and duplicate-bigram rates
+    // plus the top-token frequency share, in integer basis points.
+    "q72_repetition" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), text.tokens(col("text")).as("t"))
+      val uni = tok.select(col("doc_id"), explode(col("t")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("f"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("f")).cast(LongType).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("f")).cast(LongType).as("max_f"))
+      val bi = tok
+        .select(col("doc_id"), explode(text.shinglesOf(col("t"), 2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("f"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("f")).cast(LongType).as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bigrams"))
+      uni.join(bi, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          exact.pctBp(col("n_tokens") - col("n_distinct"), col("n_tokens"))
+            .as("dup_token_bp"),
+          exact.pctBp(col("max_f"), col("n_tokens")).as("top_token_bp"),
+          exact.pctBp(col("n_bigrams") - col("n_distinct_bigrams"),
+            col("n_bigrams")).as("dup_bigram_bp"))
+    }),
+
+    // Corpus quality gate in the published Gopher-rules style: per-doc
+    // integer-arithmetic flags (mean word length outside [3,10], punct
+    // load, <2 hard stopwords, top-token share >20%), aggregated to one
+    // corpus profile row. Integer cross-multiplication everywhere — no
+    // float thresholds, so the flags are engine- and partition-exact.
+    "q73_gopher_quality" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          text.tokens(col("text")).as("t"),
+          text.punctCount(col("text")).cast(LongType).as("n_punct"))
+      val perDoc = tok
+        .select(col("doc_id"), explode(col("t")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("f"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("f")).cast(LongType).as("n_tok"),
+          max(col("f")).cast(LongType).as("max_f"),
+          sum(length(col("w")) * col("f")).cast(LongType).as("sum_len"),
+          sum(when(col("w").isin(text.stopwords.map(lit(_)): _*), col("f"))
+            .otherwise(lit(0))).cast(LongType).as("n_stop"))
+        .join(tok.select(col("doc_id"), col("n_chars"), col("n_punct")),
+          "doc_id")
+      perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("sum_len") < col("n_tok") * 3 ||
+          col("sum_len") > col("n_tok") * 10, 1)).as("flag_word_len"),
+        count(when(col("n_punct") * 10 > col("n_chars"), 1)).as("flag_punct"),
+        count(when(col("n_stop") < 2, 1)).as("flag_stopword"),
+        count(when(col("max_f") * 5 > col("n_tok"), 1)).as("flag_repetition"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -233,5 +315,74 @@ object CurationQueries {
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
-        |GROUP BY event_type""".stripMargin)
+        |GROUP BY event_type""".stripMargin,
+
+    "q71_pii_scrub" ->
+      raw"""WITH dirty AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+           |      doc_id || '@example.com tel 555-' ||
+           |      CAST(doc_id % 9000 + 1000 AS VARCHAR) ||
+           |      ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.' ||
+           |      CAST(doc_id * 7 % 250 AS VARCHAR)
+           |    ELSE text END AS dt
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(dt,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           |    AS n_emails,
+           |  CAST(len(regexp_extract_all(dt, '\b\d{3}-\d{4}\b')) AS BIGINT)
+           |    AS n_phones,
+           |  CAST(len(regexp_extract_all(dt,
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(dt,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           |    '\b\d{3}-\d{4}\b', '[PHONE]', 'g'),
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'))
+           |    AS redacted_md5
+           |FROM dirty""".stripMargin,
+
+    "q72_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $dTok AS t FROM documents),
+         |uf AS (SELECT doc_id, w, count(*) AS f
+         |       FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY 1, 2),
+         |us AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tokens,
+         |         count(*) AS n_distinct, CAST(max(f) AS BIGINT) AS max_f
+         |       FROM uf GROUP BY 1),
+         |bf AS (SELECT doc_id, g, count(*) AS f
+         |       FROM (SELECT doc_id, unnest(${dShingles(2)}) AS g FROM tok)
+         |       GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_bigrams,
+         |         count(*) AS n_distinct_bigrams FROM bf GROUP BY 1)
+         |SELECT u.doc_id, n_tokens, n_distinct,
+         |  CAST(floor(10000.0 * (n_tokens - n_distinct) / n_tokens) AS BIGINT)
+         |    AS dup_token_bp,
+         |  CAST(floor(10000.0 * max_f / n_tokens) AS BIGINT) AS top_token_bp,
+         |  CAST(floor(10000.0 * (n_bigrams - n_distinct_bigrams) / n_bigrams)
+         |    AS BIGINT) AS dup_bigram_bp
+         |FROM us u JOIN bs b ON u.doc_id = b.doc_id""".stripMargin,
+
+    "q73_gopher_quality" -> {
+      val stopList = graft.functions.text.stopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, n_chars,
+         |    length(text) - length(regexp_replace(text,
+         |      '[.,;:!?''"()\\-]', '', 'g')) AS n_punct,
+         |    $dTok AS t FROM documents),
+         |uf AS (SELECT doc_id, w, count(*) AS f
+         |       FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY 1, 2),
+         |per AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tok,
+         |    CAST(max(f) AS BIGINT) AS max_f,
+         |    CAST(sum(length(w) * f) AS BIGINT) AS sum_len,
+         |    CAST(sum(CASE WHEN w IN ($stopList) THEN f ELSE 0 END)
+         |      AS BIGINT) AS n_stop
+         |  FROM uf GROUP BY 1)
+         |SELECT count(*) AS n_docs,
+         |  count(CASE WHEN sum_len < n_tok * 3 OR sum_len > n_tok * 10
+         |    THEN 1 END) AS flag_word_len,
+         |  count(CASE WHEN n_punct * 10 > n_chars THEN 1 END) AS flag_punct,
+         |  count(CASE WHEN n_stop < 2 THEN 1 END) AS flag_stopword,
+         |  count(CASE WHEN max_f * 5 > n_tok THEN 1 END) AS flag_repetition
+         |FROM per JOIN tok USING (doc_id)""".stripMargin
+    })
 }

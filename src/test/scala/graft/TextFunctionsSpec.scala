@@ -138,6 +138,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) === 24.0)
   }
 
+  test("scrub: detects and redacts emails, phones, IPv4") {
+    import graft.functions.scrub
+    val df = Seq(
+      "mail me at jo.doe+x@example.co.uk or call 555-0142 from 10.0.0.7",
+      "clean text with no pii at all").toDF("t")
+    val out = df.select(
+      scrub.countMatches($"t", scrub.emailRe).as("e"),
+      scrub.countMatches($"t", scrub.phoneRe).as("p"),
+      scrub.countMatches($"t", scrub.ipRe).as("i"),
+      scrub.redactPii($"t").as("r"))
+      .collect()
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2)) === ((1L, 1L, 1L)))
+    assert(out(0).getString(3) ===
+      "mail me at [EMAIL] or call [PHONE] from [IP]")
+    assert((out(1).getLong(0), out(1).getLong(1), out(1).getLong(2)) === ((0L, 0L, 0L)))
+    assert(out(1).getString(3) === "clean text with no pii at all")
+  }
+
   test("signBucket: orthant code over leading dims") {
     val df = Seq(
       (Array(1.0f, -1.0f, 1.0f), "a"),
