@@ -41,6 +41,19 @@ class ValidationSpec extends SparkSpec {
       Seq(("s1", 2L), ("s2", 2L)))
   }
 
+  test("gap detection: gapReport plan materializes no grid and no explode") {
+    val df = readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 1.0),
+      ("s1", "2023-06-01 14:00:00", "temperature", 1.0))
+    val plan = Validation.gapReport(1, c)(df)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    // the aggregate path works on gap RANGES only: the hour-grid
+    // generator (sequence + explode of pairs x hours — trillions of
+    // rows at 100 TB) must never appear. The one explode present has
+    // constant fan-out (<= 3 candidate ranges per observed row).
+    assert(!plan.contains("sequence("), plan)
+  }
+
   test("quality score: penalties capped, floor at zero") {
     val noIssues = Validation.qualityScore(Nil, Nil, 0, cfg)
     assert(noIssues === 100.0)
