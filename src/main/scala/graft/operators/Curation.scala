@@ -141,4 +141,70 @@ object Curation {
           expr(s"CAST(${(k - 1).toLong * 4294967296L} div __kth AS BIGINT)"))
           .otherwise(col("n_exact")))
       .drop("__sk", "__kth")
+
+  /** Context-window chunking: split each document's token stream into
+    * overlapping windows of `size` tokens advancing by `stride`
+    * (overlap = size - stride) — the standard sliding-window
+    * preparation for fixed-context training. Chunk k covers tokens
+    * [k*stride, k*stride + size); the last chunk is the first whose
+    * window reaches the end (it may be shorter). Narrow op: the token
+    * array is staged once per row, the per-chunk explode fans out
+    * ceil-bounded rows, zero shuffles. Output: (id, chunk_id,
+    * chunk_tokens, chunk_text). */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val staged = df.select(col(idCol), text.tokens(col(textCol)).as("__t"))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__t")))
+      // K = number of ADDITIONAL chunks after the first:
+      // ceil((n - size) / stride), floored at 0 — integer arithmetic.
+      .withColumn("__k_max",
+        greatest(lit(0),
+          floor((col("__n") - size + (stride - 1)) / lit(stride)).cast("int")))
+    staged
+      .select(col(idCol), col("__t"),
+        posexplode(transform(
+          sequence(lit(0), col("__k_max")),
+          k => slice(col("__t"), k * stride + 1, lit(size))))
+          .as(Seq("chunk_id", "__chunk")))
+      .select(col(idCol), col("chunk_id").cast(LongType).as("chunk_id"),
+        org.apache.spark.sql.functions.size(col("__chunk")).cast(LongType)
+          .as("chunk_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
+  /** Sequence-packing manifest: concatenate documents shard-by-shard in
+    * a deterministic order and record, per document, which fixed-size
+    * context bin its tokens start in and at what offset — the greedy
+    * "concatenate and cut" packing every pre-training pipeline uses.
+    * Packing is per shard (`shardCol`) so the running sum parallelizes:
+    * a GLOBAL ordered cumsum would funnel the corpus through one task.
+    * All arithmetic is integer (token counts), so the manifest is
+    * engine-exact. Output: (shard, id, n_tokens, bin_start,
+    * offset_in_bin, bins_spanned). */
+  def packingManifest(
+      df: DataFrame,
+      shardCol: String,
+      idCol: String,
+      textCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(shardCol), col(idCol),
+      text.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("__before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(shardCol), col(idCol), col("n_tokens"),
+        (col("__before") / capacity).cast(LongType).as("bin_start"),
+        (col("__before") % capacity).cast(LongType).as("offset_in_bin"),
+        (((col("__before") + col("n_tokens") - 1) / capacity).cast(LongType)
+          - (col("__before") / capacity).cast(LongType) + 1L)
+          .as("bins_spanned"))
+  }
 }

@@ -218,6 +218,24 @@ object CurationQueries {
         count(when(col("n_punct") * 10 > col("n_chars"), 1)).as("flag_punct"),
         count(when(col("n_stop") < 2, 1)).as("flag_stopword"),
         count(when(col("max_f") * 5 > col("n_tok"), 1)).as("flag_repetition"))
+    }),
+
+    // Context-window chunking: sliding 32-token windows advancing by 24
+    // (8-token overlap); chunk text hashed so the compare ships digests.
+    "q74_chunking" -> ((s, dir) => {
+      Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        size = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+    }),
+
+    // Sequence-packing manifest: per-source greedy concatenate-and-cut
+    // into 512-token bins — which bin each doc starts in, at what
+    // offset, and how many bins it spans.
+    "q75_packing" -> ((s, dir) => {
+      Curation.packingManifest(t(s, dir, "documents"),
+        shardCol = "source", idCol = "doc_id", textCol = "text",
+        capacity = 512)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -384,5 +402,34 @@ object CurationQueries {
          |  count(CASE WHEN n_stop < 2 THEN 1 END) AS flag_stopword,
          |  count(CASE WHEN max_f * 5 > n_tok THEN 1 END) AS flag_repetition
          |FROM per JOIN tok USING (doc_id)""".stripMargin
-    })
+    },
+
+    "q74_chunking" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, t,
+         |    greatest(0, CAST(floor((len(t) - 32 + 23) / 24.0) AS INT))
+         |      AS k_max
+         |  FROM (SELECT doc_id, $dTok AS t FROM documents)),
+         |e AS (
+         |  SELECT doc_id, t, unnest(generate_series(0, k_max)) AS k FROM s)
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         |  CAST(len(t[k*24+1 : k*24+32]) AS BIGINT) AS chunk_tokens,
+         |  md5(array_to_string(t[k*24+1 : k*24+32], ' ')) AS chunk_md5
+         |FROM e""".stripMargin,
+
+    "q75_packing" ->
+      s"""WITH n AS (
+         |  SELECT source, doc_id, CAST(len($dTok) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr
+         |  FROM n)
+         |SELECT source, doc_id, n_tokens,
+         |  CAST(bfr // 512 AS BIGINT) AS bin_start,
+         |  CAST(bfr % 512 AS BIGINT) AS offset_in_bin,
+         |  CAST((bfr + n_tokens - 1) // 512 - bfr // 512 + 1 AS BIGINT)
+         |    AS bins_spanned
+         |FROM c""".stripMargin)
 }

@@ -84,6 +84,41 @@ class CurationSpec extends SparkSpec {
     assert(a.groupBy(_._1).values.forall(_.size === 5))
   }
 
+  test("chunkTokens: sliding windows with overlap, short docs one chunk") {
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, doc), (2L, "just three tokens")).toDF("doc_id", "text")
+    val out = Curation.chunkTokens(df, "doc_id", "text", size = 4, stride = 3)
+      .select($"doc_id", $"chunk_id", $"chunk_tokens", $"chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // doc 1: k_max = ceil((10-4)/3) = 2 -> chunks at 0,3,6: 4,4,4 tokens
+    assert(out.filter(_._1 == 1L).map(c => (c._2, c._3)) ===
+      Seq((0L, 4L), (1L, 4L), (2L, 4L)))
+    assert(out.head._4 === "w1 w2 w3 w4")
+    assert(out(1)._4 === "w4 w5 w6 w7") // 1-token overlap
+    assert(out(2)._4 === "w7 w8 w9 w10")
+    // doc 2: shorter than size -> exactly one whole-doc chunk
+    assert(out.filter(_._1 == 2L) === Seq((2L, 0L, 3L, "just three tokens")))
+  }
+
+  test("packingManifest: per-shard running bins, straddling recorded") {
+    // shard A: 300 + 300 + 100 tokens into capacity-256 bins
+    def words(n: Int) = (1 to n).map(_ => "x").mkString(" ")
+    val df = Seq(
+      ("A", 1L, words(300)), ("A", 2L, words(300)), ("A", 3L, words(100)),
+      ("B", 1L, words(10)))
+      .toDF("source", "doc_id", "text")
+    val out = Curation.packingManifest(df, "source", "doc_id", "text", 256)
+      .select($"source", $"doc_id", $"n_tokens", $"bin_start",
+        $"offset_in_bin", $"bins_spanned")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(out(0) === (("A", 1L, 300L, 0L, 0L, 2L))) // 0..299 spans bins 0-1
+    assert(out(1) === (("A", 2L, 300L, 1L, 44L, 2L))) // starts at 300
+    assert(out(2) === (("A", 3L, 100L, 2L, 88L, 1L))) // starts at 600
+    assert(out(3) === (("B", 1L, 10L, 0L, 0L, 1L))) // shards independent
+  }
+
   test("kmvDistinct: exact below k, estimate within 2x at 25 values") {
     val small = (1 to 5).map(i => ("g1", s"v$i")) // 5 distinct < k=8
     val big = (1 to 25).map(i => ("g2", s"w$i"))
