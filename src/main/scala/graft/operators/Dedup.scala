@@ -145,19 +145,29 @@ object Dedup {
       idCol: String,
       contentCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // The signature table (id + one long — 16 bytes/doc) feeds BOTH
+    // sides of the chunk self-join; without materialization the whole
+    // tokenize + 60-sum aggregation runs twice (no ReusedExchange
+    // across the aliased subtrees, verified via Explain).
     val sh = simhash(df, idCol, contentCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sh.withColumn("chunk",
       explode(array((0 until 4).map(i => struct(
         lit(i).as("chunk_id"),
         shiftright(col("simhash"), i * 15).bitwiseAND(0x7FFF)
           .as("chunk_val"))): _*)))
-    chunked.as("l").join(chunked.as("r"),
+    val pairs = chunked.as("l").join(chunked.as("r"),
       col("l.chunk") === col("r.chunk") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.simhash").as("h_a"), col("r.simhash").as("h_b")).distinct()
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    // Materialize the (small) verified-pair list, then release the
+    // signature cache — same contract as minhashLsh above.
+    val out = pairs.localCheckpoint()
+    sh.unpersist()
+    out
   }
 
   /** Direct n-gram Jaccard similarity over a bounded id set (exact,
