@@ -19,6 +19,52 @@ import graft.validate.Validation
   */
 object Pipeline {
 
+  /** CLI entry mirroring the reference runner (src/main.py): load the
+    * YAML config, resolve data paths from it, run the pipeline once.
+    *
+    *   runMain graft.Pipeline [--config cfg.yaml] [--raw DIR]
+    *     [--out DIR] [--report PATH] [--force-full-reload]
+    *
+    * Flags override the config's `paths` section; with no flags at all
+    * the built-in defaults (the reference's default.yaml values) apply. */
+  def main(args: Array[String]): Unit = {
+    var cfgPath, raw, out, report: Option[String] = None
+    var force = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--config" => cfgPath = Some(args(i + 1)); i += 2
+        case "--raw" => raw = Some(args(i + 1)); i += 2
+        case "--out" => out = Some(args(i + 1)); i += 2
+        case "--report" => report = Some(args(i + 1)); i += 2
+        case "--force-full-reload" => force = true; i += 1
+        case other => sys.error(s"unknown argument: $other")
+      }
+    }
+    val cfg = cfgPath.map(PipelineConfig.fromYaml).getOrElse(PipelineConfig.default)
+    val spark = SparkSession.builder()
+      .appName("graft-pipeline")
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val result = run(spark,
+        raw.getOrElse(cfg.paths.dataRaw),
+        out.getOrElse(cfg.paths.dataProcessed),
+        Some(report.getOrElse(cfg.paths.dqReportCsv)),
+        cfg, force)
+      println(s"PIPELINE: success=${result.success} " +
+        s"ingested=${result.recordsIngested} stored=${result.recordsStored} " +
+        s"score=${result.qualityScore} issues=${result.issues.size} " +
+        s"out=${result.outputPath}")
+    } finally spark.stop()
+  }
+
   def run(
       spark: SparkSession,
       rawDir: String,
