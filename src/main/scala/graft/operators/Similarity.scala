@@ -63,4 +63,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** Quantized brute-force top-k: vectors are absmax-int8-quantized
+    * FIRST, then scored with pure integer dot products — the codes
+    * shuffle/broadcast 4x fewer bytes than float32 and the scoring
+    * arithmetic is exact integers (no float accumulation at all until
+    * the final cosine normalization). The scale path for re-ranking
+    * pipelines: quantized recall pass here, exact `bruteForceTopK` on
+    * the survivors. Output carries the exact integer dot alongside the
+    * quantized cosine. */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      embeddings.quantizeInt8(col(vecCol)).as("qq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      embeddings.quantizeInt8(col(vecCol)).as("qc"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("int_dot", embeddings.intDot(col("qq"), col("qc")))
+      .withColumn("qcos", embeddings.quantizedCosine(col("qq"), col("qc")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("int_dot"), col("qcos"))
+  }
 }

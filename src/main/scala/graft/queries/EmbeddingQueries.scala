@@ -50,6 +50,16 @@ object EmbeddingQueries {
         threshold = 0.35, signBits = 6)
     }),
 
+    // Quantized (absmax int8) brute-force top-3: integer-exact scoring
+    // over 4x-smaller codes — the recall pass of a re-rank pipeline.
+    "q76_embed_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(
+        corpus = emb,
+        queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 3)
+    }),
+
     // Per-label centroid quality: mean intra-label cosine to the label
     // centroid — a batch "cluster cohesion" profile. The per-(label,dim)
     // sum accumulates as decimal (graft.functions.exact pattern) so the
@@ -137,5 +147,38 @@ object EmbeddingQueries {
         |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
         |  CAST(floor(CAST(sum(CAST(sx * sx AS DECIMAL(30,12))) AS DOUBLE)
         |    * 1000000) AS BIGINT) AS centroid_sq_sum_e6
-        |FROM per_dim GROUP BY label""".stripMargin)
+        |FROM per_dim GROUP BY label""".stripMargin,
+
+    // int8 codes as DOUBLE lists: every value is a small integer, so
+    // list_dot_product sums are exact (integers < 2^53 in doubles) —
+    // order-independent, engine-identical.
+    "q76_embed_quantized" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id,
+         |    list_transform(e, x -> CASE WHEN s > 0
+         |      THEN CAST(floor(x * 127.0 / s + 0.5) AS DOUBLE)
+         |      ELSE 0.0 END) AS q
+         |  FROM (SELECT vec_id, e,
+         |          list_max(list_transform(e, x -> abs(x))) AS s
+         |        FROM (SELECT vec_id, $dVec AS e FROM embeddings))),
+         |p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS int_dot,
+         |    CAST(list_dot_product(a.q, a.q) AS BIGINT) AS na,
+         |    CAST(list_dot_product(b.q, b.q) AS BIGINT) AS nb
+         |  FROM qz a, qz b
+         |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, int_dot,
+         |    CASE WHEN na > 0 AND nb > 0 THEN CAST(int_dot AS DOUBLE) /
+         |      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS qcos
+         |  FROM p),
+         |rk AS (
+         |  SELECT query_id, neighbor_id, int_dot, qcos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY qcos DESC, neighbor_id) AS rank
+         |  FROM r)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |  int_dot, qcos
+         |FROM rk WHERE rank <= 3""".stripMargin)
 }
