@@ -73,6 +73,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: chunking covers every token, respects size and stride") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      size <- Gen.choose(2, 12)
+      stride <- Gen.choose(1, size)
+    } yield (n, size, stride)
+    forAllN(gen, 15) { case (n, size, stride) =>
+      val doc = (0 until n).map(i => s"t$i").mkString(" ")
+      val chunks = graft.operators.Curation
+        .chunkTokens(Seq((1L, doc)).toDF("doc_id", "text"),
+          "doc_id", "text", size, stride)
+        .select($"chunk_id", $"chunk_text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val covered = chunks.flatMap(_._2.split(" ")).toSet
+      assert(covered === (0 until n).map(i => s"t$i").toSet) // full coverage
+      assert(chunks.forall(_._2.split(" ").length <= size)) // size bound
+      // chunk k starts exactly at token k*stride
+      chunks.foreach { case (k, txt) =>
+        assert(txt.split(" ").head === s"t${k * stride}")
+      }
+    }
+  }
+
+  test("property: packing manifest bins are contiguous and gapless") {
+    val gen = Gen.listOfN(8, Gen.choose(1, 40))
+    forAllN(gen, 10) { lens =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        ("s", i.toLong, (1 to n).map(_ => "x").mkString(" "))
+      }
+      val m = graft.operators.Curation
+        .packingManifest(docs.toDF("source", "doc_id", "text"),
+          "source", "doc_id", "text", capacity = 16)
+        .select($"doc_id", $"n_tokens", $"bin_start", $"offset_in_bin")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // reconstruct the running stream: each doc starts exactly where
+      // the previous ended (concatenate-and-cut leaves no gaps)
+      var pos = 0L
+      m.foreach { case (_, n, bin, off) =>
+        assert(bin === pos / 16 && off === pos % 16)
+        pos += n
+      }
+    }
+  }
+
   test("property: gap count = grid size - observed hour-slots") {
     val gen = for {
       span <- Gen.choose(2, 20)
