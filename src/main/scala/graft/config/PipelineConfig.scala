@@ -17,11 +17,15 @@ final case class ValueRange(min: Double, max: Double) {
   * Reference: config/default.yaml:41-47, src/config/models.py:65-68. */
 final case class Calibration(multiplier: Double, offset: Double)
 
-/** Parquet sink settings. Reference: config/default.yaml:49-54. */
+/** Parquet sink settings. Reference: config/default.yaml:49-54.
+  * `sortWithin` (extension, default off) clusters rows inside each
+  * output file by the given columns — tight parquet row-group min/max
+  * stats make time-range scans skip whole row groups at 100 TB. */
 final case class WriteConfig(
     compression: String = "zstd",
     partitionBy: Seq[String] = Seq("date", "sensor_id"),
-    mode: String = "overwrite")
+    mode: String = "overwrite",
+    sortWithin: Seq[String] = Nil)
 
 /** Transformation stage knobs. Reference: config/default.yaml:57-60. */
 final case class TransformConfig(
@@ -164,6 +168,8 @@ object PipelineConfig {
       Option(n.get("partition_by")).foreach(x =>
         w = w.copy(partitionBy = x.elements.asScala.map(_.asText).toSeq))
       Option(n.get("mode")).foreach(x => w = w.copy(mode = x.asText))
+      Option(n.get("sort_within")).foreach(x =>
+        w = w.copy(sortWithin = x.elements.asScala.map(_.asText).toSeq))
       cfg = cfg.copy(write = w)
     }
     Option(root.get("transformation")).foreach { n =>
@@ -254,6 +260,7 @@ object PipelineConfig {
       str(w, "compression").foreach(v => wc = wc.copy(compression = v))
       list(w, "partition_by").foreach(v => wc = wc.copy(partitionBy = v))
       str(w, "mode").foreach(v => wc = wc.copy(mode = v))
+      list(w, "sort_within").foreach(v => wc = wc.copy(sortWithin = v))
       cfg = cfg.copy(write = wc)
     }
     objOf("transformation").foreach { t =>

@@ -45,11 +45,24 @@ object Loader {
   def write(cfg: PipelineConfig, outPath: String)(df: DataFrame): Unit = {
     val parts = cfg.write.partitionBy
     val partCols = parts.map(col)
-    val prepared = parts
+    val repartitioned = parts
       .foldLeft(df) { (d, p) =>
         if (p == "date") d.withColumn("date", col("date").cast(StringType)) else d
       }
       .repartition(partCols: _*)
+    // Optional in-file clustering: sorting rows within each output task
+    // tightens parquet row-group min/max statistics on the sort keys,
+    // so time-range scans skip whole row groups at read time — a data-
+    // skipping win that costs one in-memory sort per write task, no
+    // extra shuffle (sortWithinPartitions is a narrow transformation).
+    // The partition columns lead the sort order: FileFormatWriter
+    // requires tasks sorted by partition columns and would insert its
+    // own sort (destroying the clustering) if the ordering didn't
+    // already satisfy that requirement.
+    val prepared =
+      if (cfg.write.sortWithin.isEmpty) repartitioned
+      else repartitioned.sortWithinPartitions(
+        (parts ++ cfg.write.sortWithin).map(col): _*)
     val writer = prepared.write
       .partitionBy(parts: _*)
       .option("compression", cfg.write.compression)

@@ -91,6 +91,32 @@ class LoaderSpec extends SparkSpec {
     assert(spark.read.parquet(out).collect().toSet === data)
   }
 
+  test("sortWithin clusters rows inside each output file") {
+    val out = Files.createTempDirectory("graft-sortwithin").toString
+    // many rows for one (date, sensor) partition, shuffled timestamps
+    val rows = (0 until 200).map(i =>
+      ("s1", java.sql.Timestamp.valueOf(
+        f"2023-06-01 ${(i * 7) % 24}%02d:${(i * 13) % 60}%02d:00"),
+        "temperature", i.toDouble, 90.0,
+        java.sql.Date.valueOf("2023-06-01"), 0.0, 0.0, false))
+    val df = rows.toDF("sensor_id", "timestamp", "reading_type", "value",
+      "battery_level", "date", "daily_avg_value", "rolling_avg_value",
+      "anomalous_reading")
+    val cfg = PipelineConfig.default.copy(write =
+      PipelineConfig.default.write.copy(sortWithin = Seq("timestamp")))
+    Loader.write(cfg, out)(df)
+    // each physical file must be internally timestamp-sorted (this is
+    // what tightens the parquet row-group min/max stats for skipping)
+    val byFile = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("timestamp"))
+      .collect().groupBy(_.getString(0))
+    assert(byFile.nonEmpty)
+    byFile.values.foreach { rs =>
+      val ts = rs.map(_.getTimestamp(1).getTime).toSeq
+      assert(ts === ts.sorted, "file not internally sorted")
+    }
+  }
+
   test("S11 read-back prunes partitions") {
     val out = Files.createTempDirectory("graft-load3").toString + "/out"
     Loader.write(PipelineConfig.default, out)(transformed())
