@@ -21,6 +21,23 @@ object GraftFunctions {
     "graft_float_dot" -> { exprs: Seq[Expression] =>
       require(exprs.length == 2, "graft_float_dot(a, b) takes 2 arguments")
       FloatVecDot(exprs.head, exprs(1))
+    },
+    "graft_float_cosine" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "graft_float_cosine(a, b) takes 2 arguments")
+      FloatVecCosine(exprs.head, exprs(1))
+    },
+    // aggregate: the analyzer wraps a bare AggregateFunction in an
+    // AggregateExpression when it appears in an aggregation context
+    "graft_bottom_k" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "graft_bottom_k(value, k) takes 2 arguments")
+      val k = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString.toInt
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_bottom_k k must be a literal, got $other")
+      }
+      BottomKAgg(exprs.head, k)
     })
 
   def register(spark: SparkSession): Unit = {

@@ -138,6 +138,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) === 24.0)
   }
 
+  test("graft_float_cosine and graft_bottom_k callable from SQL") {
+    graft.plans.GraftFunctions.register(spark)
+    Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs2")
+    val cos = spark.sql("SELECT graft_float_cosine(a, b) AS c FROM vecs2").head
+    assert(cos.getDouble(0) === 1.0)
+    Seq(5L, 3L, 9L, 1L, 7L, 3L).toDF("v").createOrReplaceTempView("longs")
+    val bk = spark.sql("SELECT graft_bottom_k(v, 3) AS s FROM longs").head
+    assert(bk.getSeq[Long](0) === Seq(1L, 3L, 5L)) // distinct bottom-3
+  }
+
   test("scrub: detects and redacts emails, phones, IPv4") {
     import graft.functions.scrub
     val df = Seq(
