@@ -178,6 +178,64 @@ object Curation {
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
 
+  /** Corpus-level duplicated-segment removal (the RefinedWeb/CCNet
+    * "drop lines repeated across documents" cleanup, expressed over
+    * fixed-width token segments since crawl line boundaries are not
+    * part of the corpus schema): each document is segmented into
+    * consecutive `segTokens`-token groups, a segment occurring in >=
+    * `maxDf` DISTINCT documents is dropped everywhere, and the
+    * surviving segments are reassembled in order.
+    *
+    * Scale shape: segments shuffle as (16-byte md5, id) pairs — never
+    * document bodies — through one distinct-doc-count aggregation and
+    * one equi-join back; reassembly is a single groupBy(id) whose
+    * buffer is bounded by the document's own segment count. No
+    * self-join, no pair materialization.
+    *
+    * Output: (idCol, clean_text, n_segments, n_kept, n_removed) — one
+    * row per input document, clean_text empty when everything was
+    * boilerplate. */
+  def removeDuplicatedSegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int = 8,
+      maxDf: Int = 2): DataFrame = {
+    require(segTokens > 0 && maxDf > 1,
+      s"need segTokens > 0 and maxDf > 1, got $segTokens/$maxDf")
+    val staged = df
+      .select(col(idCol), text.tokens(col(textCol)).as("__t"))
+      // tokens() of any string is >= 1 element, so n_segments >= 1 and
+      // the sequence() below never sees an empty range.
+      .withColumn("__n_seg",
+        ((org.apache.spark.sql.functions.size(col("__t")) + (segTokens - 1))
+          .cast(LongType) / segTokens).cast(LongType))
+    val seg = staged.select(col(idCol),
+      posexplode(transform(
+        sequence(lit(0L), col("__n_seg") - 1L),
+        k => concat_ws(" ",
+          slice(col("__t"), (k * segTokens + 1).cast("int"), lit(segTokens)))))
+        .as(Seq("seg_idx", "seg")))
+      .select(col(idCol), col("seg_idx").cast(LongType).as("seg_idx"),
+        col("seg"), md5(col("seg")).as("__h"))
+    val dfreq = seg.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__seg_df"))
+    val kept = seg.join(dfreq, "__h").filter(col("__seg_df") < maxDf)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg"))).as("clean_text"))
+    staged.select(col(idCol), col("__n_seg").as("n_segments"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Sequence-packing manifest: concatenate documents shard-by-shard in
     * a deterministic order and record, per document, which fixed-size
     * context bin its tokens start in and at what offset — the greedy

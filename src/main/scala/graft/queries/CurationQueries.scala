@@ -236,6 +236,33 @@ object CurationQueries {
       Curation.packingManifest(t(s, dir, "documents"),
         shardCol = "source", idCol = "doc_id", textCol = "text",
         capacity = 512)
+    }),
+
+    // Corpus-level duplicated-segment removal (RefinedWeb-style line
+    // dedup over fixed 8-token segments): segments occurring in >= 2
+    // distinct documents are dropped everywhere and the survivors
+    // reassembled; cleaned text ships as an md5 digest.
+    "q77_segment_dedup" -> ((s, dir) => {
+      Curation.removeDuplicatedSegments(
+        t(s, dir, "documents"), "doc_id", "text",
+        segTokens = 8, maxDf = 2)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_segments"), col("n_kept"), col("n_removed"))
+    }),
+
+    // Benchmark contamination broken down by source: which corpus
+    // slices leak benchmark n-grams, and how badly — the per-dataset
+    // report a decontamination pass actually acts on.
+    "q81_contam_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contamination(docs, "doc_id", "text",
+        isBenchmark = col("doc_id") < 20, n = 5, minShared = 3)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_contaminated"),
+          sum(col("n_shared")).cast(LongType).as("total_shared"),
+          max(col("n_shared")).cast(LongType).as("max_shared"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -431,5 +458,43 @@ object CurationQueries {
          |  CAST(bfr % 512 AS BIGINT) AS offset_in_bin,
          |  CAST((bfr + n_tokens - 1) // 512 - bfr // 512 + 1 AS BIGINT)
          |    AS bins_spanned
-         |FROM c""".stripMargin)
+         |FROM c""".stripMargin,
+
+    "q77_segment_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $dTok AS t FROM documents),
+         |seg AS (
+         |  SELECT doc_id, CAST(k AS BIGINT) AS seg_idx,
+         |    array_to_string(t[k*8+1 : k*8+8], ' ') AS seg
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(0,
+         |            CAST((len(t) + 7) // 8 - 1 AS INT))) AS k
+         |        FROM toks)),
+         |dfreq AS (
+         |  SELECT seg, count(DISTINCT doc_id) AS seg_df FROM seg GROUP BY 1),
+         |kept AS (
+         |  SELECT s.doc_id AS kid, count(*) AS n_kept,
+         |    array_to_string(list(s.seg ORDER BY s.seg_idx), ' ') AS clean_text
+         |  FROM seg s JOIN dfreq f USING (seg)
+         |  WHERE f.seg_df < 2 GROUP BY s.doc_id)
+         |SELECT t.doc_id,
+         |  md5(coalesce(k.clean_text, '')) AS clean_md5,
+         |  CAST((len(t.t) + 7) // 8 AS BIGINT) AS n_segments,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST((len(t.t) + 7) // 8 - coalesce(k.n_kept, 0) AS BIGINT)
+         |    AS n_removed
+         |FROM toks t LEFT JOIN kept k ON t.doc_id = k.kid""".stripMargin,
+
+    "q81_contam_by_source" ->
+      s"""WITH ${dShingleHashes()},
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 20),
+         |contam AS (
+         |  SELECT doc_id, count(*) AS n_shared
+         |  FROM sh JOIN bench USING (h)
+         |  WHERE doc_id >= 20
+         |  GROUP BY doc_id HAVING count(*) >= 3)
+         |SELECT d.source, count(*) AS n_contaminated,
+         |  CAST(sum(c.n_shared) AS BIGINT) AS total_shared,
+         |  CAST(max(c.n_shared) AS BIGINT) AS max_shared
+         |FROM contam c JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin)
 }

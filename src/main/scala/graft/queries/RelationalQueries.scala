@@ -188,6 +188,63 @@ object RelationalQueries {
         datediff(lit("1998-12-31").cast("date"),
           col("o_orderdate").cast("date")).cast("long").as("days_to_eoy"),
         quarter(col("o_orderdate")).cast("long").as("q"))
+    }),
+
+    // Explicit GROUPING SETS (beyond rollup/cube): the (flag, status),
+    // (flag), () lattice in one aggregation pass.
+    "q78_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          exact.sumExact(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Exact second-moment profile: per-flag covariance / correlation of
+    // quantity vs extendedprice from DECIMAL-accumulated sums (sx, sy,
+    // sxy, sxx, syy). Each FACTOR is decimalized at scale 2 — the data's
+    // own precision, where the double->decimal cast is unambiguous on
+    // any engine (binary noise ~1e-11 vs a 0.005 rounding boundary) —
+    // and the products are decimal*decimal, so every sum is integer-
+    // exact and partitioning-independent. (Decimalizing the double
+    // PRODUCTS instead is fragile: a wide-mantissa product can straddle
+    // a scale-10 rounding boundary between engines.) The final
+    // covariance/correlation arithmetic is the same fixed IEEE
+    // expression tree on both sides — a statistic that is normally
+    // "close to" reproducible becomes bit-exact, in ONE map-side-
+    // combined aggregation pass.
+    "q80_moments" -> ((s, dir) => {
+      val d = DecimalType(18, 2)
+      def sdec(c: org.apache.spark.sql.Column) = sum(c)
+      val x = col("l_quantity").cast(d)
+      val y = col("l_extendedprice").cast(d)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sdec(x).as("sx"), sdec(y).as("sy"),
+          sdec(x * y).as("sxy"), sdec(x * x).as("sxx"),
+          sdec(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sx").cast("double") / col("n").cast("double")).as("mean_x"),
+          (col("sy").cast("double") / col("n").cast("double")).as("mean_y"),
+          ((col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")
+              / col("n").cast("double")) / col("n").cast("double"))
+            .as("cov_pop"),
+          ((col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")
+              / col("n").cast("double")) / col("n").cast("double"))
+            .as("var_x"),
+          ((col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double")
+              / col("n").cast("double")) / col("n").cast("double"))
+            .as("var_y"))
+        .withColumn("corr_xy",
+          col("cov_pop") / sqrt(col("var_x") * col("var_y")))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -317,5 +374,51 @@ object RelationalQueries {
         |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
         |    AS BIGINT) AS days_to_eoy,
         |  CAST(quarter(o_orderdate) AS BIGINT) AS q
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+
+    "q78_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
+
+    "q80_moments" ->
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM f GROUP BY l_returnflag),
+        |d AS (
+        |  -- decimal->double through VARCHAR: DuckDB's direct cast
+        |  -- double-rounds (int128->double, then /10^scale) once the
+        |  -- scaled sum exceeds 2^53; the string parse is correctly
+        |  -- rounded, matching Spark's BigDecimal->double.
+        |  SELECT l_returnflag, n,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+        |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+        |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
+        |  FROM a),
+        |m AS (
+        |  SELECT l_returnflag, n,
+        |    sxd / CAST(n AS DOUBLE) AS mean_x,
+        |    syd / CAST(n AS DOUBLE) AS mean_y,
+        |    (sxyd - sxd * syd / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      AS cov_pop,
+        |    (sxxd - sxd * sxd / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      AS var_x,
+        |    (syyd - syd * syd / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      AS var_y
+        |  FROM d)
+        |SELECT l_returnflag, n, mean_x, mean_y, cov_pop, var_x, var_y,
+        |  cov_pop / sqrt(var_x * var_y) AS corr_xy
+        |FROM m""".stripMargin)
 }

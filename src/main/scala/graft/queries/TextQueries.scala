@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -275,6 +276,29 @@ object TextQueries {
         col("doc_id"),
         length(col("text").cast("binary")).cast(LongType).as("byte_len"),
         md5(col("text")).as("content_md5"))
+    }),
+
+    // Inverted index: per term, document frequency plus the 10 lowest
+    // posting doc_ids. The window's row_number bounds every aggregation
+    // buffer BEFORE collect_list (a term's full posting list never sits
+    // in one buffer), and the groupBy reuses the window's partitioning
+    // — one shuffle total.
+    "q79_postings" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(text.tokens(col("text")))).as("term"))
+      val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      val wAll = Window.partitionBy(col("term"))
+      terms
+        .withColumn("rn", row_number().over(w))
+        .withColumn("df", count(lit(1)).over(wAll))
+        .filter(col("rn") <= 10)
+        .groupBy(col("term"))
+        .agg(
+          max(col("df")).cast(LongType).as("df"),
+          concat_ws(",", transform(
+            array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string"))).as("postings"))
     }))
 
   /** Shared CTE chain producing MinHash LSH candidate pairs with exact
@@ -558,5 +582,13 @@ object TextQueries {
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_md5
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "q79_postings" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(list_distinct($dTok)) AS term
+         |  FROM documents)
+         |SELECT term, count(*) AS df,
+         |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+         |FROM terms GROUP BY term""".stripMargin)
 }

@@ -119,6 +119,41 @@ class CurationSpec extends SparkSpec {
     assert(out(3) === (("B", 1L, 10L, 0L, 0L, 1L))) // shards independent
   }
 
+  test("removeDuplicatedSegments: shared segments drop, unique survive") {
+    // Docs 1 and 2 share their first 8-token segment verbatim; doc 3 is
+    // unique; doc 4 IS the shared segment alone (fully boilerplate).
+    val boiler = "a b c d e f g h"
+    val df = Seq(
+      (1L, s"$boiler one two three"),
+      (2L, s"$boiler four five"),
+      (3L, "entirely unique text here"),
+      (4L, boiler))
+      .toDF("doc_id", "text")
+    val out = Curation.removeDuplicatedSegments(df, "doc_id", "text",
+      segTokens = 8, maxDf = 2)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0) === ((1L, "one two three", 2L, 1L, 1L)))
+    assert(out(1) === ((2L, "four five", 2L, 1L, 1L)))
+    assert(out(2) === ((3L, "entirely unique text here", 1L, 1L, 0L)))
+    assert(out(3) === ((4L, "", 1L, 0L, 1L))) // everything was boilerplate
+  }
+
+  test("removeDuplicatedSegments: reassembly preserves segment order") {
+    // 20 tokens -> 3 segments; middle segment shared with doc 2.
+    val seg0 = "t0 t1 t2 t3 t4 t5 t6 t7"
+    val mid = "m0 m1 m2 m3 m4 m5 m6 m7"
+    val tail = "z0 z1 z2 z3"
+    val df = Seq(
+      (1L, s"$seg0 $mid $tail"),
+      (2L, mid))
+      .toDF("doc_id", "text")
+    val out = Curation.removeDuplicatedSegments(df, "doc_id", "text",
+      segTokens = 8, maxDf = 2)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0) === ((1L, s"$seg0 $tail", 3L, 2L, 1L)))
+    assert(out(1) === ((2L, "", 1L, 0L, 1L)))
+  }
+
   test("kmvDistinct: exact below k, estimate within 2x at 25 values") {
     val small = (1 to 5).map(i => ("g1", s"v$i")) // 5 distinct < k=8
     val big = (1 to 25).map(i => ("g2", s"w$i"))
