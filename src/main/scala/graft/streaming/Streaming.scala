@@ -146,6 +146,30 @@ object Streaming {
       .toDF()
   }
 
+  /** Stream-stream interval join (the attribution/enrichment shape:
+    * "right events landing within `maxDelay` after a matching left
+    * event"). Inputs must already carry watermarks (eventsStream does)
+    * — the event-time tag survives the column prefixing, and
+    * re-watermarking here would be a disallowed redefinition. The join
+    * carries an explicit time-range condition — that range is what lets
+    * the engine evict per-key state as the watermark advances, keeping
+    * state bounded on an unbounded feed (an equality-only stream-stream
+    * join would hold both sides forever). Inner join, so rows emit as
+    * soon as they match — no watermark wait on the output path. */
+  def intervalJoin(
+      lhs: DataFrame,
+      rhs: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      maxDelay: String): DataFrame = {
+    def side(df: DataFrame, p: String) =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+    side(lhs, "l_").join(
+      side(rhs, "r_"),
+      expr(s"l_$keyCol = r_$keyCol AND r_$tsCol >= l_$tsCol" +
+        s" AND r_$tsCol <= l_$tsCol + interval $maxDelay"))
+  }
+
   /** Streaming replacement for the reference's file-name checkpoint
     * ingestion (SURVEY §2.7): a FileStreamSource over the raw sensor
     * directory discovers new files incrementally (Spark's own

@@ -159,6 +159,30 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(out.count() === 3) // all users matched a tier
   }
 
+  test("streaming: stream-stream interval join equals the batch interval join") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    def typed(t: String) =
+      Streaming.eventsStream(spark, path).filter($"event_type" === t)
+    val joined = Streaming.intervalJoin(
+      typed("view"), typed("click"), "user_id", "ts", "30 minutes")
+      .select($"l_event_id", $"r_event_id")
+    val out = Streaming.runToCompletion(
+      spark, joined, "spec_ssjoin", outputMode = "append")
+      .as[(Long, Long)].collect().toSet
+
+    val ev = graft.queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "events")
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("k"), $"ts".as("l_ts"), $"event_id".as("l_event_id"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("ck"), $"ts".as("r_ts"), $"event_id".as("r_event_id"))
+    val batch = v.join(c, $"k" === $"ck" &&
+        $"r_ts" >= $"l_ts" && $"r_ts" <= $"l_ts" + expr("interval 30 minutes"))
+      .select($"l_event_id", $"r_event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(out === batch)
+  }
+
   test("streaming: session windows bound per-user activity") {
     val stream = Streaming.eventsStream(spark, "/root/testdata/sf0.001/events.parquet")
     val sessions = Streaming.runToCompletion(
