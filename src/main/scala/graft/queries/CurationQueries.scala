@@ -250,6 +250,26 @@ object CurationQueries {
           col("n_segments"), col("n_kept"), col("n_removed"))
     }),
 
+    // Deterministic train/val/test assignment: content-hash bucket mod
+    // 100 -> 80/10/10 split. No RNG state, no shuffle for the
+    // assignment itself (a narrow projection), stable across runs,
+    // engines, and partitionings — the reproducible-split contract an
+    // experiment pipeline needs. Profiled per split here.
+    "q82_split_assign" -> ((s, dir) => {
+      val bucket = text.md5Hash32(col("text"), 13) % 100
+      val split = when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val").otherwise("test")
+      t(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .withColumn("split", split)
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("total_chars"),
+          min(col("bucket")).cast(LongType).as("min_bucket"),
+          max(col("bucket")).cast(LongType).as("max_bucket"))
+    }),
+
     // Benchmark contamination broken down by source: which corpus
     // slices leak benchmark n-grams, and how badly — the per-dataset
     // report a decontamination pass actually acts on.
@@ -483,6 +503,19 @@ object CurationQueries {
          |  CAST((len(t.t) + 7) // 8 - coalesce(k.n_kept, 0) AS BIGINT)
          |    AS n_removed
          |FROM toks t LEFT JOIN kept k ON t.doc_id = k.kid""".stripMargin,
+
+    "q82_split_assign" ->
+      s"""WITH b AS (
+         |  SELECT n_chars, (${dHash32(13, "text")}) % 100 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(min(bucket) AS BIGINT) AS min_bucket,
+         |  CAST(max(bucket) AS BIGINT) AS max_bucket
+         |FROM b GROUP BY 1""".stripMargin,
 
     "q81_contam_by_source" ->
       s"""WITH ${dShingleHashes()},

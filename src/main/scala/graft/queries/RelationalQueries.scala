@@ -245,6 +245,32 @@ object RelationalQueries {
             .as("var_y"))
         .withColumn("corr_xy",
           col("cov_pop") / sqrt(col("var_x") * col("var_y")))
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): six-table join where the
+    // customer and supplier nations must match. Dimensions broadcast;
+    // only the lineitem<->orders join shuffles, and the date predicate
+    // pushes into the orders scan.
+    "q83_tpch_q5" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(20, 6))).cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -420,5 +446,22 @@ object RelationalQueries {
         |  FROM d)
         |SELECT l_returnflag, n, mean_x, mean_y, cov_pop, var_x, var_y,
         |  cov_pop / sqrt(var_x * var_y) AS corr_xy
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+
+    "q83_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin)
 }
