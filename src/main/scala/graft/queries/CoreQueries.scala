@@ -316,6 +316,61 @@ object CoreQueries {
           exact.avgExact(when(col("event_type") === "purchase", col("value")))
             .as("avg_purchase_value"),
           count(lit(1)).as("n_events"))
+    }),
+
+    // Three-valued-logic scalar surface: coalesce / nullif / null-safe
+    // equality / null-aware counts over a genuinely-nullable column
+    // (the optional JSON property). One aggregate row.
+    "q85_null_semantics" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("k")).as("n_k"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_k"),
+          sum(coalesce(col("k"), lit(-1L))).cast(LongType)
+            .as("sum_coalesce"),
+          count(nullif(col("event_type"), lit("click"))).as("n_not_click"),
+          sum(when(col("k") <=> lit(5L), 1L).otherwise(0L))
+            .as("n_k5_nullsafe"),
+          sum(when(col("k") === 5L, 1L).otherwise(0L)).as("n_k5_plain"))
+    }),
+
+    // Time-series linear interpolation of missing values: per user,
+    // nulls (injected deterministically — the synthetic feed is
+    // complete) are filled by interpolating between the nearest
+    // non-null neighbors, weighted by integer-microsecond distance.
+    // Two IGNORE NULLS window scans, one shuffle; edges extend the
+    // nearest known value.
+    "q86_interpolate" -> ((s, dir) => {
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val tsUs = unix_micros(col("ts"))
+      t(s, dir, "events")
+        .withColumn("vn",
+          when(col("event_id") % 11 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("ts_us", tsUs)
+        .withColumn("known_ts",
+          when(col("vn").isNotNull, col("ts_us")))
+        .withColumn("prev_v", last(col("vn"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_ts",
+          last(col("known_ts"), ignoreNulls = true).over(wPrev))
+        .withColumn("next_v", first(col("vn"), ignoreNulls = true).over(wNext))
+        .withColumn("next_ts",
+          first(col("known_ts"), ignoreNulls = true).over(wNext))
+        .select(col("event_id"),
+          when(col("vn").isNotNull, col("vn"))
+            .when(col("prev_v").isNotNull && col("next_v").isNotNull,
+              col("prev_v") + (col("next_v") - col("prev_v")) *
+                ((col("ts_us") - col("prev_ts")).cast("double") /
+                  (col("next_ts") - col("prev_ts")).cast("double")))
+            .otherwise(coalesce(col("prev_v"), col("next_v")))
+            .as("v_filled"))
     }))
 
   private def calibrationCase: String =
@@ -510,5 +565,50 @@ object CoreQueries {
         |       / count(CASE WHEN event_type = 'purchase' THEN value END)
         |       AS DOUBLE) AS avg_purchase_value,
         |  count(*) AS n_events
-        |FROM events GROUP BY hour(ts)""".stripMargin)
+        |FROM events GROUP BY hour(ts)""".stripMargin,
+
+    "q85_null_semantics" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT count(*) AS n,
+        |  count(k) AS n_k,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_k,
+        |  CAST(sum(coalesce(k, -1)) AS BIGINT) AS sum_coalesce,
+        |  count(nullif(event_type, 'click')) AS n_not_click,
+        |  CAST(sum(CASE WHEN k IS NOT DISTINCT FROM 5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_k5_nullsafe,
+        |  CAST(sum(CASE WHEN k = 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_k5_plain
+        |FROM b""".stripMargin,
+
+    "q86_interpolate" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, ts,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS vn
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, ts_us, vn,
+        |    last_value(vn IGNORE NULLS) OVER wp AS prev_v,
+        |    last_value(CASE WHEN vn IS NOT NULL THEN ts_us END IGNORE NULLS)
+        |      OVER wp AS prev_ts,
+        |    first_value(vn IGNORE NULLS) OVER wn AS next_v,
+        |    first_value(CASE WHEN vn IS NOT NULL THEN ts_us END IGNORE NULLS)
+        |      OVER wn AS next_ts
+        |  FROM b
+        |  WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    wn AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id,
+        |  CASE WHEN vn IS NOT NULL THEN vn
+        |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+        |         prev_v + (next_v - prev_v) *
+        |           (CAST(ts_us - prev_ts AS DOUBLE)
+        |            / CAST(next_ts - prev_ts AS DOUBLE))
+        |       ELSE coalesce(prev_v, next_v) END AS v_filled
+        |FROM w""".stripMargin)
 }

@@ -80,6 +80,26 @@ object EmbeddingQueries {
         .select(col("label"), col("n_vectors"),
           floor(col("centroid_sq_sum") * 1000000).cast("long")
             .as("centroid_sq_sum_e6"))
+    }),
+
+    // Higher-order-function scalar surface (transform / filter / exists
+    // / zip_with / aggregate — all codegen'd lambdas, no UDFs): per
+    // vector, element count, positives, strict-left-fold sum of
+    // squares, max |x|, largest element, a reversed-vector dot
+    // (zip_with over two arrays), and an existence predicate.
+    "q84_array_hof" -> ((s, dir) => {
+      val embD = graft.functions.embeddings.toDouble(col("embedding"))
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim_n"),
+        size(filter(embD, x => x > 0)).cast("long").as("n_pos"),
+        graft.functions.embeddings.arraySum(
+          zip_with(embD, embD, (a, b) => a * b)).as("sum_sq"),
+        array_max(transform(embD, x => abs(x))).as("max_abs"),
+        array_max(embD).as("top1"),
+        graft.functions.embeddings.arraySum(
+          zip_with(embD, reverse(embD), (a, b) => a * b)).as("rev_dot"),
+        exists(embD, x => abs(x) > lit(0.5)).as("has_big"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -180,5 +200,16 @@ object EmbeddingQueries {
          |  FROM r)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
          |  int_dot, qcos
-         |FROM rk WHERE rank <= 3""".stripMargin)
+         |FROM rk WHERE rank <= 3""".stripMargin,
+
+    "q84_array_hof" ->
+      s"""SELECT vec_id,
+         |  CAST(len(e) AS BIGINT) AS dim_n,
+         |  CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos,
+         |  list_dot_product(e, e) AS sum_sq,
+         |  list_max(list_transform(e, x -> abs(x))) AS max_abs,
+         |  list_max(e) AS top1,
+         |  list_dot_product(e, list_reverse(e)) AS rev_dot,
+         |  len(list_filter(e, x -> abs(x) > 0.5)) > 0 AS has_big
+         |FROM (SELECT vec_id, $dVec AS e FROM embeddings)""".stripMargin)
 }
