@@ -178,18 +178,34 @@ object ParquetIngestor {
     // S5+S7 — footer-only schema probe with per-file error isolation.
     // Nanosecond-timestamp columns (pandas default) read as LongType
     // under nanosAsLong; the footer annotation marks them for conversion.
+    // Probes run on a bounded driver thread pool: each is an independent
+    // footer-metadata read (an HTTP-range fetch on object storage), so at
+    // 100k files the wall-clock is files/poolSize round-trips, not
+    // files. Futures keep the input order, so results — and therefore
+    // accepted-file order and the multi-path read — stay deterministic.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val probed = fresh.map { p =>
-      p -> Try {
-        val s = spark.read.parquet(p.toString).schema
-        val ns = NanosProbe.nanosCols(spark, p)
-        val effective = StructType(s.fields.map { f =>
-          if (ns(f.name) && f.dataType == LongType)
-            f.copy(dataType = TimestampType)
-          else f
-        })
-        (effective, ns)
-      }
+    val probed = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, fresh.size)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(fresh.map { p =>
+          Future {
+            p -> Try {
+              val s = spark.read.parquet(p.toString).schema
+              val ns = NanosProbe.nanosCols(spark, p)
+              val effective = StructType(s.fields.map { f =>
+                if (ns(f.name) && f.dataType == LongType)
+                  f.copy(dataType = TimestampType)
+                else f
+              })
+              (effective, ns)
+            }
+          }
+        }), Duration.Inf)
+      finally pool.shutdown()
     }
     val failed = probed.collect { case (p, Failure(e)) =>
       p.getName -> s"unreadable: ${e.getMessage}"

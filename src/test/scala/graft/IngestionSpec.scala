@@ -116,6 +116,28 @@ class IngestionSpec extends SparkSpec {
     assert(r3.data.get.count() === 3)
   }
 
+  test("ingest: parallel probe over many files keeps isolation and order") {
+    val dir = tmpDir()
+    // 24 good files, 3 corrupt, 2 schema-broken — more files than the
+    // probe pool has threads, so the parallel path genuinely fans out.
+    (1 to 24).foreach(i => addFile(dir, f"2023-07-$i%02d.parquet", rows = 3))
+    (1 to 3).foreach { i =>
+      Files.write(java.nio.file.Paths.get(dir, s"corrupt_$i.parquet"),
+        s"not parquet $i".getBytes)
+    }
+    (1 to 2).foreach { i =>
+      Seq((s"s$i", 1.0)).toDF("sensor_id", "value")
+        .coalesce(1).write.mode("append").parquet(s"$dir/stage_bad$i.parquet")
+      promote(dir, s"bad$i.parquet")
+    }
+    val r = ParquetIngestor.ingest(spark, dir, Schemas.raw)
+    assert(r.accepted.size === 24)
+    assert(r.accepted === r.accepted.sorted) // deterministic name order
+    assert(r.failed.size === 3)
+    assert(r.skipped.size === 2)
+    assert(r.data.get.count() === 72L)
+  }
+
   test("ingest: commit is a no-op in full-reload mode") {
     val dir = tmpDir()
     addFile(dir, "2023-06-01.parquet")
