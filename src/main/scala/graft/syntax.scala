@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.operators.{Curation, Dedup, Similarity}
+
+/** Fluent extension syntax: the curation/dedup/similarity operators as
+  * DataFrame methods, so pipelines read as one chain —
+  *
+  * {{{
+  * import graft.syntax._
+  * docs.nearDupPairs("doc_id", "text")
+  * docs.chunk("doc_id", "text", size = 512, stride = 384)
+  * corpus.topKNeighbors(queries, "vec_id", "embedding", k = 5)
+  * }}}
+  *
+  * Pure delegation — every method forwards to the corresponding
+  * operator object, so the fluent form and the explicit form build the
+  * identical plan (SyntaxSpec asserts this).
+  */
+object syntax {
+
+  implicit class DocumentOps(private val df: DataFrame) extends AnyVal {
+
+    /** Exact content dedup — see [[Dedup.exactByHash]]. */
+    def dedupExact(idCol: String, contentCol: String): DataFrame =
+      Dedup.exactByHash(df, idCol, contentCol)
+
+    /** MinHash+LSH near-dup candidate pairs with exact-Jaccard verify —
+      * see [[Dedup.minhashLsh]]. */
+    def nearDupPairs(
+        idCol: String,
+        contentCol: String,
+        k: Int = 16,
+        bands: Int = 4,
+        shingleN: Int = 3,
+        threshold: Double = 0.5): DataFrame =
+      Dedup.minhashLsh(df, idCol, contentCol, k, bands, shingleN, threshold)
+
+    /** Corpus-level duplicated-segment removal — see
+      * [[Curation.removeDuplicatedSegments]]. */
+    def dropDuplicatedSegments(
+        idCol: String,
+        textCol: String,
+        segTokens: Int = 8,
+        maxDf: Int = 2): DataFrame =
+      Curation.removeDuplicatedSegments(df, idCol, textCol, segTokens, maxDf)
+
+    /** Cross-document boilerplate profile — see
+      * [[Curation.boilerplateProfile]]. */
+    def boilerplateProfile(
+        idCol: String,
+        contentCol: String,
+        n: Int = 5,
+        minDf: Int = 3): DataFrame =
+      Curation.boilerplateProfile(df, idCol, contentCol, n, minDf)
+
+    /** Benchmark-contamination check — see [[Curation.contamination]]. */
+    def contaminationAgainst(
+        isBenchmark: Column,
+        idCol: String,
+        contentCol: String,
+        n: Int = 5,
+        minShared: Int = 3): DataFrame =
+      Curation.contamination(df, idCol, contentCol, isBenchmark, n, minShared)
+
+    /** Sliding context-window chunking — see [[Curation.chunkTokens]]. */
+    def chunk(idCol: String, textCol: String, size: Int, stride: Int): DataFrame =
+      Curation.chunkTokens(df, idCol, textCol, size, stride)
+
+    /** Sequence-packing manifest — see [[Curation.packingManifest]]. */
+    def packInto(
+        shardCol: String,
+        idCol: String,
+        textCol: String,
+        capacity: Int): DataFrame =
+      Curation.packingManifest(df, shardCol, idCol, textCol, capacity)
+
+    /** Deterministic per-stratum sample — see
+      * [[Curation.stratifiedSample]]. */
+    def stratifiedSample(
+        strataCol: String,
+        hashCol: Column,
+        tieCol: String,
+        perStratum: Int): DataFrame =
+      Curation.stratifiedSample(df, strataCol, hashCol, tieCol, perStratum)
+
+    /** Gap-based sessionization — see [[Curation.sessionize]]. */
+    def sessionize(
+        userCol: String,
+        tsCol: String,
+        tieCol: String,
+        gapMinutes: Int = 30): DataFrame =
+      Curation.sessionize(df, userCol, tsCol, tieCol, gapMinutes)
+  }
+
+  implicit class EmbeddingOps(private val corpus: DataFrame) extends AnyVal {
+
+    /** Exact brute-force cosine top-k (broadcast query side) — see
+      * [[Similarity.bruteForceTopK]]. */
+    def topKNeighbors(
+        queries: DataFrame,
+        idCol: String,
+        vecCol: String,
+        k: Int = 5): DataFrame =
+      Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+
+    /** IVF-style sign-bucketed approximate top-k — see
+      * [[Similarity.bucketedTopK]]. */
+    def approxTopKNeighbors(
+        queries: DataFrame,
+        idCol: String,
+        vecCol: String,
+        k: Int = 3,
+        signBits: Int = 8): DataFrame =
+      Similarity.bucketedTopK(corpus, queries, idCol, vecCol, k, signBits)
+
+    /** int8-quantized top-k (integer-exact scoring) — see
+      * [[Similarity.quantizedTopK]]. */
+    def quantizedTopKNeighbors(
+        queries: DataFrame,
+        idCol: String,
+        vecCol: String,
+        k: Int = 3): DataFrame =
+      Similarity.quantizedTopK(corpus, queries, idCol, vecCol, k)
+
+    /** Embedding near-duplicate pairs — see [[Dedup.embeddingNearDup]]. */
+    def embeddingNearDups(
+        idCol: String,
+        vecCol: String,
+        threshold: Double = 0.95,
+        signBits: Int = 8): DataFrame =
+      Dedup.embeddingNearDup(corpus, idCol, vecCol, threshold, signBits)
+  }
+}

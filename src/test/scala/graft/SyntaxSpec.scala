@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, Similarity}
+import graft.syntax._
+
+/** The fluent syntax must be pure delegation: identical logical plans
+  * (and therefore identical results) to the explicit operator calls. */
+class SyntaxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b c d e f g h i j"),
+    (2L, "a b c d e f g h i j"),
+    (3L, "k l m n o p q r s t"))
+    .toDF("doc_id", "text")
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.5f, 0.2f, -0.1f, 0.3f, 0.7f, -0.4f)),
+    (2L, Array(0.9f, 0.1f, 0.4f, 0.2f, -0.2f, 0.3f, 0.6f, -0.5f)),
+    (3L, Array(-1.0f, 0.2f, -0.3f, -0.6f, 0.4f, -0.2f, -0.8f, 0.1f)))
+    .toDF("vec_id", "embedding")
+
+  private def samePlan(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Unit =
+    assert(a.queryExecution.optimizedPlan.canonicalized ===
+      b.queryExecution.optimizedPlan.canonicalized)
+
+  test("document ops delegate to the operator objects") {
+    samePlan(docs.dedupExact("doc_id", "text"),
+      Dedup.exactByHash(docs, "doc_id", "text"))
+    samePlan(docs.dropDuplicatedSegments("doc_id", "text"),
+      Curation.removeDuplicatedSegments(docs, "doc_id", "text"))
+    samePlan(docs.boilerplateProfile("doc_id", "text"),
+      Curation.boilerplateProfile(docs, "doc_id", "text"))
+    samePlan(docs.chunk("doc_id", "text", size = 4, stride = 2),
+      Curation.chunkTokens(docs, "doc_id", "text", 4, 2))
+    samePlan(docs.packInto("doc_id", "doc_id", "text", capacity = 8),
+      Curation.packingManifest(docs, "doc_id", "doc_id", "text", 8))
+    samePlan(
+      docs.contaminationAgainst(col("doc_id") === 1L, "doc_id", "text"),
+      Curation.contamination(docs, "doc_id", "text", col("doc_id") === 1L))
+  }
+
+  test("embedding ops delegate to the operator objects") {
+    val q = vecs.filter($"vec_id" === 1L)
+    samePlan(vecs.topKNeighbors(q, "vec_id", "embedding", k = 2),
+      Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 2))
+    samePlan(vecs.approxTopKNeighbors(q, "vec_id", "embedding"),
+      Similarity.bucketedTopK(vecs, q, "vec_id", "embedding"))
+    samePlan(vecs.embeddingNearDups("vec_id", "embedding"),
+      Dedup.embeddingNearDup(vecs, "vec_id", "embedding"))
+  }
+
+  test("fluent chain end-to-end: dedup then near-dup pairs") {
+    val pairs = docs.nearDupPairs("doc_id", "text", k = 8, bands = 4)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    val kept = docs.dedupExact("doc_id", "text")
+    assert(kept.count() === 2L)
+  }
+}
