@@ -133,4 +133,40 @@ class PropertySpec extends SparkSpec {
       assert(missing === span - hours.size)
     }
   }
+
+  test("property: segment dedup accounting and all-unique identity") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val gen = for {
+      nDocs <- Gen.choose(2, 6)
+      docs <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(word).map(_.take(20)))
+    } yield docs
+    forAllN(gen, 8) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.Curation
+        .removeDuplicatedSegments(df, "doc_id", "text", segTokens = 4, maxDf = 2)
+        .as[(Long, String, Long, Long, Long)].collect()
+      assert(out.length === docs.length) // one row per doc, always
+      out.foreach { case (_, _, nSeg, nKept, nRemoved) =>
+        assert(nKept + nRemoved === nSeg) // accounting identity
+        assert(nSeg === math.max(1, 0) + (nSeg - 1)) // nSeg >= 1
+      }
+      // docs made globally unique (every token doc-prefixed, so no
+      // cross-doc segment can collide) keep everything; within-doc
+      // repeats survive by design (df counts DISTINCT docs)
+      val salted = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.map(w => s"d$i$w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val kept = graft.operators.Curation
+        .removeDuplicatedSegments(salted, "doc_id", "text", 4, 2)
+        .as[(Long, String, Long, Long, Long)].collect()
+      kept.foreach { case (id, clean, nSeg, nKept, nRemoved) =>
+        assert(nRemoved === 0L)
+        assert(nKept === nSeg)
+        // reassembly reproduces the (whitespace-normalized) input
+        assert(clean === docs(id.toInt).map(w => s"d$id$w").mkString(" "))
+      }
+    }
+  }
 }
