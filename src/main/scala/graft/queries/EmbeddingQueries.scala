@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity}
@@ -80,6 +81,36 @@ object EmbeddingQueries {
         .select(col("label"), col("n_vectors"),
           floor(col("centroid_sq_sum") * 1000000).cast("long")
             .as("centroid_sq_sum_e6"))
+    }),
+
+    // Nearest-centroid assignment (the E-step of k-means / the "route
+    // to topic shard" pass of corpus organization): every non-zero
+    // vector joins the 8 broadcast centroid rows, argmax cosine with a
+    // deterministic centroid-id tie-break, then a per-centroid profile.
+    // Centroids broadcast; the corpus never shuffles until the final
+    // 8-row aggregate. Cosine sums accumulate as decimal so the profile
+    // is partitioning-independent.
+    "q87_centroid_assign" -> ((s, dir) => {
+      import graft.functions.embeddings
+      val emb = t(s, dir, "embeddings")
+        .filter(embeddings.dot(col("embedding"), col("embedding")) > 0)
+      val cent = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("centroid_id"))
+      emb.select(col("vec_id"), col("embedding").as("v"))
+        .join(broadcast(cent))
+        .withColumn("cos", embeddings.cosine(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("centroid_id"))
+        .agg(
+          count(lit(1)).as("n_assigned"),
+          floor(sum(col("cos").cast(
+            org.apache.spark.sql.types.DecimalType(20, 6))) * 1000000)
+            .cast("long").as("sum_cos_e6"),
+          min(col("cos")).as("min_cos"),
+          max(col("cos")).as("max_cos"))
     }),
 
     // Higher-order-function scalar surface (transform / filter / exists
@@ -201,6 +232,30 @@ object EmbeddingQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
          |  int_dot, qcos
          |FROM rk WHERE rank <= 3""".stripMargin,
+
+    "q87_centroid_assign" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+         |  FROM (SELECT vec_id, $dVec AS e FROM embeddings)
+         |  WHERE list_dot_product(e, e) > 0),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm
+         |  FROM n WHERE vec_id < 8),
+         |p AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) AS cos
+         |  FROM n v, cent c),
+         |r AS (
+         |  SELECT vec_id, centroid_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos DESC, centroid_id) AS rn
+         |  FROM p)
+         |SELECT centroid_id, count(*) AS n_assigned,
+         |  CAST(floor(sum(CAST(cos AS DECIMAL(20,6))) * 1000000) AS BIGINT)
+         |    AS sum_cos_e6,
+         |  min(cos) AS min_cos, max(cos) AS max_cos
+         |FROM r WHERE rn = 1
+         |GROUP BY centroid_id""".stripMargin,
 
     "q84_array_hof" ->
       s"""SELECT vec_id,
