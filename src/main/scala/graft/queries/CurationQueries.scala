@@ -250,6 +250,33 @@ object CurationQueries {
           col("n_segments"), col("n_kept"), col("n_removed"))
     }),
 
+    // Corpus snapshot diff (dataset-versioning audit): FULL OUTER join
+    // of two corpus versions on doc_id comparing content hashes —
+    // added / removed / modified / unchanged, one shuffle each side,
+    // hashes not bodies. v2 is derived deterministically in-query
+    // (every 13th doc dropped, every 17th edited, a high-id block
+    // added) and mirrored in the oracle.
+    "q88_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2 = docs
+        .filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h2"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(col("text")).as("h2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "modified")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Deterministic train/val/test assignment: content-hash bucket mod
     // 100 -> 80/10/10 split. No RNG state, no shuffle for the
     // assignment itself (a narrow projection), stable across runs,
@@ -503,6 +530,24 @@ object CurationQueries {
          |  CAST((len(t.t) + 7) // 8 - coalesce(k.n_kept, 0) AS BIGINT)
          |    AS n_removed
          |FROM toks t LEFT JOIN kept k ON t.doc_id = k.kid""".stripMargin,
+
+    "q88_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+        |             ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h2
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |            WHEN h2 IS NULL THEN 'removed'
+        |            WHEN h1 <> h2 THEN 'modified'
+        |            ELSE 'unchanged' END AS status,
+        |  count(*) AS n_docs
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY 1""".stripMargin,
 
     "q82_split_assign" ->
       s"""WITH b AS (
