@@ -139,7 +139,15 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: band the 60-bit hash into 4 x 15-bit
     * chunks; pairs sharing any chunk are candidates (Hamming <= 3 pigeon-
-    * hole guarantee); verify with bit_count(xor) <= maxHamming. */
+    * hole guarantee); verify with bit_count(xor) <= maxHamming.
+    *
+    * The output is the FULL pair list, so cost is inherently quadratic
+    * in near-dup group size — on a duplicate-heavy corpus, collapse
+    * exact copies with exactByHash first so mega-groups never expand
+    * here. (A distinct-signature join with output re-expansion was
+    * measured SLOWER at every scale tried — the expansion joins just
+    * re-shuffle the same output — so the single chunk self-join
+    * stays.) */
   def simhashDup(
       df: DataFrame,
       idCol: String,
