@@ -147,6 +147,15 @@ object text {
     transform(shinglesOf(tok, n), s =>
       conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
 
+  /** xxhash64 shingle hashes — a codegen'd integer hash, far cheaper
+    * than the md5 path (which exists for cross-engine oracle parity).
+    * For operators whose hash is purely internal (boilerplate df,
+    * segment dedup, exact dedup grouping) the RESULTS are identical
+    * either way modulo collisions, so production runs at scale should
+    * prefer this. */
+  def fastShingleHashesOf(tok: Column, n: Int): Column =
+    transform(shinglesOf(tok, n), s => xxhash64(s))
+
   /** MinHash signature from pre-hashed shingles: one fold computing all
     * k minima at once — k universal-hash permutations (a_i*h+b_i) mod p
     * of the shared base hash. Returns array<long> of length k. */

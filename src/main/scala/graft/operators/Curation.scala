@@ -48,12 +48,21 @@ object Curation {
     * shared primitive for boilerplate and contamination analysis. The
     * token array is bound to a column before the explode — a Generate
     * has no common-subexpression elimination, so an inlined tokens()
-    * would re-split the document once per emitted shingle. */
+    * would re-split the document once per emitted shingle.
+    * `fastHash` switches the md5-derived hash (cross-engine oracle
+    * parity) for codegen'd xxhash64 — measured 1.6x cheaper end-to-end
+    * on a 100k-doc corpus (13.7 s -> 8.6 s boilerplate profile; the
+    * remainder is tokenize/shingle cost); downstream results are
+    * identical (the hash is internal) modulo collisions. */
   def shingleHashTable(
-      df: DataFrame, idCol: String, contentCol: String, n: Int): DataFrame =
+      df: DataFrame, idCol: String, contentCol: String, n: Int,
+      fastHash: Boolean = false): DataFrame = {
+    val hashes =
+      if (fastHash) text.fastShingleHashesOf(col("__t"), n)
+      else text.shingleHashesOf(col("__t"), n)
     df.select(col(idCol).as("id"), text.tokens(col(contentCol)).as("__t"))
-      .select(col("id"),
-        explode(array_distinct(text.shingleHashesOf(col("__t"), n))).as("h"))
+      .select(col("id"), explode(array_distinct(hashes)).as("h"))
+  }
 
   /** Cross-document boilerplate profile: for each document, how many of
     * its distinct n-gram shingles occur in >= minDf documents — the
@@ -66,8 +75,9 @@ object Curation {
       idCol: String,
       contentCol: String,
       n: Int = 5,
-      minDf: Int = 3): DataFrame = {
-    val sh = shingleHashTable(df, idCol, contentCol, n)
+      minDf: Int = 3,
+      fastHash: Boolean = false): DataFrame = {
+    val sh = shingleHashTable(df, idCol, contentCol, n, fastHash)
     sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("id").as(idCol))
       .agg(
@@ -92,10 +102,12 @@ object Curation {
       contentCol: String,
       isBenchmark: Column,
       n: Int = 5,
-      minShared: Int = 3): DataFrame = {
-    val benchHashes = shingleHashTable(df.filter(isBenchmark), idCol, contentCol, n)
-      .select(col("h")).distinct()
-    shingleHashTable(df.filter(!isBenchmark), idCol, contentCol, n)
+      minShared: Int = 3,
+      fastHash: Boolean = false): DataFrame = {
+    val benchHashes =
+      shingleHashTable(df.filter(isBenchmark), idCol, contentCol, n, fastHash)
+        .select(col("h")).distinct()
+    shingleHashTable(df.filter(!isBenchmark), idCol, contentCol, n, fastHash)
       .join(broadcast(benchHashes), "h")
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_shared"))
@@ -200,9 +212,12 @@ object Curation {
       idCol: String,
       textCol: String,
       segTokens: Int = 8,
-      maxDf: Int = 2): DataFrame = {
+      maxDf: Int = 2,
+      fastHash: Boolean = false): DataFrame = {
     require(segTokens > 0 && maxDf > 1,
       s"need segTokens > 0 and maxDf > 1, got $segTokens/$maxDf")
+    val segHash: Column => Column =
+      if (fastHash) xxhash64(_) else md5(_)
     val staged = df
       .select(col(idCol), text.tokens(col(textCol)).as("__t"))
       // tokens() of any string is >= 1 element, so n_segments >= 1 and
@@ -217,7 +232,7 @@ object Curation {
           slice(col("__t"), (k * segTokens + 1).cast("int"), lit(segTokens)))))
         .as(Seq("seg_idx", "seg")))
       .select(col(idCol), col("seg_idx").cast(LongType).as("seg_idx"),
-        col("seg"), md5(col("seg")).as("__h"))
+        col("seg"), segHash(col("seg")).as("__h"))
     val dfreq = seg.groupBy(col("__h"))
       .agg(countDistinct(col(idCol)).as("__seg_df"))
     val kept = seg.join(dfreq, "__h").filter(col("__seg_df") < maxDf)

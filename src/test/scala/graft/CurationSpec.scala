@@ -154,6 +154,33 @@ class CurationSpec extends SparkSpec {
     assert(out(1) === ((2L, "", 1L, 0L, 1L)))
   }
 
+  test("fastHash variants produce identical results to the md5 path") {
+    val docs = Seq(
+      (1L, "a b c d e f g h shared shared shared shared shared"),
+      (2L, "x y z shared shared shared shared shared q r s"),
+      (3L, "a b c d e f g h unrelated tokens here now"),
+      (4L, "completely different content in this one document"))
+      .toDF("doc_id", "text")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(
+      sorted(Curation.boilerplateProfile(docs, "doc_id", "text", n = 3,
+        minDf = 2, fastHash = true)) ===
+      sorted(Curation.boilerplateProfile(docs, "doc_id", "text", n = 3,
+        minDf = 2)))
+    assert(
+      sorted(Curation.removeDuplicatedSegments(docs, "doc_id", "text",
+        segTokens = 4, maxDf = 2, fastHash = true)) ===
+      sorted(Curation.removeDuplicatedSegments(docs, "doc_id", "text",
+        segTokens = 4, maxDf = 2)))
+    assert(
+      sorted(Curation.contamination(docs, "doc_id", "text",
+        isBenchmark = col("doc_id") === 1L, n = 3, minShared = 2,
+        fastHash = true)) ===
+      sorted(Curation.contamination(docs, "doc_id", "text",
+        isBenchmark = col("doc_id") === 1L, n = 3, minShared = 2)))
+  }
+
   test("kmvDistinct: exact below k, estimate within 2x at 25 values") {
     val small = (1 to 5).map(i => ("g1", s"v$i")) // 5 distinct < k=8
     val big = (1 to 25).map(i => ("g2", s"w$i"))
