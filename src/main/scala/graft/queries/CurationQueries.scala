@@ -250,6 +250,46 @@ object CurationQueries {
           col("n_segments"), col("n_kept"), col("n_removed"))
     }),
 
+    // Rolling distinct-user estimate from MERGED KMV sketches: one
+    // bottom-8 sketch per hour, then each hour's sketch contributes to
+    // the 3-hour windows ending at h, h+1, h+2 and the window sketch is
+    // re-aggregated from the 8-long arrays — sketch(union) ==
+    // bottomK(merge of sketches), exactly. At scale this is the whole
+    // point of mergeable sketches: the rolling pass shuffles 8 longs
+    // per hour instead of re-shuffling every user per window. The exact
+    // distinct count rides along (3x explode — the cost the sketch
+    // avoids) to show agreement; windows are clipped to hours present.
+    "q89_rolling_distinct" -> ((s, dir) => {
+      val h32 = text.md5Hash32(col("user_id").cast("string"), 3)
+      val ev = t(s, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("h"), h32.as("uh"))
+      val hourly = ev.groupBy(col("h"))
+        .agg(graft.plans.BottomKAgg.bottomK(col("uh"), 8).as("sk"))
+      val contrib = hourly
+        .select(col("h"), explode(col("sk")).as("v"))
+        .select(col("h"), col("v"),
+          explode(sequence(lit(0), lit(2))).as("o"))
+        .select((col("h") + expr("make_interval(0,0,0,0,o,0,0)")).as("hr"),
+          col("v"))
+      val merged = contrib.groupBy(col("hr"))
+        .agg(graft.plans.BottomKAgg.bottomK(col("v"), 8).as("sk"))
+        .withColumn("kth", element_at(col("sk"), 8))
+        .select(col("hr"),
+          when(size(col("sk")) >= 8,
+            expr(s"CAST(${7L * 4294967296L} div kth AS BIGINT)"))
+            .otherwise(size(col("sk")).cast(LongType)).as("n_est"))
+      val exactCnt = ev
+        .select(col("h"), col("uh"), explode(sequence(lit(0), lit(2))).as("o"))
+        .select((col("h") + expr("make_interval(0,0,0,0,o,0,0)")).as("hr"),
+          col("uh"))
+        .groupBy(col("hr"))
+        .agg(countDistinct(col("uh")).as("n_exact"))
+      merged.join(exactCnt, "hr")
+        .join(hourly.select(col("h").as("hr")), "hr")
+        .select(date_format(col("hr"), "yyyy-MM-dd HH").as("hr"),
+          col("n_est"), col("n_exact"))
+    }),
+
     // Corpus snapshot diff (dataset-versioning audit): FULL OUTER join
     // of two corpus versions on doc_id comparing content hashes —
     // added / removed / modified / unchanged, one shuffle each side,
@@ -530,6 +570,25 @@ object CurationQueries {
          |  CAST((len(t.t) + 7) // 8 - coalesce(k.n_kept, 0) AS BIGINT)
          |    AS n_removed
          |FROM toks t LEFT JOIN kept k ON t.doc_id = k.kid""".stripMargin,
+
+    "q89_rolling_distinct" ->
+      s"""WITH ev AS (
+         |  SELECT date_trunc('hour', ts) AS h,
+         |    ${dHash32(3, "CAST(user_id AS VARCHAR)")} AS uh
+         |  FROM events),
+         |hours AS (SELECT DISTINCT h FROM ev),
+         |win AS (
+         |  SELECT hr.h AS whr, e.uh
+         |  FROM hours hr JOIN ev e
+         |    ON e.h >= hr.h - INTERVAL 2 HOUR AND e.h <= hr.h),
+         |agg AS (
+         |  SELECT whr, count(DISTINCT uh) AS nd,
+         |    list_sort(list(DISTINCT uh))[8] AS kth
+         |  FROM win GROUP BY whr)
+         |SELECT strftime(whr, '%Y-%m-%d %H') AS hr,
+         |  CAST(COALESCE(30064771072 // kth, nd) AS BIGINT) AS n_est,
+         |  CAST(nd AS BIGINT) AS n_exact
+         |FROM agg""".stripMargin,
 
     "q88_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
