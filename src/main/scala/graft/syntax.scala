@@ -43,8 +43,10 @@ object syntax {
         idCol: String,
         textCol: String,
         segTokens: Int = 8,
-        maxDf: Int = 2): DataFrame =
-      Curation.removeDuplicatedSegments(df, idCol, textCol, segTokens, maxDf)
+        maxDf: Int = 2,
+        fastHash: Boolean = false): DataFrame =
+      Curation.removeDuplicatedSegments(
+        df, idCol, textCol, segTokens, maxDf, fastHash)
 
     /** Cross-document boilerplate profile — see
       * [[Curation.boilerplateProfile]]. */
@@ -52,8 +54,9 @@ object syntax {
         idCol: String,
         contentCol: String,
         n: Int = 5,
-        minDf: Int = 3): DataFrame =
-      Curation.boilerplateProfile(df, idCol, contentCol, n, minDf)
+        minDf: Int = 3,
+        fastHash: Boolean = false): DataFrame =
+      Curation.boilerplateProfile(df, idCol, contentCol, n, minDf, fastHash)
 
     /** Benchmark-contamination check — see [[Curation.contamination]]. */
     def contaminationAgainst(
@@ -61,8 +64,10 @@ object syntax {
         idCol: String,
         contentCol: String,
         n: Int = 5,
-        minShared: Int = 3): DataFrame =
-      Curation.contamination(df, idCol, contentCol, isBenchmark, n, minShared)
+        minShared: Int = 3,
+        fastHash: Boolean = false): DataFrame =
+      Curation.contamination(
+        df, idCol, contentCol, isBenchmark, n, minShared, fastHash)
 
     /** Sliding context-window chunking — see [[Curation.chunkTokens]]. */
     def chunk(idCol: String, textCol: String, size: Int, stride: Int): DataFrame =
