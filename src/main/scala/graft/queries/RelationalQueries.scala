@@ -247,6 +247,20 @@ object RelationalQueries {
           col("cov_pop") / sqrt(col("var_x") * col("var_y")))
     }),
 
+    // Distribution-rank window family: percent_rank / cume_dist /
+    // nth_value — pure integer-ratio doubles, engine-identical.
+    "q90_dist_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("c_custkey"), 3).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("third_poorest"))
+    }),
+
     // TPC-H Q5 shape (local supplier volume): six-table join where the
     // customer and supplier nations must match. Dimensions broadcast;
     // only the lineitem<->orders join shuffles, and the date predicate
@@ -447,6 +461,18 @@ object RelationalQueries {
         |SELECT l_returnflag, n, mean_x, mean_y, cov_pop, var_x, var_y,
         |  cov_pop / sqrt(var_x * var_y) AS corr_xy
         |FROM m""".stripMargin,
+
+    "q90_dist_rank" ->
+      """SELECT c_custkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(c_custkey, 3) OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS third_poorest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal, c_custkey)""".stripMargin,
 
     "q83_tpch_q5" ->
       """SELECT n_name,
