@@ -261,6 +261,23 @@ object RelationalQueries {
           .as("third_poorest"))
     }),
 
+    // Median + bitwise aggregate family: exact interpolated median
+    // ((a+b)/2 on the same doubles — engine-identical) and bit_and /
+    // bit_or / bit_xor over the 32-bit content hashes.
+    "q91_median_bits" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity"),
+          graft.functions.text.md5Hash32(
+            col("l_orderkey").cast("string"), 1).as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          median(col("l_quantity")).as("med_qty"),
+          bit_and(col("h")).cast("long").as("h_and"),
+          bit_or(col("h")).cast("long").as("h_or"),
+          bit_xor(col("h")).cast("long").as("h_xor"))
+    }),
+
     // TPC-H Q5 shape (local supplier volume): six-table join where the
     // customer and supplier nations must match. Dimensions broadcast;
     // only the lineitem<->orders join shuffles, and the date predicate
@@ -461,6 +478,18 @@ object RelationalQueries {
         |SELECT l_returnflag, n, mean_x, mean_y, cov_pop, var_x, var_y,
         |  cov_pop / sqrt(var_x * var_y) AS corr_xy
         |FROM m""".stripMargin,
+
+    "q91_median_bits" ->
+      """SELECT l_returnflag,
+        |  median(l_quantity) AS med_qty,
+        |  CAST(bit_and(h) AS BIGINT) AS h_and,
+        |  CAST(bit_or(h) AS BIGINT) AS h_or,
+        |  CAST(bit_xor(h) AS BIGINT) AS h_xor
+        |FROM (SELECT l_returnflag, l_quantity,
+        |        ('0x' || substr(md5('1:' || CAST(l_orderkey AS VARCHAR)),
+        |          1, 8))::BIGINT AS h
+        |      FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q90_dist_rank" ->
       """SELECT c_custkey,
