@@ -278,6 +278,22 @@ object TextQueries {
         md5(col("text")).as("content_md5"))
     }),
 
+    // Edit-distance verification primitive: exact Levenshtein over a
+    // bounded candidate set (the final arbiter a near-dup pipeline
+    // applies AFTER hash-based candidate generation — integer DP,
+    // engine-identical). Quadratic per pair, so only ever run on
+    // already-bucketed candidates.
+    "q92_edit_distance" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("head"))
+      base.as("l").join(base.as("r"),
+        col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+          levenshtein(col("l.head"), col("r.head")).cast(LongType)
+            .as("edit_dist"))
+        .filter(col("edit_dist") <= 50)
+    }),
+
     // Inverted index: per term, document frequency plus the 10 lowest
     // posting doc_ids. The window's row_number bounds every aggregation
     // buffer BEFORE collect_list (a term's full posting list never sits
@@ -583,6 +599,15 @@ object TextQueries {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    "q92_edit_distance" ->
+      """WITH b AS (
+        |  SELECT doc_id, substring(text, 1, 80) AS head
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |  CAST(levenshtein(l.head, r.head) AS BIGINT) AS edit_dist
+        |FROM b l JOIN b r ON l.doc_id < r.doc_id
+        |WHERE levenshtein(l.head, r.head) <= 50""".stripMargin,
 
     "q79_postings" ->
       s"""WITH terms AS (
