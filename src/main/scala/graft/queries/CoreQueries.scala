@@ -337,6 +337,24 @@ object CoreQueries {
           sum(when(col("k") === 5L, 1L).otherwise(0L)).as("n_k5_plain"))
     }),
 
+    // Regex group extraction (RE2/Java-compatible pattern, valid in both
+    // engines): pull the numeric id out of a composite key string and
+    // aggregate by its bucket — the log-parsing shape.
+    "q93_regex_groups" -> ((s, dir) => {
+      val key = concat(col("event_type"), lit("-"),
+        col("user_id").cast("string"), lit(":"), col("event_id").cast("string"))
+      t(s, dir, "events")
+        .select(
+          regexp_extract(key, "^([a-z]+)-(\\d+):", 1).as("kind"),
+          regexp_extract(key, "^([a-z]+)-(\\d+):", 2).cast(LongType)
+            .as("uid"))
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("uid")).as("n_users"),
+          sum(col("uid") % 10).cast(LongType).as("uid_mod_sum"))
+    }),
+
     // Time-series linear interpolation of missing values: per user,
     // nulls (injected deterministically — the synthetic feed is
     // complete) are filled by interpolating between the nearest
@@ -583,6 +601,19 @@ object CoreQueries {
         |  CAST(sum(CASE WHEN k = 5 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_k5_plain
         |FROM b""".stripMargin,
+
+    "q93_regex_groups" ->
+      """WITH k AS (
+        |  SELECT event_type || '-' || CAST(user_id AS VARCHAR) || ':' ||
+        |         CAST(event_id AS VARCHAR) AS key
+        |  FROM events)
+        |SELECT regexp_extract(key, '^([a-z]+)-(\d+):', 1) AS kind,
+        |  count(*) AS n,
+        |  count(DISTINCT CAST(regexp_extract(key, '^([a-z]+)-(\d+):', 2)
+        |    AS BIGINT)) AS n_users,
+        |  CAST(sum(CAST(regexp_extract(key, '^([a-z]+)-(\d+):', 2)
+        |    AS BIGINT) % 10) AS BIGINT) AS uid_mod_sum
+        |FROM k GROUP BY 1""".stripMargin,
 
     "q86_interpolate" ->
       """WITH b AS (
