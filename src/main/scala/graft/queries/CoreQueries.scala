@@ -337,6 +337,26 @@ object CoreQueries {
           sum(when(col("k") === 5L, 1L).otherwise(0L)).as("n_k5_plain"))
     }),
 
+    // Null-safe equi-join (<=>): rows whose nullable JSON property
+    // matches INCLUDING null==null — the join-on-dirty-key semantics a
+    // plain equi-join silently drops. Plans as a regular hash join
+    // (EqualNullSafe is a valid hash key), aggregated to keep the
+    // output bounded.
+    "q94_nullsafe_join" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("l_id"), k.as("lk"))
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("r_id"), k.as("rk"))
+      l.join(r, col("lk") <=> col("rk"))
+        .groupBy(coalesce(col("lk"), lit(-1L)).as("k_group"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("l_id")).as("n_clicks"),
+          countDistinct(col("r_id")).as("n_views"))
+    }),
+
     // Regex group extraction (RE2/Java-compatible pattern, valid in both
     // engines): pull the numeric id out of a composite key string and
     // aggregate by its bucket — the log-parsing shape.
@@ -601,6 +621,22 @@ object CoreQueries {
         |  CAST(sum(CASE WHEN k = 5 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_k5_plain
         |FROM b""".stripMargin,
+
+    "q94_nullsafe_join" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |l AS (SELECT event_id AS l_id, k AS lk FROM b
+        |      WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS r_id, k AS rk FROM b
+        |      WHERE event_type = 'view')
+        |SELECT coalesce(lk, -1) AS k_group,
+        |  count(*) AS n_pairs,
+        |  count(DISTINCT l_id) AS n_clicks,
+        |  count(DISTINCT r_id) AS n_views
+        |FROM l JOIN r ON lk IS NOT DISTINCT FROM rk
+        |GROUP BY 1""".stripMargin,
 
     "q93_regex_groups" ->
       """WITH k AS (

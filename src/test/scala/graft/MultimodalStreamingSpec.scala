@@ -113,6 +113,22 @@ class MultimodalStreamingSpec extends SparkSpec {
     val q2 = Streaming.sensorIngest(spark, raw, out, cfg, cp)
     q2.awaitTermination(60000)
     assert(spark.read.parquet(out).count() === 3)
+
+    // third run after a NEW file lands: exactly the new rows append —
+    // checkpoint recovery neither reprocesses old files nor loses new.
+    Seq(
+      ("s3", java.sql.Timestamp.valueOf("2023-06-02 09:00:00"),
+        "temperature", 22.0, 85.0),
+      ("s3", java.sql.Timestamp.valueOf("2023-06-02 10:00:00"),
+        "temperature", 23.0, 84.0))
+      .toDF("sensor_id", "timestamp", "reading_type", "value", "battery_level")
+      .coalesce(1).write.mode("append").parquet(raw)
+    val q3 = Streaming.sensorIngest(spark, raw, out, cfg, cp)
+    q3.awaitTermination(60000)
+    val after = spark.read.parquet(out)
+    assert(after.count() === 5)
+    assert(after.filter($"sensor_id" === "s3").count() === 2)
+    assert(after.filter($"sensor_id" === "s1").count() === 2) // no re-ingest
   }
 
   test("streaming: flatMapGroupsWithState running totals equal batch totals") {
