@@ -337,6 +337,23 @@ object CoreQueries {
           sum(when(col("k") === 5L, 1L).otherwise(0L)).as("n_k5_plain"))
     }),
 
+    // Unpivot (wide -> long): melt per-user event-type count columns
+    // back into rows — the feature-table reshaping step. Counts are
+    // coalesced to 0 so no engine's null-dropping semantics matter.
+    "q95_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === types.head, 1)).as(types.head),
+          types.tail.map(tp =>
+            count(when(col("event_type") === tp, 1)).as(tp)): _*)
+      counts.unpivot(
+        Array(col("user_id")),
+        types.map(col).toArray,
+        "etype", "n")
+    }),
+
     // Null-safe equi-join (<=>): rows whose nullable JSON property
     // matches INCLUDING null==null — the join-on-dirty-key semantics a
     // plain equi-join silently drops. Plans as a regular hash join
@@ -621,6 +638,19 @@ object CoreQueries {
         |  CAST(sum(CASE WHEN k = 5 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_k5_plain
         |FROM b""".stripMargin,
+
+    "q95_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, etype, CAST(n AS BIGINT) AS n
+        |FROM wide
+        |UNPIVOT (n FOR etype IN (click, view, purchase, signup, error))""".stripMargin,
 
     "q94_nullsafe_join" ->
       """WITH b AS (
