@@ -47,15 +47,23 @@ object Multimodal {
     *    first SOFn (C0-CF minus C4/C8/CC), whose payload is
     *    [precision u8][height u16][width u16] big-endian.
     *  - GIF:  "GIF87a"/"GIF89a", then width and height as
-    *    little-endian u16 at offsets 6 and 8. */
+    *    little-endian u16 at offsets 6 and 8.
+    *  - BMP:  "BM", then width and height as little-endian i32 at
+    *    offsets 18 and 22 (BITMAPINFOHEADER; height may be negative
+    *    for top-down rows — reported as its magnitude). */
   def parseImageHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
     @inline def u8(i: Int): Int = bytes(i) & 0xff
     @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     @inline def be32(i: Int): Int =
       (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
 
-    if (bytes.length >= 24 &&
+    if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M' &&
+      le32(14) >= 40) // BITMAPINFOHEADER or later
+      Some(("bmp", le32(18), math.abs(le32(22))))
+    else if (bytes.length >= 24 &&
       u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
       u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
       bytes.slice(12, 16).sameElements("IHDR".getBytes))

@@ -294,6 +294,22 @@ object TextQueries {
         .filter(col("edit_dist") <= 50)
     }),
 
+    // Null-preserving explode (explode_outer): documents keep a row
+    // even when their filtered token list is empty — the "no matches
+    // still counts" semantics a plain explode silently drops. Tokens
+    // are filtered to a rare marker set so empties genuinely occur.
+    "q96_explode_outer" -> ((s, dir) => {
+      val rare = Seq("window", "merge", "batch")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(array_distinct(text.tokens(col("text"))),
+            tk => tk.isin(rare.map(lit(_)): _*)).as("hits"))
+        .select(col("doc_id"), explode_outer(col("hits")).as("hit"))
+        .groupBy(col("hit"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
     // Inverted index: per term, document frequency plus the 10 lowest
     // posting doc_ids. The window's row_number bounds every aggregation
     // buffer BEFORE collect_list (a term's full posting list never sits
@@ -599,6 +615,20 @@ object TextQueries {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    "q96_explode_outer" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_filter(list_distinct($dTok),
+         |      x -> x IN ('window', 'merge', 'batch')) AS hits
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN len(hits) = 0 THEN [NULL] ELSE hits END) AS hit
+         |  FROM h)
+         |SELECT hit, count(*) AS n_rows,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM e GROUP BY hit""".stripMargin,
 
     "q92_edit_distance" ->
       """WITH b AS (

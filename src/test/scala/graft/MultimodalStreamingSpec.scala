@@ -36,10 +36,16 @@ class MultimodalStreamingSpec extends SparkSpec {
       be16(480) ++ be16(640) ++ Array[Byte](3)
     val gif = "GIF89a".getBytes ++
       Array[Byte](0x40, 0x01, 0xc8.toByte, 0x00) // 320 x 200 little-endian
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val bmp = "BM".getBytes ++ le32(1000) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(800) ++ le32(-600) // top-down: negative height
     assert(Multimodal.parseImageHeader(png) === Some(("png", 640, 480)))
     assert(Multimodal.parseImageHeader(jpeg) === Some(("jpeg", 640, 480)))
     assert(Multimodal.parseImageHeader(gif) === Some(("gif", 320, 200)))
+    assert(Multimodal.parseImageHeader(bmp) === Some(("bmp", 800, 600)))
     assert(Multimodal.parseImageHeader("not an image".getBytes) === None)
+    assert(Multimodal.parseImageHeader("BMx".getBytes) === None) // short BM
 
     // end-to-end through the distributed feature extractor
     val media = Seq(
