@@ -113,6 +113,24 @@ object EmbeddingQueries {
           max(col("cos")).as("max_cos"))
     }),
 
+    // Vector arithmetic (the embedding-algebra surface): pairwise
+    // difference norm and midpoint norm between consecutive vectors —
+    // zip_with element math with strict-left-fold sums, bit-identical
+    // to DuckDB's indexed list_transform + list_dot_product.
+    "q97_vector_math" -> ((s, dir) => {
+      import graft.functions.embeddings.{arraySum, toDouble}
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+      val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val r = emb.select((col("vec_id") - 1).as("id_a"),
+        col("vec_id").as("id_b"), col("embedding").as("vb"))
+      l.join(r, "id_a")
+        .select(col("id_a"), col("id_b"),
+          sqrt(arraySum(zip_with(toDouble(col("va")), toDouble(col("vb")),
+            (a, b) => (a - b) * (a - b)))).as("dist_l2"),
+          sqrt(arraySum(zip_with(toDouble(col("va")), toDouble(col("vb")),
+            (a, b) => ((a + b) / 2) * ((a + b) / 2)))).as("midpoint_norm"))
+    }),
+
     // Higher-order-function scalar surface (transform / filter / exists
     // / zip_with / aggregate — all codegen'd lambdas, no UDFs): per
     // vector, element count, positives, strict-left-fold sum of
@@ -232,6 +250,21 @@ object EmbeddingQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
          |  int_dot, qcos
          |FROM rk WHERE rank <= 3""".stripMargin,
+
+    "q97_vector_math" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, $dVec AS e FROM embeddings WHERE vec_id < 100),
+         |p AS (
+         |  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         |    list_transform(generate_series(1, len(l.e)),
+         |      i -> l.e[i] - r.e[i]) AS diff,
+         |    list_transform(generate_series(1, len(l.e)),
+         |      i -> (l.e[i] + r.e[i]) / 2) AS mid
+         |  FROM n l JOIN n r ON r.vec_id = l.vec_id + 1)
+         |SELECT id_a, id_b,
+         |  sqrt(list_dot_product(diff, diff)) AS dist_l2,
+         |  sqrt(list_dot_product(mid, mid)) AS midpoint_norm
+         |FROM p""".stripMargin,
 
     "q87_centroid_assign" ->
       s"""WITH n AS (
