@@ -24,16 +24,22 @@ object AsOf {
   /** Left as-of join. Returns every left row plus `asof_match` — a
     * struct of the matched right row (null when no right row precedes).
     *
-    * @param key      equi-join key column name (both sides)
-    * @param ts       event-time column name (both sides)
-    * @param rightTie right-side column breaking exact-ts ties (max wins)
+    * @param key         equi-join key column name (both sides)
+    * @param ts          event-time column name (both sides)
+    * @param rightTie    right-side column breaking exact-ts ties (max wins)
+    * @param toleranceUs optional max staleness: a preceding right row
+    *                    further than this many microseconds back is
+    *                    treated as no match (pandas merge_asof
+    *                    `tolerance` semantics) — a post-filter on the
+    *                    matched struct, zero extra shuffles
     */
   def asofLeft(
       left: DataFrame,
       right: DataFrame,
       key: String,
       ts: String,
-      rightTie: String): DataFrame = {
+      rightTie: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val rStruct = struct(right.columns.map(col).toSeq: _*)
     val r = right.select(
       col(key).as("__key"), col(ts).as("__ts"),
@@ -55,9 +61,16 @@ object AsOf {
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    unioned
+    val matched = unioned
       .withColumn("asof_match", last(col("__rval"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(col("__lval.*"), col("asof_match"))
+    val bounded = toleranceUs match {
+      case Some(tol) => matched.withColumn("asof_match",
+        when(unix_micros(col("__ts")) -
+          unix_micros(col("asof_match").getField(ts)) <= tol,
+          col("asof_match")))
+      case None => matched
+    }
+    bounded.select(col("__lval.*"), col("asof_match"))
   }
 }

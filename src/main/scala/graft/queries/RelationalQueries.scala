@@ -261,6 +261,47 @@ object RelationalQueries {
           .as("third_poorest"))
     }),
 
+    // TPC-H Q10 shape (returned-item reporting): revenue lost to
+    // returns per customer over a quarter, top 20. Window-free top-n
+    // via deterministic ordering; dims broadcast.
+    "q98_tpch_q10" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-07-01"))
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(20, 6))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // As-of join with a staleness tolerance (pandas merge_asof
+    // `tolerance`): purchases more than 6 hours before the click no
+    // longer count as the attribution match.
+    "q99_asof_tolerance" -> ((s, dir) => {
+      val ev = CoreQueries.t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsOf.asofLeft(clicks, purchases,
+        key = "user_id", ts = "ts", rightTie = "event_id",
+        toleranceUs = Some(6L * 3600L * 1000000L))
+        .select(
+          col("event_id"),
+          col("asof_match.event_id").as("purchase_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_match.ts")))
+            .as("gap_us"))
+    }),
+
     // Median + bitwise aggregate family: exact interpolated median
     // ((a+b)/2 on the same doubles — engine-identical) and bit_and /
     // bit_or / bit_xor over the 32-bit content hashes.
@@ -478,6 +519,37 @@ object RelationalQueries {
         |SELECT l_returnflag, n, mean_x, mean_y, cov_pop, var_x, var_y,
         |  cov_pop / sqrt(var_x * var_y) AS corr_xy
         |FROM m""".stripMargin,
+
+    "q98_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q99_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, max(event_id) AS pid
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT c.event_id,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 21600000000
+        |       THEN p.pid END AS purchase_event_id,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 21600000000
+        |       THEN epoch_us(c.ts) - epoch_us(p.ts) END AS gap_us
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     "q91_median_bits" ->
       """SELECT l_returnflag,
