@@ -67,6 +67,25 @@ object CoreQueries {
           count(lit(1)).as("count_order"))
     }),
 
+    // The canonical TPC-H Q1 pricing summary in full: all eight
+    // aggregates (decimal-exact sums and averages, the disc_price /
+    // charge double-product chains identical on both engines).
+    "q100_tpch_q1" -> ((s, dir) => {
+      val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          exact.sumExact(col("l_quantity")).as("sum_qty"),
+          exact.sumExact(col("l_extendedprice")).as("sum_base_price"),
+          exact.sumExact(discPrice).as("sum_disc_price"),
+          exact.sumExact(discPrice * (lit(1) + col("l_tax"))).as("sum_charge"),
+          exact.avgExact(col("l_quantity")).as("avg_qty"),
+          exact.avgExact(col("l_extendedprice")).as("avg_price"),
+          exact.avgExact(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
     // P1 — exact dedup over a projected column set.
     "q02_dedup_exact" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -448,6 +467,26 @@ object CoreQueries {
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q100_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+        |    AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |    AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+        |    / count(l_quantity) AS DOUBLE) AS avg_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+        |    / count(l_extendedprice) AS DOUBLE) AS avg_price,
+        |  CAST(CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE)
+        |    / count(l_discount) AS DOUBLE) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-06-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_dedup_exact" ->
