@@ -12,7 +12,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.EmbeddingQueries.queries ++
       graft.queries.StreamingQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.MiningQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -20,5 +21,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracle ++
       graft.queries.EmbeddingQueries.oracle ++
       graft.queries.StreamingQueries.oracle ++
-      graft.queries.CurationQueries.oracle
+      graft.queries.CurationQueries.oracle ++
+      graft.queries.MiningQueries.oracle
 }
