@@ -85,8 +85,20 @@ object Bench {
         sec
       }
       val first = once()
-      val sec = if (first > retryAboveSec) math.min(first, once()) else first
-      println(s"""{"query":"$name","sec":$sec}""")
+      // Record measurement provenance: when a query is re-measured the
+      // per-query line carries both samples so published figures are
+      // auditable (best-of-2 vs single-sample).
+      val sec =
+        if (first > retryAboveSec) {
+          val second = once()
+          val best = math.min(first, second)
+          println(
+            s"""{"query":"$name","sec":$best,"retried":true,"samples":[$first,$second]}""")
+          best
+        } else {
+          println(s"""{"query":"$name","sec":$first}""")
+          first
+        }
       name -> sec
     }
 

@@ -155,6 +155,7 @@ object Mining {
         count(lit(1)).as("exact_n"))
       .crossJoin(hits.agg(count(lit(1)).as("hits")))
       .select(col("n_queries"), col("exact_n"), col("hits"),
-        expr("hits * 10000 div exact_n").cast(LongType).as("recall_bp"))
+        when(col("exact_n") > 0, expr("hits * 10000 div exact_n"))
+          .cast(LongType).as("recall_bp"))
   }
 }

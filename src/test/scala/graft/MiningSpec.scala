@@ -16,11 +16,12 @@ class MiningSpec extends SparkSpec {
     val df = docs(
       1L -> "a b a b a c",
       2L -> "a c x")
-    // pairs: (a,b)x2 (b,a)x2 (a,c)x2 (a,c)(c,x) -> a: b=2, c=2 tie -> b
+    // pairs: doc1 (a,b)x2 (b,a)x2 (a,c); doc2 (a,c) (c,x)
+    // -> prefix a: b=2, c=2 (tie -> b), prefix_n = 4
     val out = Mining.bigramNext(df, "text")
       .orderBy($"w1").collect()
     val a = out.find(_.getString(0) == "a").get
-    assert(a.getString(1) == "b" && a.getLong(2) == 2 && a.getLong(3) == 5)
+    assert(a.getString(1) == "b" && a.getLong(2) == 2 && a.getLong(3) == 4)
     val c = out.find(_.getString(0) == "c").get
     assert(c.getString(1) == "x" && c.getLong(2) == 1)
   }
