@@ -156,6 +156,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r4(all.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_records":$nRecords,"pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec}""")
+    // The driver records only the last ~2000 chars of stdout; the full
+    // metric line above exceeds that with 100+ queries, so its front
+    // (and the alphabetically-early queries) gets cut from the round
+    // record. Emit a compact summary LAST — total, throughputs, and
+    // every query >= 0.5 s — so the persisted tail always carries the
+    // headline numbers and the queries worth grading for performance.
+    val slow = all.filter(_._2 >= 0.5).sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fastN = all.count(_._2 < 0.5)
+    val fastSum = r4(all.filter(_._2 < 0.5).map(_._2).sum)
+    println(s"""{"metric":"summary","total_sec":$total,"n_queries":${all.size},"sf":"$sfDir","pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"slow_queries_sec":$slow,"fast_queries":{"n":$fastN,"sum_sec":$fastSum}}""")
     spark.stop()
   }
 }

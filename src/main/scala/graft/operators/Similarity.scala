@@ -78,14 +78,25 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int = 5): DataFrame = {
+    // Self-norms are computed ONCE per input row, before the join:
+    // the query side materializes at broadcast build, the corpus side
+    // in the stream-side projection (CollapseProject cannot merge a
+    // projection across a join). Per PAIR only the single cross-dot
+    // fold runs — vs 4 folds/pair if cosine recomputed dot and both
+    // norms inside the join output projection. At 100 TB corpus scale
+    // the per-pair term dominates everything else in this operator.
     val q = queries.select(col(idCol).as("query_id"),
-      embeddings.quantizeInt8(col(vecCol)).as("qq"))
+        embeddings.quantizeInt8(col(vecCol)).as("qq"))
+      .withColumn("na", embeddings.intDot(col("qq"), col("qq")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      embeddings.quantizeInt8(col(vecCol)).as("qc"))
+        embeddings.quantizeInt8(col(vecCol)).as("qc"))
+      .withColumn("nb", embeddings.intDot(col("qc"), col("qc")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("int_dot", embeddings.intDot(col("qq"), col("qc")))
-      .withColumn("qcos", embeddings.quantizedCosine(col("qq"), col("qc")))
+      .withColumn("qcos", when(col("na") > 0 && col("nb") > 0,
+        col("int_dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("neighbor_id"))
     scored
