@@ -13,7 +13,8 @@ object SparkEntry {
       graft.queries.EmbeddingQueries.queries ++
       graft.queries.StreamingQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.MiningQueries.queries
+      graft.queries.MiningQueries.queries ++
+      graft.queries.SubqueryQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -22,5 +23,6 @@ object SparkEntry {
       graft.queries.EmbeddingQueries.oracle ++
       graft.queries.StreamingQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
-      graft.queries.MiningQueries.oracle
+      graft.queries.MiningQueries.oracle ++
+      graft.queries.SubqueryQueries.oracle
 }
