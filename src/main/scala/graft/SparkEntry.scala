@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.StreamingQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.MiningQueries.queries ++
-      graft.queries.SubqueryQueries.queries
+      graft.queries.SubqueryQueries.queries ++
+      graft.queries.DecisionQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -24,5 +25,6 @@ object SparkEntry {
       graft.queries.StreamingQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
       graft.queries.MiningQueries.oracle ++
-      graft.queries.SubqueryQueries.oracle
+      graft.queries.SubqueryQueries.oracle ++
+      graft.queries.DecisionQueries.oracle
 }
