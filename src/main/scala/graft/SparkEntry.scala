@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.CurationQueries.queries ++
       graft.queries.MiningQueries.queries ++
       graft.queries.SubqueryQueries.queries ++
-      graft.queries.DecisionQueries.queries
+      graft.queries.DecisionQueries.queries ++
+      graft.queries.RankingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -26,5 +27,6 @@ object SparkEntry {
       graft.queries.CurationQueries.oracle ++
       graft.queries.MiningQueries.oracle ++
       graft.queries.SubqueryQueries.oracle ++
-      graft.queries.DecisionQueries.oracle
+      graft.queries.DecisionQueries.oracle ++
+      graft.queries.RankingQueries.oracle
 }

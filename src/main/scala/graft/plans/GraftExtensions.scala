@@ -38,6 +38,26 @@ object GraftFunctions {
             s"graft_bottom_k k must be a literal, got $other")
       }
       BottomKAgg(exprs.head, k)
+    },
+    "graft_zorder16" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "graft_zorder16(x, y) takes 2 arguments")
+      ZOrder16(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs.head,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+          org.apache.spark.sql.types.LongType))
+    },
+    "graft_misra_gries" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 2,
+        "graft_misra_gries(value, k) takes 2 arguments")
+      val k = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString.toInt
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_misra_gries k must be a literal, got $other")
+      }
+      MisraGriesAgg(exprs.head, k)
     })
 
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ranking
+import graft.plans.ZOrder16
+
+/** Oracle entries for the retrieval-scoring family (operators.Ranking)
+  * and the Z-order clustering expression: BM25 ranking, sketch-gated
+  * exact heavy hitters, Morton interleave, encoding-quality profiling,
+  * and bigram-LM fluency scoring.
+  */
+object RankingQueries {
+
+  import CoreQueries.t
+
+  private val dTok = raw"string_split_regex(trim(text), '\s+')"
+
+  /** Fixed query-term set for the BM25 oracle (mixed document
+    * frequencies: common stopword-ish through mid-frequency content
+    * words of the synthetic corpus). */
+  private val bm25Terms = Seq("join", "vector", "stream", "the")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 (rational, integer-exact variant) over the documents corpus.
+    "q126_bm25" -> ((s, dir) => {
+      Ranking.bm25(t(s, dir, "documents"), "doc_id", "text", bm25Terms)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Exact heavy hitters (freq > n/201) with the Misra-Gries
+    // candidate pass (400 mergeable counters) + exact verify.
+    "q127_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.text.tokens(col("text"))).as("w"))
+      Ranking.heavyHitters(toks, "w", k = 200, sketchK = 400)
+    }),
+
+    // Morton (Z-order) interleave of two dimensions — the
+    // multi-dimensional clustering key for data-skipping layouts.
+    "q128_zorder" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        ZOrder16.zorder16(col("p_size"), col("p_partkey") % 256).as("z"))
+    }),
+
+    // Character-level encoding quality over a deterministically
+    // dirtied corpus (every 7th doc gets a mojibake suffix: U+FFFD +
+    // BEL + e-acute), mirrored in the oracle.
+    "q129_char_quality" -> ((s, dir) => {
+      val dirty = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("�é")))
+          .otherwise(col("text")))
+      Ranking.charQuality(dirty, "doc_id", "text")
+    }),
+
+    // Bigram language-model fluency score in integer millionths.
+    "q130_bigram_lm" -> ((s, dir) => {
+      Ranking.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "q126_bm25" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id AS id, $dTok AS t FROM documents),
+           |lens AS (
+           |  SELECT id, CAST(len(t) AS BIGINT) AS len FROM toks),
+           |totals AS (
+           |  SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_tokens
+           |  FROM lens),
+           |occ AS (
+           |  SELECT id, unnest(t) AS w FROM toks),
+           |tf AS (
+           |  SELECT id, w, count(*) AS tf FROM occ
+           |  WHERE w IN ('join', 'vector', 'stream', 'the')
+           |  GROUP BY id, w),
+           |dft AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+           |SELECT id AS doc_id,
+           |  CAST(sum((2 * n_docs - 2 * df + 1) * (22 * n_tokens * tf) * 10000
+           |    // ((2 * df + 1)
+           |        * (10 * n_tokens * tf + 3 * n_tokens + 9 * len * n_docs)))
+           |    AS BIGINT) AS bm25_scaled,
+           |  count(*) AS n_terms_matched
+           |FROM tf
+           |JOIN dft USING (w)
+           |JOIN lens USING (id), totals
+           |GROUP BY id""".stripMargin,
+
+    "q127_heavy_hitters" ->
+      raw"""WITH toks AS (
+           |  SELECT unnest($dTok) AS w FROM documents),
+           |tot AS (SELECT count(*) AS total FROM toks)
+           |SELECT w AS token, count(*) AS cnt, total
+           |FROM toks, tot
+           |GROUP BY w, total
+           |HAVING count(*) * 201 > total""".stripMargin,
+
+    "q128_zorder" ->
+      """WITH b AS (
+        |  SELECT p_partkey,
+        |    CAST(p_size AS BIGINT) & 65535 AS vx,
+        |    (p_partkey % 256) & 65535 AS vy
+        |  FROM part),
+        |s1 AS (SELECT p_partkey,
+        |  ((vx | (vx << 8)) & 16711935) AS vx,
+        |  ((vy | (vy << 8)) & 16711935) AS vy FROM b),
+        |s2 AS (SELECT p_partkey,
+        |  ((vx | (vx << 4)) & 252645135) AS vx,
+        |  ((vy | (vy << 4)) & 252645135) AS vy FROM s1),
+        |s3 AS (SELECT p_partkey,
+        |  ((vx | (vx << 2)) & 858993459) AS vx,
+        |  ((vy | (vy << 2)) & 858993459) AS vy FROM s2),
+        |s4 AS (SELECT p_partkey,
+        |  ((vx | (vx << 1)) & 1431655765) AS vx,
+        |  ((vy | (vy << 1)) & 1431655765) AS vy FROM s3)
+        |SELECT p_partkey, (vx | (vy << 1)) AS z FROM s4""".stripMargin,
+
+    "q129_char_quality" ->
+      raw"""WITH dirty AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0
+           |         THEN text || chr(65533) || chr(7) || chr(233)
+           |         ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(length(text) - length(regexp_replace(text, chr(65533),
+           |    '', 'g')) AS BIGINT) AS n_replacement,
+           |  CAST(length(text) - length(regexp_replace(text,
+           |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT)
+           |    AS n_control,
+           |  CAST(length(text) - length(regexp_replace(text,
+           |    '[^\x20-\x7E\t\n\r]', '', 'g')) AS BIGINT) AS n_nonascii,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST((length(text) - length(regexp_replace(text,
+           |      '[^\x20-\x7E\t\n\r]', '', 'g'))) * 10000
+           |    // length(text) AS BIGINT) AS nonascii_bp
+           |FROM dirty""".stripMargin,
+
+    "q130_bigram_lm" ->
+      raw"""WITH tk AS (
+           |  SELECT doc_id AS id, $dTok AS t FROM documents),
+           |pairs AS (
+           |  SELECT id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+           |    SELECT id, unnest(list_transform(generate_series(1, len(t) - 1),
+           |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+           |    FROM tk WHERE len(t) >= 2)),
+           |c2 AS (SELECT w1, w2, count(*) AS pair_n FROM pairs GROUP BY 1, 2),
+           |c1 AS (SELECT w1, count(*) AS prefix_n FROM pairs GROUP BY 1),
+           |scored AS (
+           |  SELECT id, pair_n * 1000000 // prefix_n AS p_micro
+           |  FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+           |SELECT id AS doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(p_micro) AS BIGINT) AS sum_p_micro,
+           |  CAST(CAST(sum(p_micro) AS BIGINT) // count(*) AS BIGINT)
+           |    AS avg_p_micro
+           |FROM scored
+           |GROUP BY id""".stripMargin)
+}
