@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,5 +104,69 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("int_dot"), col("qcos"))
+  }
+
+  /** Lloyd's k-means iterations over an embedding column — the
+    * clustering pass behind semantic dedup / topic sharding / diversity
+    * sampling of a training corpus. Deterministic and engine-exact:
+    *
+    *  - init: the k lowest-id vectors (no RNG);
+    *  - E-step: squared euclidean distance d2 = <v,v> - 2<v,c> + <c,c>
+    *    from strict left-fold dots, argmin with a centroid-id
+    *    tie-break;
+    *  - M-step: per-dimension mean as a DECIMAL sum with ONE IEEE
+    *    division, array rebuilt in sorted dimension order (collect_list
+    *    order never matters).
+    *
+    * Plan shape per iteration: centroids are a k-row broadcast (the
+    * corpus never shuffles for assignment); the M-step shuffles
+    * (cluster, dim) partial sums — k*dims rows after map-side combine,
+    * independent of corpus size. Returns the final assignment
+    * (id, centroid_id, d2), lazily composed — callers aggregate or
+    * persist as needed. For many iterations at scale, localCheckpoint
+    * each round to truncate lineage (see SCALE.md on iterative plans);
+    * at the 2-3 iterations typical for curation-grade clustering the
+    * composed plan is fine.
+    */
+  def lloydIterations(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(20, 6)
+    def dotD(a: Column, b: Column): Column =
+      embeddings.arraySum(zip_with(a, b, (x, y) => x * y))
+    val v = df.select(col(idCol).as("vid"),
+      embeddings.toDouble(col(vecCol)).as("v"))
+    var cent = v.orderBy(col("vid")).limit(k)
+      .select(col("vid").as("centroid_id"), col("v").as("cv"))
+    var assigned: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("d2"), col("centroid_id"))
+      assigned = v.crossJoin(broadcast(cent))
+        .withColumn("d2",
+          dotD(col("v"), col("v")) - lit(2) * dotD(col("v"), col("cv")) +
+            dotD(col("cv"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vid"), col("centroid_id"), col("v"), col("d2"))
+      i += 1
+      if (i < iters) {
+        cent = assigned
+          .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("centroid_id"), col("dim"))
+          .agg((sum(col("x").cast(dec)).cast("double") / count(col("x")))
+            .cast("double").as("m"))
+          .groupBy(col("centroid_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("m")))),
+            s => s.getField("m")).as("cv"))
+      }
+    }
+    assigned.select(col("vid"), col("centroid_id"), col("d2"))
   }
 }

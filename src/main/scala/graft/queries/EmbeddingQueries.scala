@@ -131,6 +131,24 @@ object EmbeddingQueries {
             (a, b) => ((a + b) / 2) * ((a + b) / 2)))).as("midpoint_norm"))
     }),
 
+    // Two full Lloyd iterations of k-means (E -> M -> E): the
+    // clustering operator behind semantic dedup / topic sharding.
+    // Deterministic init (8 lowest ids), decimal-exact M-step means,
+    // distance argmin with id tie-break; output is the per-cluster
+    // member count and decimal-accumulated inertia after the second
+    // assignment. Centroids broadcast both rounds; the M-step shuffle
+    // carries only (cluster, dim) partial sums.
+    "q131_kmeans" -> ((s, dir) => {
+      Similarity.lloydIterations(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+        .groupBy(col("centroid_id"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          floor(sum(col("d2").cast(
+            org.apache.spark.sql.types.DecimalType(20, 6))) * 1000000)
+            .cast("long").as("sum_d2_e6"))
+    }),
+
     // Higher-order-function scalar surface (transform / filter / exists
     // / zip_with / aggregate — all codegen'd lambdas, no UDFs): per
     // vector, element count, positives, strict-left-fold sum of
@@ -288,6 +306,50 @@ object EmbeddingQueries {
          |    AS sum_cos_e6,
          |  min(cos) AS min_cos, max(cos) AS max_cos
          |FROM r WHERE rn = 1
+         |GROUP BY centroid_id""".stripMargin,
+
+    "q131_kmeans" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS vid, $dVec AS v FROM embeddings),
+         |c0 AS (
+         |  SELECT vid AS centroid_id, v AS cv FROM v ORDER BY vid LIMIT 8),
+         |p1 AS (
+         |  SELECT vid, centroid_id, v,
+         |    list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+         |      + list_dot_product(cv, cv) AS d2
+         |  FROM v, c0),
+         |a1 AS (
+         |  SELECT vid, centroid_id, v,
+         |    row_number() OVER (PARTITION BY vid
+         |                       ORDER BY d2, centroid_id) AS rn
+         |  FROM p1),
+         |e1 AS (SELECT vid, centroid_id, v FROM a1 WHERE rn = 1),
+         |md AS (
+         |  SELECT centroid_id, dim,
+         |    CAST(CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE) / count(x)
+         |      AS DOUBLE) AS m
+         |  FROM (SELECT centroid_id,
+         |          generate_subscripts(v, 1) - 1 AS dim,
+         |          unnest(v) AS x
+         |        FROM e1)
+         |  GROUP BY centroid_id, dim),
+         |c1 AS (
+         |  SELECT centroid_id, list(m ORDER BY dim) AS cv
+         |  FROM md GROUP BY centroid_id),
+         |p2 AS (
+         |  SELECT vid, centroid_id,
+         |    list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+         |      + list_dot_product(cv, cv) AS d2
+         |  FROM v, c1),
+         |a2 AS (
+         |  SELECT vid, centroid_id, d2,
+         |    row_number() OVER (PARTITION BY vid
+         |                       ORDER BY d2, centroid_id) AS rn
+         |  FROM p2)
+         |SELECT centroid_id, count(*) AS n_members,
+         |  CAST(floor(sum(CAST(d2 AS DECIMAL(20,6))) * 1000000) AS BIGINT)
+         |    AS sum_d2_e6
+         |FROM a2 WHERE rn = 1
          |GROUP BY centroid_id""".stripMargin,
 
     "q84_array_hof" ->
