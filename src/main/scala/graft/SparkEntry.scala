@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.MiningQueries.queries ++
       graft.queries.SubqueryQueries.queries ++
       graft.queries.DecisionQueries.queries ++
-      graft.queries.RankingQueries.queries
+      graft.queries.RankingQueries.queries ++
+      graft.queries.ScaleQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.MiningQueries.oracle ++
       graft.queries.SubqueryQueries.oracle ++
       graft.queries.DecisionQueries.oracle ++
-      graft.queries.RankingQueries.oracle
+      graft.queries.RankingQueries.oracle ++
+      graft.queries.ScaleQueries.oracle
 }

@@ -86,29 +86,37 @@ object Mining {
       sourceCol: String,
       contentCol: String,
       n: Int = 5): DataFrame = {
+    // One scan, one shuffle: group the distinct (source, shingle) set by
+    // shingle, emit ordered source pairs (x,x) and (x,y>x) from each
+    // shingle's (small, ≤ #sources) source set, and count. The diagonal
+    // (x,x) count IS the per-source distinct-shingle total, so totals
+    // attach to the pair rows with two windows over the tiny pair
+    // aggregate instead of re-scanning the corpus (the previous shape
+    // scanned it three times and self-joined the full shingle set).
     val sh = df
       .select(col(sourceCol).as("source"),
         text.tokens(col(contentCol)).as("t"))
       .select(col("source"),
         explode(array_distinct(text.shingleHashesOf(col("t"), n))).as("h"))
       .distinct()
-    val tot = sh.groupBy(col("source"))
-      .agg(count(lit(1)).as("total"))
-    val shared = sh.as("a")
-      .join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(broadcast(tot.select(col("source").as("src_a"),
-        col("total").as("total_a"))), "src_a")
-      .join(broadcast(tot.select(col("source").as("src_b"),
-        col("total").as("total_b"))), "src_b")
+    val pairs = sh
+      .groupBy(col("h")).agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 1, size(ss) - i),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("cnt"))
+    val diag = max(when(col("src_a") === col("src_b"), col("cnt")))
+    pairs
+      .withColumn("total_a", diag.over(Window.partitionBy(col("src_a"))))
+      .withColumn("total_b", diag.over(Window.partitionBy(col("src_b"))))
+      .filter(col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"),
-        col("shared").cast(LongType).as("shared"),
+        col("cnt").cast(LongType).as("shared"),
         col("total_a").cast(LongType).as("total_a"),
         col("total_b").cast(LongType).as("total_b"),
-        expr("shared * 10000 div least(total_a, total_b)")
+        expr("cnt * 10000 div least(total_a, total_b)")
           .cast(LongType).as("containment_bp"))
   }
 
@@ -122,12 +130,16 @@ object Mining {
       idCol: String,
       contentCol: String,
       n: Int = 5): DataFrame = {
+    // Single shingling pass: first_id is a min() window over the
+    // shingle-hash partition, so the shingle set is computed and
+    // shuffled once (the previous groupBy+join shape computed it twice
+    // and shuffled it twice).
     val sh = df
       .select(col(idCol).as("id"), text.tokens(col(contentCol)).as("t"))
       .select(col("id"),
         explode(array_distinct(text.shingleHashesOf(col("t"), n))).as("h"))
-    val firstSeen = sh.groupBy(col("h")).agg(min(col("id")).as("first_id"))
-    sh.join(firstSeen, "h")
+    sh.withColumn("first_id", min(col("id")).over(
+        Window.partitionBy(col("h"))))
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_shingles"),

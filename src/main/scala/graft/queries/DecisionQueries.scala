@@ -216,6 +216,34 @@ object DecisionQueries {
         .agg(
           sum(when(hi, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
           sum(when(!hi, lit(1L)).otherwise(lit(0L))).as("low_line_count"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit): for parts whose name
+    // contains "red", profit per supplier nation and order year, where
+    // unit cost is proxied by 10% of retail price (the synthetic schema
+    // has no partsupp/ps_supplycost). This completes the full 22-query
+    // TPC-H shape coverage. The lineitem⋈orders fact-fact join is the
+    // only shuffle; part/supplier/nation broadcast. Revenue and cost are
+    // both decimal before the subtraction, so the grouped sums are
+    // engine-exact regardless of partitioning.
+    "q132_tpch_q9" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("sn_key"))
+        .groupBy(col("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(volDec -
+            (col("p_retailprice") * col("l_quantity") * lit(0.1)).cast(dec))
+            .cast("double").as("sum_profit"),
+          count(lit(1)).as("n_rows"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -345,5 +373,20 @@ object DecisionQueries {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_shipdate > o_orderdate
-        |GROUP BY l_linestatus""".stripMargin)
+        |GROUP BY l_linestatus""".stripMargin,
+
+    "q132_tpch_q9" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+        |    - CAST(p_retailprice * l_quantity * CAST(0.1 AS DOUBLE)
+        |        AS DECIMAL(20,6))) AS DOUBLE) AS sum_profit,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin)
 }

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique operators: the machinery a 100 TB pipeline leans on
+  * around its joins and samples, expressed as oracle-checkable queries.
+  *
+  *  - q133 systematic probability-proportional-to-size sampling
+  *    (deterministic, integer-exact — the production form of "weighted
+  *    sample" that needs no floating point and no RNG state);
+  *  - q134 key-skew profile (the diagnostic that decides whether a join
+  *    needs salting / AQE skew handling before it is run);
+  *  - q135 bloom-filter join pruning (build a bit-array from the small
+  *    side, probe the big side, measure the false-positive rate — the
+  *    relational form of runtime filter pushdown).
+  *
+  * Determinism: all randomness is md5-derived, all selections and rates
+  * are integer arithmetic (`div` / basis points), so every row is
+  * bit-equal across engines and partitionings.
+  */
+object ScaleQueries {
+
+  import CoreQueries.t
+
+  /** `('0x'||substr(md5(x),1,8))::BIGINT` on the DuckDB side. */
+  private def h32(e: Column): Column =
+    conv(substring(md5(e), 1, 8), 16, 10).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Systematic PPS sampling: within each source stratum, order rows
+    // by a deterministic hash, take the running sum of the weight
+    // (n_chars), and select a row whenever the scaled cumulative total
+    // crosses one of n=16 equally-spaced thresholds. Selection uses
+    // ONLY integer arithmetic — (16*cum) div W — so the sample is
+    // reproducible on any engine and any partitioning. One shuffle
+    // (stratum window). At 100 TB the per-stratum running sum becomes a
+    // range-partitioned parallel prefix sum and the 16*cum products move
+    // to DECIMAL(38,0); the threshold logic is unchanged.
+    "q133_systematic_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("source"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("w_total", sum(col("n_chars")).over(tot))
+        .filter(expr("(16 * cum) div w_total > (16 * (cum - n_chars)) div w_total"))
+        .select(col("source"), col("doc_id"), col("n_chars"))
+    }),
+
+    // Key-skew profile over lineitem.l_partkey: counts per key, then
+    // one row of the numbers that decide a salting strategy — row/key
+    // totals, the heaviest key's share, and the share of the top 1% of
+    // keys (both in basis points, integer cross-multiplication). Two
+    // aggregations + one count-ranking window over the (small) key
+    // histogram; the fact table itself is touched once.
+    "q134_skew_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val ranked = counts
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("l_partkey"))))
+        .withColumn("nk", count(lit(1)).over(
+          Window.partitionBy()))
+      ranked.agg(
+          sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_key_rows"),
+          sum(when(col("rk") <= expr("(nk + 99) div 100"),
+            col("cnt")).otherwise(lit(0L))).as("top1pct_rows"))
+        .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+          expr("(max_key_rows * 10000) div n_rows").as("top_key_share_bp"),
+          expr("(top1pct_rows * 10000) div n_rows").as("top1pct_share_bp"))
+    }),
+
+    // Bloom-filter join pruning, fully relational: build a 2048-bit /
+    // 3-hash bloom filter (64 bit_or-aggregated 32-bit words) from the
+    // distinct URGENT order keys, probe every distinct lineitem order
+    // key against it, and compare the candidate set with the exact
+    // semi-join. Reports candidate/true/false-positive counts and the
+    // false-positive rate among true negatives in basis points — and
+    // n_missed, which the bloom construction guarantees to be 0 (no
+    // false negatives). This is the runtime-filter shape that cuts a
+    // 100 TB shuffle before it happens: the 64-word table is what the
+    // build side broadcasts.
+    "q135_bloom_prune" -> ((s, dir) => {
+      def positions(key: Column): Column = array((0 to 2).map { i =>
+        h32(concat(lit(s"$i:"), key.cast("string"))) % 2048
+      }: _*)
+
+      val truth = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")).distinct()
+
+      val bloom = truth
+        .select(explode(positions(col("o_orderkey"))).as("pos"))
+        .select(expr("pos div 32").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
+        .groupBy(col("word")).agg(expr("bit_or(mask)").as("bloom_word"))
+
+      val probes = t(s, dir, "lineitem").select(col("l_orderkey")).distinct()
+
+      val candidates = probes
+        .select(col("l_orderkey"), posexplode(positions(col("l_orderkey"))))
+        .select(col("l_orderkey"),
+          expr("col div 32").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(col % 32 AS INT))").as("mask"))
+        .join(broadcast(bloom), Seq("word"), "left")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(when(expr("bloom_word & mask") === col("mask"), lit(1L))
+          .otherwise(lit(0L))).as("hits"))
+        .select(col("l_orderkey"), (col("hits") === 3).as("cand"))
+
+      candidates
+        .join(truth.withColumn("is_true", lit(true)),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .select(col("cand"), coalesce(col("is_true"), lit(false)).as("tru"))
+        .agg(
+          count(lit(1)).as("n_probe_keys"),
+          sum(when(col("cand"), lit(1L)).otherwise(lit(0L))).as("n_candidates"),
+          sum(when(col("tru"), lit(1L)).otherwise(lit(0L))).as("n_true"),
+          sum(when(col("cand") && !col("tru"), lit(1L)).otherwise(lit(0L)))
+            .as("n_false_pos"),
+          sum(when(col("tru") && !col("cand"), lit(1L)).otherwise(lit(0L)))
+            .as("n_missed"))
+        .withColumn("fp_bp",
+          when(col("n_probe_keys") > col("n_true"),
+            expr("(n_false_pos * 10000) div (n_probe_keys - n_true)"))
+            .otherwise(lit(0L)))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "q133_systematic_sample" ->
+      """WITH w AS (
+        |  SELECT source, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n_chars) OVER (PARTITION BY source) AS w_total
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars FROM w
+        |WHERE (16 * cum) // w_total > (16 * (cum - n_chars)) // w_total"""
+        .stripMargin,
+
+    "q134_skew_profile" ->
+      """WITH counts AS (
+        |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey),
+        |ranked AS (
+        |  SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rk,
+        |    count(*) OVER () AS nk
+        |  FROM counts),
+        |agg AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    count(*) AS n_keys,
+        |    max(cnt) AS max_key_rows,
+        |    CAST(sum(CASE WHEN rk <= (nk + 99) // 100
+        |        THEN cnt ELSE 0 END) AS BIGINT) AS top1pct_rows
+        |  FROM ranked)
+        |SELECT n_rows, n_keys, max_key_rows,
+        |  (max_key_rows * 10000) // n_rows AS top_key_share_bp,
+        |  (top1pct_rows * 10000) // n_rows AS top1pct_share_bp
+        |FROM agg""".stripMargin,
+
+    "q135_bloom_prune" ->
+      """WITH truth AS (
+        |  SELECT DISTINCT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |bloom AS (
+        |  SELECT pos // 32 AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bloom_word
+        |  FROM (
+        |    SELECT ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+        |        CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 2048 AS pos
+        |    FROM truth, (SELECT unnest([0, 1, 2]) AS i))
+        |  GROUP BY 1),
+        |probes AS (SELECT DISTINCT l_orderkey FROM lineitem),
+        |hits AS (
+        |  SELECT l_orderkey,
+        |    sum(CASE WHEN (bloom_word & mask) = mask THEN 1 ELSE 0 END) AS hits
+        |  FROM (
+        |    SELECT l_orderkey, pos // 32 AS word,
+        |      CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS mask
+        |    FROM (
+        |      SELECT l_orderkey, ('0x' || substr(md5(CAST(i AS VARCHAR) ||
+        |          ':' || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 2048
+        |        AS pos
+        |      FROM probes, (SELECT unnest([0, 1, 2]) AS i)))
+        |  LEFT JOIN bloom USING (word)
+        |  GROUP BY l_orderkey),
+        |flags AS (
+        |  SELECT hits.l_orderkey, hits.hits = 3 AS cand,
+        |    truth.o_orderkey IS NOT NULL AS tru
+        |  FROM hits LEFT JOIN truth ON hits.l_orderkey = truth.o_orderkey),
+        |agg AS (
+        |  SELECT count(*) AS n_probe_keys,
+        |    CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_candidates,
+        |    CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |    CAST(sum(CASE WHEN cand AND NOT tru THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_false_pos,
+        |    CAST(sum(CASE WHEN tru AND NOT cand THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_missed
+        |  FROM flags)
+        |SELECT n_probe_keys, n_candidates, n_true, n_false_pos, n_missed,
+        |  CASE WHEN n_probe_keys > n_true
+        |    THEN (n_false_pos * 10000) // (n_probe_keys - n_true)
+        |    ELSE 0 END AS fp_bp
+        |FROM agg""".stripMargin)
+}
