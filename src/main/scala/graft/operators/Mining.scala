@@ -86,26 +86,25 @@ object Mining {
       sourceCol: String,
       contentCol: String,
       n: Int = 5): DataFrame = {
-    // One scan, one shuffle: group the distinct (source, shingle) set by
-    // shingle, emit ordered source pairs (x,x) and (x,y>x) from each
-    // shingle's (small, ≤ #sources) source set, and count. The diagonal
-    // (x,x) count IS the per-source distinct-shingle total, so totals
-    // attach to the pair rows with two windows over the tiny pair
-    // aggregate instead of re-scanning the corpus (the previous shape
-    // scanned it three times and self-joined the full shingle set).
+    // One shingling pass: the shingle set self-joins on the hash with
+    // a.source <= b.source, so the diagonal (x,x) count IS the
+    // per-source distinct-shingle total and no separate totals scan is
+    // needed. Both join inputs are the same shuffle-on-h exchange, which
+    // Spark reuses (ReusedExchange) — the corpus is scanned and shingled
+    // once. (A groupBy(h).collect_set alternative is one shuffle too,
+    // but millions of tiny groups push ObjectHashAggregate into its
+    // sort-based fallback and measure ~2× slower.) Totals then attach to
+    // the pair rows with two windows over the tiny pair aggregate.
     val sh = df
       .select(col(sourceCol).as("source"),
         text.tokens(col(contentCol)).as("t"))
       .select(col("source"),
         explode(array_distinct(text.shingleHashesOf(col("t"), n))).as("h"))
       .distinct()
-    val pairs = sh
-      .groupBy(col("h")).agg(sort_array(collect_set(col("source"))).as("ss"))
-      .select(explode(expr(
-        """flatten(transform(ss, (x, i) ->
-          |  transform(slice(ss, i + 1, size(ss) - i),
-          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
-      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("cnt"))
     val diag = max(when(col("src_a") === col("src_b"), col("cnt")))
     pairs

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -157,13 +158,17 @@ object DecisionQueries {
     // cross-multiplied dominance threshold, reduced to a per-supplier
     // dominated-part count.
     "q123_tpch_q20" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      // One lineitem scan: the per-part total quantity is the sum of the
+      // per-(part,supp) sums and the distinct-supplier count is the row
+      // count of that aggregate, so both come from a window over the
+      // already-grouped frame — no second scan, no countDistinct expand,
+      // no join.
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity").cast(d2)).as("sq"))
-      val perPart = li.groupBy(col("l_partkey").as("p_pk"))
-        .agg(sum(col("l_quantity").cast(d2)).as("tq"),
-          countDistinct(col("l_suppkey")).as("ns"))
-      ps.join(perPart, col("l_partkey") === col("p_pk"))
+      val perPart = Window.partitionBy(col("l_partkey"))
+      ps.withColumn("tq", sum(col("sq")).over(perPart))
+        .withColumn("ns", count(lit(1)).over(perPart))
         .filter(col("sq") * col("ns") > col("tq") * lit(3))
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("nparts"))

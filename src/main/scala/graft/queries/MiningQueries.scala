@@ -156,6 +156,44 @@ object MiningQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Token co-occurrence lift for the 100 highest-document-frequency
+    // tokens: observed pair-document count vs the independence
+    // expectation, as basis points — the PMI-family statistic behind
+    // collocation mining and topic drift checks, with the log dropped so
+    // everything stays integer-exact. Pairs are generated per document
+    // from the (≤100-token) vocab intersection with an array transform
+    // — no token-level self-join of the corpus; the only corpus-wide
+    // shuffles are the DF count and the (a,b) pair count. At 100 TB the
+    // n_ab*N*10000 product moves to DECIMAL(38,0); plan shape unchanged.
+    "q137_cooc_lift" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(text.tokens(col("text"))).as("ts"))
+      val ex = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
+      val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val vocab = dfreq.orderBy(col("df").desc, col("tok")).limit(100)
+      val pairs = ex.join(broadcast(vocab.select(col("tok"))), "tok")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("tok"))).as("ss"))
+        .select(explode(expr(
+          """flatten(transform(ss, (x, i) ->
+            |  transform(slice(ss, i + 2, size(ss) - i - 1),
+            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val nTotal = t(s, dir, "documents").agg(count(lit(1)).as("n_total"))
+      pairs
+        .join(broadcast(vocab.select(col("tok").as("a"), col("df").as("df_a"))),
+          "a")
+        .join(broadcast(vocab.select(col("tok").as("b"), col("df").as("df_b"))),
+          "b")
+        .crossJoin(broadcast(nTotal))
+        .select(col("a"), col("b"), col("n_ab"),
+          expr("(n_ab * n_total * 10000) div (df_a * df_b)").as("lift_bp"))
+        .orderBy(col("lift_bp").desc, col("a"), col("b"))
+        .limit(50)
+    }),
+
     // Per-source length deciles (ntile over n_chars, ties broken by
     // doc_id): the length-distribution profile that sizes chunking and
     // packing decisions. Partitioned by source, so the sort is
@@ -346,6 +384,30 @@ object MiningQueries {
         |    ntile(10) OVER (PARTITION BY source
         |      ORDER BY n_chars, doc_id) AS decile
         |  FROM documents)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q137_cooc_lift" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, list_distinct($dTok) AS ts FROM documents),
+           |ex AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+           |dfreq AS (SELECT tok, count(*) AS df FROM ex GROUP BY 1),
+           |vocab AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok
+           |  LIMIT 100),
+           |fl AS (SELECT doc_id, ex.tok FROM ex JOIN vocab
+           |  ON ex.tok = vocab.tok),
+           |pairs AS (
+           |  SELECT x.tok AS a, y.tok AS b, count(*) AS n_ab
+           |  FROM fl x JOIN fl y ON x.doc_id = y.doc_id AND x.tok < y.tok
+           |  GROUP BY 1, 2
+           |  HAVING count(*) >= 5),
+           |n AS (SELECT count(*) AS n_total FROM documents)
+           |SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+           |  CAST((n_ab * n_total * 10000) // (da.df * db.df) AS BIGINT)
+           |    AS lift_bp
+           |FROM pairs
+           |JOIN vocab da ON a = da.tok
+           |JOIN vocab db ON b = db.tok
+           |CROSS JOIN n
+           |ORDER BY lift_bp DESC, a, b LIMIT 50""".stripMargin
   )
 }

@@ -133,6 +133,47 @@ object ScaleQueries {
           when(col("n_probe_keys") > col("n_true"),
             expr("(n_false_pos * 10000) div (n_probe_keys - n_true)"))
             .otherwise(lit(0L)))
+    }),
+
+    // Fixed-iteration PageRank over the supplier→customer shipment
+    // graph (distinct lineitem⋈orders pairs), 3 Jacobi iterations with
+    // damping 0.85 expressed as 85/100 in micro-units — every step is
+    // BIGINT `div`, so ranks are bit-identical on any engine and any
+    // partitioning (float PageRank is famously not). Each iteration is
+    // one equi-join + one aggregation keyed on the destination node; at
+    // 100 TB the per-iteration frames would be checkpointed to cut the
+    // recursive lineage, and the damping arithmetic moves to
+    // DECIMAL(38,0) — the plan shape per iteration is unchanged.
+    "q136_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+        .distinct()
+        // Materialize the edge list and each iteration's rank frame
+        // (localCheckpoint = persist + lineage cut): without this, the
+        // final plan re-derives the graph per lineage occurrence and
+        // re-optimizes a plan that deepens every iteration — the
+        // standard checkpoint-per-iteration of any iterative graph job.
+        // On a cluster this is checkpoint()/persist with replication;
+        // Verify/Bench release the blocks after the query.
+        .localCheckpoint()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      var pr = nodes.withColumn("pr", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val contrib = e
+          .join(pr, col("src") === col("node"))
+          .join(broadcast(outdeg), "src")
+          .select(col("dst"), expr("pr div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        pr = nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"), (lit(150000L) +
+            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+          .localCheckpoint()
+      }
+      pr.orderBy(col("pr").desc, col("node")).limit(20)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -213,5 +254,28 @@ object ScaleQueries {
         |  CASE WHEN n_probe_keys > n_true
         |    THEN (n_false_pos * 10000) // (n_probe_keys - n_true)
         |    ELSE 0 END AS fp_bp
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+
+    "q136_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |    'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        |c1 AS (SELECT dst, sum(pr // outdeg) AS s
+        |  FROM e JOIN r0 ON src = node JOIN outdeg USING (src) GROUP BY 1),
+        |r1 AS (SELECT node, 150000 + (85 * COALESCE(s, 0)) // 100 AS pr
+        |  FROM nodes LEFT JOIN c1 ON node = dst),
+        |c2 AS (SELECT dst, sum(pr // outdeg) AS s
+        |  FROM e JOIN r1 ON src = node JOIN outdeg USING (src) GROUP BY 1),
+        |r2 AS (SELECT node, 150000 + (85 * COALESCE(s, 0)) // 100 AS pr
+        |  FROM nodes LEFT JOIN c2 ON node = dst),
+        |c3 AS (SELECT dst, sum(pr // outdeg) AS s
+        |  FROM e JOIN r2 ON src = node JOIN outdeg USING (src) GROUP BY 1),
+        |r3 AS (SELECT node, 150000 + (85 * COALESCE(s, 0)) // 100 AS pr
+        |  FROM nodes LEFT JOIN c3 ON node = dst)
+        |SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
+        |ORDER BY pr DESC, node LIMIT 20""".stripMargin)
 }
