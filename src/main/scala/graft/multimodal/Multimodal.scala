@@ -94,6 +94,77 @@ object Multimodal {
     } else None
   }
 
+  /** Parsed WAV audio metadata — every field read from the real RIFF
+    * byte layout, no codec involved. */
+  final case class WavInfo(
+      media_id: Long,
+      channels: Int,
+      sample_rate: Int,
+      bits_per_sample: Int,
+      data_bytes: Long,
+      duration_ms: Long)
+
+  /** Parse a real RIFF/WAVE container header: "RIFF"+"WAVE" magic, then
+    * a chunk walk ([id u32]["size" LE u32][data], word-aligned) to the
+    * "fmt " chunk (channels LE u16 @+2, sample rate LE u32 @+4, bits
+    * per sample LE u16 @+14 of its payload) and the "data" chunk (its
+    * size = raw PCM byte count). Returns (channels, sampleRate,
+    * bitsPerSample, dataBytes). */
+  def parseWavHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (bytes.length < 44 ||
+      !bytes.slice(0, 4).sameElements("RIFF".getBytes) ||
+      !bytes.slice(8, 12).sameElements("WAVE".getBytes)) return None
+    var i = 12
+    var channels = -1
+    var rate = -1L
+    var bits = -1
+    var dataBytes = -1L
+    while (i + 8 <= bytes.length && (channels < 0 || dataBytes < 0)) {
+      val id = new String(bytes, i, 4, "ISO-8859-1")
+      val size = le32(i + 4)
+      if (id == "fmt " && i + 24 <= bytes.length) {
+        channels = le16(i + 10)
+        rate = le32(i + 12)
+        bits = le16(i + 22)
+      } else if (id == "data") {
+        dataBytes = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      if (i <= 0) return None // corrupt size wrapped the cursor
+    }
+    if (channels > 0 && rate > 0 && bits > 0 && dataBytes >= 0)
+      Some((channels, rate.toInt, bits, dataBytes))
+    else None
+  }
+
+  /** Audio metadata table from WAV payloads: one row per payload whose
+    * RIFF header parses; the duration is exact integer arithmetic over
+    * the header fields. Payloads are projected away immediately — at
+    * 100 TB only these few columns ever shuffle. */
+  def audioInfo(media: Dataset[MediaRow]): Dataset[WavInfo] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseWavHeader(r.payload).map { case (ch, rate, bits, dataBytes) =>
+          WavInfo(
+            media_id = r.media_id,
+            channels = ch,
+            sample_rate = rate,
+            bits_per_sample = bits,
+            data_bytes = dataBytes,
+            duration_ms =
+              dataBytes * 8000L / (rate.toLong * ch.toLong * bits.toLong))
+        }
+      }
+    }
+  }
+
   /** Wrap any table with a string payload column as a media table —
     * used by tests and the demo queries to fabricate binary payloads
     * deterministically. */

@@ -62,6 +62,37 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(feats(3L).format === "unknown") // deterministic fallback
   }
 
+  test("multimodal: real WAV header parse yields channels/rate/duration") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    // canonical 44-byte PCM header: 2ch, 44100 Hz, 16-bit, 88200 data
+    // bytes = exactly 500 ms
+    val wav = "RIFF".getBytes ++ le32(36 + 88200) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(88200)
+    assert(Multimodal.parseWavHeader(wav) === Some((2, 44100, 16, 88200L)))
+    // an extra chunk before fmt/data must be walked over, not rejected
+    val padded = "RIFF".getBytes ++ le32(200) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(4) ++ "INFO".getBytes ++
+      wav.drop(12)
+    assert(Multimodal.parseWavHeader(padded) === Some((2, 44100, 16, 88200L)))
+    assert(Multimodal.parseWavHeader("RIFFxxxxAVI ".getBytes) === None)
+    assert(Multimodal.parseWavHeader("too short".getBytes) === None)
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, "audio/wav"),
+      Multimodal.MediaRow(2L, "audio", "not audio at all".getBytes, "raw"))
+      .toDS()
+    val info = Multimodal.audioInfo(media).collect()
+    assert(info.map(_.media_id).toSeq === Seq(1L)) // non-WAV rows drop
+    assert(info.head.channels === 2)
+    assert(info.head.sample_rate === 44100)
+    assert(info.head.bits_per_sample === 16)
+    assert(info.head.duration_ms === 500L)
+  }
+
   test("multimodal: resize stub downsamples deterministically with size contract") {
     val df = Seq((1L, "abcdefghij")).toDF("id", "payload") // 10 bytes
     val media = Multimodal.asMediaTable(df, "id", "payload")
