@@ -180,6 +180,54 @@ object Dedup {
 
   /** Direct n-gram Jaccard similarity over a bounded id set (exact,
     * quadratic — the verification primitive; use minhashLsh for scale). */
+  /** Prefix-filtering set-similarity join (the PPJoin family, Xiao et
+    * al.): exact token-set Jaccard >= thresholdBp/10000 with NO false
+    * negatives — the scale path when LSH's probabilistic recall isn't
+    * acceptable. Every token set is sorted by one global order (document
+    * frequency ascending, rarest first); a pair can reach the threshold
+    * only if the first `sz - ceil(t*sz) + 1` tokens of each side share
+    * an element, so candidates come from an equi-join on PREFIX tokens
+    * only — rare tokens by construction, which keeps the per-token
+    * candidate buckets small. Verification is exact integer Jaccard on
+    * the full sets. Shuffles: DF count, two per-id windows, the prefix
+    * equi-join, and the candidate-verify joins — all keyed, no cross
+    * join anywhere. */
+  def prefixFilterPairs(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      thresholdBp: Int = 6000): DataFrame = {
+    val lists = df.select(col(idCol).as("id"),
+      sort_array(array_distinct(text.tokens(col(contentCol)))).as("ts"))
+      .withColumn("sz", size(col("ts")).cast(LongType))
+    val ex = lists.select(col("id"), col("sz"), explode(col("ts")).as("tok"))
+    val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val byId = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("tok"))
+    val prefix = ex
+      .join(dfreq, "tok") // vocab-sized dim: no broadcast hint, AQE decides
+      .withColumn("rnk", row_number().over(byId))
+      .filter(col("rnk") <=
+        col("sz") - expr(s"($thresholdBp * sz + 9999) div 10000") + lit(1))
+      .select(col("id"), col("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(lists.select(col("id").as("id_a"), col("ts").as("ts_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(lists.select(col("id").as("id_b"), col("ts").as("ts_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast(LongType))
+      .withColumn("jaccard_bp", expr(
+        "(n_shared * 10000) div (sz_a + sz_b - n_shared)"))
+      .filter(col("jaccard_bp") >= thresholdBp)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_bp"))
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,

@@ -331,7 +331,23 @@ object TextQueries {
           concat_ws(",", transform(
             array_sort(collect_list(col("doc_id"))),
             x => x.cast("string"))).as("postings"))
-    }))
+    }),
+
+    // Prefix-filtering set-similarity self-join (PPJoin family): exact
+    // token-Jaccard >= 0.95 pairs with zero false negatives — candidates
+    // only from rarest-token prefixes (2-3 tokens at this threshold),
+    // verification integer-exact. The oracle computes ALL pairs sharing
+    // any token and filters on the same integer Jaccard, so a hash match
+    // PROVES the prefix filter lost nothing. Like q37/q39 this runs on a
+    // bounded slice: the synthetic corpus is pathologically self-similar
+    // (57% of ALL pairs exceed Jaccard 0.6, and its "rare" tokens are
+    // common), which makes ANY exact similarity join quadratic on it —
+    // prefix filtering pays off on real corpora, where the prefix
+    // inverted lists are short.
+    "q138_prefix_join" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", thresholdBp = 9500)))
 
   /** Shared CTE chain producing MinHash LSH candidate pairs with exact
     * Jaccard (over hashed-shingle sets) for doc_id < 300 (q36, q60). */
@@ -645,5 +661,24 @@ object TextQueries {
          |  FROM documents)
          |SELECT term, count(*) AS df,
          |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
-         |FROM terms GROUP BY term""".stripMargin)
+         |FROM terms GROUP BY term""".stripMargin,
+
+    "q138_prefix_join" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_distinct($dTok) AS ts FROM documents
+         |  WHERE doc_id < 500),
+         |sz AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS sz FROM toks),
+         |ex AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |  (n_shared * 10000) // (sa.sz + sb.sz - n_shared) AS jaccard_bp
+         |FROM inter
+         |JOIN sz sa ON id_a = sa.doc_id
+         |JOIN sz sb ON id_b = sb.doc_id
+         |WHERE (n_shared * 10000) // (sa.sz + sb.sz - n_shared) >= 9500"""
+        .stripMargin)
 }

@@ -125,6 +125,24 @@ class DedupSpec extends SparkSpec {
     assert(top.map(_.getLong(2)).toSeq === Seq(4L, 2L)) // cos 1.0 then ~0.995
   }
 
+  test("prefixFilterPairs finds exactly the above-threshold Jaccard pairs") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // J(1,2) = 4/6 ≈ 0.667
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "alpha beta gamma delta epsilon"), // J(1,3) = 1.0
+      (4L, "one two three four five")) // disjoint from the rest
+      .toDF("doc_id", "text")
+    val at60 = Dedup.prefixFilterPairs(df, "doc_id", "text",
+      thresholdBp = 6000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted
+    // all three above-0.6 pairs, with exact integer Jaccard
+    assert(at60.toSeq === Seq((1L, 2L, 6666L), (1L, 3L, 10000L),
+      (2L, 3L, 6666L)))
+    val at90 = Dedup.prefixFilterPairs(df, "doc_id", "text",
+      thresholdBp = 9000).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(at90.toSeq === Seq((1L, 3L))) // only the identical pair
+  }
+
   test("bucketedTopK only searches the query's sign bucket") {
     val df = Seq(
       (1L, Array(1.0f, 1.0f)),
