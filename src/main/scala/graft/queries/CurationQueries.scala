@@ -350,6 +350,52 @@ object CurationQueries {
           count(lit(1)).as("n_contaminated"),
           sum(col("n_shared")).cast(LongType).as("total_shared"),
           max(col("n_shared")).cast(LongType).as("max_shared"))
+    }),
+
+    // Ordered conversion funnel signup → click → purchase: each step's
+    // timestamp must FOLLOW the previous step (not merely co-occur).
+    // One shuffle: per-user conditional collect_lists, then the step
+    // times fall out of array expressions (array_min over a filtered
+    // list), so no self-joins and no re-scan per step. Conversion is an
+    // integer basis-point ratio.
+    "q139_funnel" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          collect_list(when(col("event_type") === "signup", col("ts")))
+            .as("s_ts"),
+          collect_list(when(col("event_type") === "click", col("ts")))
+            .as("c_ts"),
+          collect_list(when(col("event_type") === "purchase", col("ts")))
+            .as("p_ts"))
+        .withColumn("t1", array_min(col("s_ts")))
+        .withColumn("t2", array_min(filter(col("c_ts"), _ > col("t1"))))
+        .withColumn("t3", array_min(filter(col("p_ts"), _ > col("t2"))))
+        .agg(
+          sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+        .withColumn("conv_bp",
+          when(col("n_signup") > 0,
+            expr("(n_purchase * 10000) div n_signup")).otherwise(lit(0L)))
+    }),
+
+    // Cohort retention: users grouped by first-seen date, counted
+    // distinct on each subsequent day offset. Two shuffles (first-seen
+    // aggregate, cohort-cell aggregate); the user→cohort join is an
+    // equi-join AQE can broadcast while the user dimension is small and
+    // shuffle when it is not. Output is bounded by days², not users.
+    "q140_retention" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = e.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort_day"))
+      e.join(first, "user_id")
+        .groupBy(
+          date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast(LongType)
+            .as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -633,5 +679,45 @@ object CurationQueries {
          |  CAST(sum(c.n_shared) AS BIGINT) AS total_shared,
          |  CAST(max(c.n_shared) AS BIGINT) AS max_shared
          |FROM contam c JOIN documents d USING (doc_id)
-         |GROUP BY d.source""".stripMargin)
+         |GROUP BY d.source""".stripMargin,
+
+    "q139_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    list(ts) FILTER (event_type = 'signup') AS s_ts,
+        |    list(ts) FILTER (event_type = 'click') AS c_ts,
+        |    list(ts) FILTER (event_type = 'purchase') AS p_ts
+        |  FROM events GROUP BY user_id),
+        |steps AS (
+        |  SELECT
+        |    list_min(s_ts) AS t1,
+        |    list_min(list_filter(c_ts, x -> x > list_min(s_ts))) AS t2,
+        |    list_min(list_filter(p_ts,
+        |      x -> x > list_min(list_filter(c_ts,
+        |        y -> y > list_min(s_ts))))) AS t3
+        |  FROM per_user),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_signup,
+        |    CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_click,
+        |    CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_purchase
+        |  FROM steps)
+        |SELECT n_signup, n_click, n_purchase,
+        |  CASE WHEN n_signup > 0 THEN (n_purchase * 10000) // n_signup
+        |    ELSE 0 END AS conv_bp
+        |FROM agg""".stripMargin,
+
+    "q140_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |first AS (
+        |  SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN first ON e.user_id = first.user_id
+        |GROUP BY cohort_day, date_diff('day', cohort_day, d)""".stripMargin)
 }
