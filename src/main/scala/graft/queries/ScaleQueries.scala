@@ -174,6 +174,46 @@ object ScaleQueries {
           .localCheckpoint()
       }
       pr.orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
+    // Two-pass binned median: pass 1 computes per-group integer-cent
+    // bounds (a tiny aggregate, broadcast back); pass 2 histograms each
+    // value into 1024 equal-width bins — integer arithmetic only — and
+    // the median bin falls out of a cumulative window over the (groups ×
+    // 1024)-row histogram. This is the mergeable, bounded-memory shape
+    // that replaces exact-percentile buffering at 100 TB: partial bin
+    // counts combine map-side, no value list ever materializes, and the
+    // estimate is deterministic on any engine (unlike t-digest /
+    // percentile_approx, whose sketches are implementation-defined).
+    // Bin edges: floor(price*100) is exact on doubles, and the group's
+    // low-cardinality skew lands on the HISTOGRAM aggregation (map-side
+    // combined), not on a per-group window over the fact table.
+    "q142_binned_median" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        floor(col("l_extendedprice") * lit(100.0)).cast("long").as("v"))
+      val bounds = v.groupBy(col("g"))
+        .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      val hist = v.join(broadcast(bounds), "g")
+        .select(col("g"), col("vmin"), col("vmax"),
+          expr("((v - vmin) * 1024) div (vmax - vmin + 1)").as("b"))
+        .groupBy(col("g"), col("vmin"), col("vmax"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      import org.apache.spark.sql.expressions.Window
+      val cumW = Window.partitionBy(col("g")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("g"))
+      hist
+        .withColumn("cum", sum(col("c")).over(cumW))
+        .withColumn("n", sum(col("c")).over(totW))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("g"))
+        .agg(min(col("b")).as("mb"), max(col("vmin")).as("vmin"),
+          max(col("vmax")).as("vmax"), max(col("n")).as("n_rows"))
+        .select(col("g"), col("n_rows"),
+          expr("vmin + (mb * (vmax - vmin + 1)) div 1024")
+            .as("median_est_cents"),
+          col("vmin"), col("vmax"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -277,5 +317,31 @@ object ScaleQueries {
         |r3 AS (SELECT node, 150000 + (85 * COALESCE(s, 0)) // 100 AS pr
         |  FROM nodes LEFT JOIN c3 ON node = dst)
         |SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
-        |ORDER BY pr DESC, node LIMIT 20""".stripMargin)
+        |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+
+    "q142_binned_median" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * CAST(100 AS DOUBLE)) AS BIGINT)
+        |      AS v
+        |  FROM lineitem),
+        |bounds AS (
+        |  SELECT g, min(v) AS vmin, max(v) AS vmax FROM v GROUP BY 1),
+        |h AS (
+        |  SELECT v.g, ((v - vmin) * 1024) // (vmax - vmin + 1) AS b,
+        |    count(*) AS c
+        |  FROM v JOIN bounds ON v.g = bounds.g GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, b,
+        |    sum(c) OVER (PARTITION BY g ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM h),
+        |med AS (
+        |  SELECT g, min(b) AS mb, CAST(max(n) AS BIGINT) AS n_rows
+        |  FROM cum WHERE cum * 2 >= n GROUP BY g)
+        |SELECT m.g, m.n_rows,
+        |  vmin + (mb * (vmax - vmin + 1)) // 1024 AS median_est_cents,
+        |  vmin, vmax
+        |FROM med m JOIN bounds ON m.g = bounds.g""".stripMargin)
 }
