@@ -214,6 +214,25 @@ object ScaleQueries {
           expr("vmin + (mb * (vmax - vmin + 1)) div 1024")
             .as("median_est_cents"),
           col("vmin"), col("vmax"))
+    }),
+
+    // Degree distribution of the shipment graph, both sides: how many
+    // suppliers ship to exactly d customers, and how many customers buy
+    // from exactly d suppliers. Two keyed aggregations per side over the
+    // same edge list — the histogram-of-a-histogram shape whose output
+    // is bounded by the max degree, not the node count. The degree
+    // profile is what picks the CC/PageRank strategy (hub detection →
+    // skew handling) before running them.
+    "q143_degree_dist" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+        .distinct()
+      def side(key: String, name: String) = e
+        .groupBy(col(key)).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .select(lit(name).as("side"), col("degree"), col("n_nodes"))
+      side("src", "supplier").unionAll(side("dst", "customer"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -343,5 +362,17 @@ object ScaleQueries {
         |SELECT m.g, m.n_rows,
         |  vmin + (mb * (vmax - vmin + 1)) // 1024 AS median_est_cents,
         |  vmin, vmax
-        |FROM med m JOIN bounds ON m.g = bounds.g""".stripMargin)
+        |FROM med m JOIN bounds ON m.g = bounds.g""".stripMargin,
+
+    "q143_degree_dist" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |s AS (SELECT src, count(*) AS degree FROM e GROUP BY 1),
+        |c AS (SELECT dst, count(*) AS degree FROM e GROUP BY 1)
+        |SELECT 'supplier' AS side, degree, count(*) AS n_nodes
+        |FROM s GROUP BY degree
+        |UNION ALL
+        |SELECT 'customer' AS side, degree, count(*) AS n_nodes
+        |FROM c GROUP BY degree""".stripMargin)
 }
