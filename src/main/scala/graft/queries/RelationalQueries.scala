@@ -343,6 +343,27 @@ object RelationalQueries {
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast(DecimalType(20, 6))).cast("double").as("revenue"),
           count(lit(1)).as("n_lineitems"))
+    }),
+
+    // SQL-entrypoint parity: the same engine surface reached through
+    // spark.sql over registered temp views — ANSI text goes through
+    // Spark's parser/analyzer (correlated EXISTS → rewritten semi join)
+    // and lands on the identical Catalyst plans the DataFrame DSL
+    // produces. A reference user arriving with SQL strings needs no
+    // translation layer.
+    "q144_sql_api" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_sql")
+      t(s, dir, "orders").createOrReplaceTempView("ord_sql")
+      s.sql("""
+        SELECT o_orderpriority,
+          count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+            AS total_price
+        FROM ord_sql
+        WHERE EXISTS (SELECT 1 FROM li_sql
+          WHERE l_orderkey = o_orderkey
+            AND l_discount > CAST(0.05 AS DOUBLE))
+        GROUP BY o_orderpriority""")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -590,5 +611,16 @@ object RelationalQueries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY n_name""".stripMargin)
+        |GROUP BY n_name""".stripMargin,
+
+    "q144_sql_api" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_discount > CAST(0.05 AS DOUBLE))
+        |GROUP BY o_orderpriority""".stripMargin)
 }
