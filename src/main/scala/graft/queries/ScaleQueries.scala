@@ -233,6 +233,36 @@ object ScaleQueries {
         .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
         .select(lit(name).as("side"), col("degree"), col("n_nodes"))
       side("src", "supplier").unionAll(side("dst", "customer"))
+    }),
+
+    // Salted join: the standard hot-key mitigation, oracle-checked for
+    // semantic transparency. The dimension is replicated once per salt
+    // (8×), the fact side derives its salt deterministically from the
+    // row id, and the join key becomes (user_id, salt) — one hot user's
+    // rows now land on 8 reducers instead of one. The oracle is the
+    // PLAIN unsalted join, so the hash match proves salting changes the
+    // distribution and nothing else. (Salting pays when the skewed side
+    // must sort-merge; a broadcastable dim needs none — this is the
+    // pattern for when it is not.)
+    "q145_salted_join" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val dim = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_user_events"))
+        .withColumn("tier",
+          when(col("n_user_events") >= 80, "heavy")
+            .when(col("n_user_events") >= 40, "mid")
+            .otherwise("light"))
+      val salted = dim.select(col("user_id"), col("tier"),
+        explode(sequence(lit(0), lit(7))).as("salt"))
+      e.withColumn("salt", (col("event_id") % 8).cast("int"))
+        .join(salted, Seq("user_id", "salt"))
+        .groupBy(col("tier"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(20, 6))).cast("double")
+            .as("sum_value"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -374,5 +404,20 @@ object ScaleQueries {
         |FROM s GROUP BY degree
         |UNION ALL
         |SELECT 'customer' AS side, degree, count(*) AS n_nodes
-        |FROM c GROUP BY degree""".stripMargin)
+        |FROM c GROUP BY degree""".stripMargin,
+
+    "q145_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, count(*) AS n_user_events
+        |  FROM events GROUP BY 1),
+        |tiers AS (
+        |  SELECT user_id,
+        |    CASE WHEN n_user_events >= 80 THEN 'heavy'
+        |         WHEN n_user_events >= 40 THEN 'mid'
+        |         ELSE 'light' END AS tier
+        |  FROM dim)
+        |SELECT tier, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN tiers USING (user_id)
+        |GROUP BY tier""".stripMargin)
 }

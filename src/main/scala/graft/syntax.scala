@@ -97,6 +97,14 @@ object syntax {
         tieCol: String,
         gapMinutes: Int = 30): DataFrame =
       Curation.sessionize(df, userCol, tsCol, tieCol, gapMinutes)
+
+    /** Exact-recall prefix-filter similarity self-join — see
+      * [[Dedup.prefixFilterPairs]]. */
+    def similarPairs(
+        idCol: String,
+        contentCol: String,
+        thresholdBp: Int = 6000): DataFrame =
+      Dedup.prefixFilterPairs(df, idCol, contentCol, thresholdBp)
   }
 
   implicit class EmbeddingOps(private val corpus: DataFrame) extends AnyVal {

@@ -42,6 +42,8 @@ class SyntaxSpec extends SparkSpec {
     samePlan(
       docs.contaminationAgainst(col("doc_id") === 1L, "doc_id", "text"),
       Curation.contamination(docs, "doc_id", "text", col("doc_id") === 1L))
+    samePlan(docs.similarPairs("doc_id", "text"),
+      Dedup.prefixFilterPairs(docs, "doc_id", "text"))
   }
 
   test("embedding ops delegate to the operator objects") {
