@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -364,6 +364,23 @@ object RelationalQueries {
           WHERE l_orderkey = o_orderkey
             AND l_discount > CAST(0.05 AS DOUBLE))
         GROUP BY o_orderpriority""")
+    }),
+
+    // Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL):
+    // multiplicity-aware complements of q22's set forms — each is a
+    // count-difference aggregation under the hood, one shuffle on the
+    // projected key, no row-id tricks.
+    "q146_bag_setops" -> ((s, dir) => {
+      def sideSet(f: Column) =
+        t(s, dir, "lineitem").filter(f).select(col("l_partkey"))
+      val a = sideSet(col("l_returnflag") === "R")
+      val b = sideSet(col("l_linestatus") === "F")
+      def summarize(df: DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_keys"))
+          .select(lit(op).as("op"), col("n_rows"), col("n_keys"))
+      summarize(a.exceptAll(b), "except_all")
+        .unionAll(summarize(a.intersectAll(b), "intersect_all"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -622,5 +639,17 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey
         |    AND l_discount > CAST(0.05 AS DOUBLE))
-        |GROUP BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q146_bag_setops" ->
+      """WITH a AS (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'),
+        |ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+        |ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |SELECT 'except_all' AS op, count(*) AS n_rows,
+        |  count(DISTINCT l_partkey) AS n_keys FROM ea
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, count(*) AS n_rows,
+        |  count(DISTINCT l_partkey) AS n_keys FROM ia""".stripMargin)
 }

@@ -263,6 +263,30 @@ object ScaleQueries {
           count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(20, 6))).cast("double")
             .as("sum_value"))
+    }),
+
+    // Running peak / maximum drawdown per user: a cumulative decimal sum
+    // and a running max COMPOSED in one ordered window pass (two window
+    // functions, same frame, one shuffle) — the accumulating-snapshot
+    // shape of telemetry and finance pipelines. Decimal prefix sums make
+    // every intermediate value, and therefore the max drawdown, exact on
+    // any engine; a double cumsum would drift with partitioning.
+    "q147_drawdown" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").cast(DecimalType(20, 6)).as("v"))
+        .withColumn("cum", sum(col("v")).over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          max(col("peak") - col("cum")).cast("double").as("max_drawdown"),
+          max(col("peak")).cast("double").as("peak_value"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -419,5 +443,23 @@ object ScaleQueries {
         |SELECT tier, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
         |FROM events JOIN tiers USING (user_id)
-        |GROUP BY tier""".stripMargin)
+        |GROUP BY tier""".stripMargin,
+
+    "q147_drawdown" ->
+      """WITH c1 AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(CAST(value AS DECIMAL(20,6))) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM events),
+        |c2 AS (
+        |  SELECT user_id, cum,
+        |    max(cum) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM c1)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(max(peak - cum) AS DOUBLE) AS max_drawdown,
+        |  CAST(max(peak) AS DOUBLE) AS peak_value
+        |FROM c2 GROUP BY user_id""".stripMargin)
 }
