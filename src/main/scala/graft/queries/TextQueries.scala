@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -347,7 +347,45 @@ object TextQueries {
     "q138_prefix_join" -> ((s, dir) =>
       Dedup.prefixFilterPairs(
         t(s, dir, "documents").filter(col("doc_id") < 500),
-        "doc_id", "text", thresholdBp = 9500)))
+        "doc_id", "text", thresholdBp = 9500)),
+
+    // WAV round-trip proof: fabricate REAL RIFF/WAVE containers in-plan
+    // (hex-assembled little-endian header bytes, parameters derived from
+    // doc_id), push them through the byte-level header parser
+    // (Multimodal.audioInfo), and match an oracle that computes the same
+    // fields ARITHMETICALLY — if the parser misread any offset or
+    // endianness, every row would differ. The binary column never
+    // shuffles wider than one header.
+    "q148_audio_meta" -> ((s, dir) => {
+      def le16(v: Column): Column = {
+        val h = lpad(hex(v), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def le32(v: Column): Column = {
+        val h = lpad(hex(v), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val params = t(s, dir, "documents").select(
+        col("doc_id"),
+        (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
+        (lit(8000) * (lit(1) + col("doc_id") % 3)).cast("int").as("rate"),
+        (lit(8) * (lit(1) + col("doc_id") % 2)).cast("int").as("bits"),
+        (col("n_chars") * 64).cast("int").as("data_bytes"))
+      val wav = params.select(col("doc_id"), unhex(concat(
+        lit("52494646"), le32(col("data_bytes") + 36), lit("57415645"),
+        lit("666d7420"), le32(lit(16)), le16(lit(1)), le16(col("ch")),
+        le32(col("rate")),
+        le32(col("rate") * col("ch") * (col("bits") / 8).cast("int")),
+        le16(col("ch") * (col("bits") / 8).cast("int")),
+        le16(col("bits")),
+        lit("64617461"), le32(col("data_bytes")))).as("payload"))
+      graft.multimodal.Multimodal.audioInfo(
+        graft.multimodal.Multimodal.asMediaTable(
+          wav, "doc_id", "payload", kind = "audio"))
+        .toDF()
+        .withColumnRenamed("media_id", "doc_id")
+    }))
 
   /** Shared CTE chain producing MinHash LSH candidate pairs with exact
     * Jaccard (over hashed-shingle sets) for doc_id < 300 (q36, q60). */
@@ -680,5 +718,18 @@ object TextQueries {
          |JOIN sz sa ON id_a = sa.doc_id
          |JOIN sz sb ON id_b = sb.doc_id
          |WHERE (n_shared * 10000) // (sa.sz + sb.sz - n_shared) >= 9500"""
-        .stripMargin)
+        .stripMargin,
+
+    "q148_audio_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+        |    CAST(8 * (1 + doc_id % 2) AS INT) AS bits_per_sample,
+        |    CAST(n_chars * 64 AS BIGINT) AS data_bytes
+        |  FROM documents)
+        |SELECT doc_id, channels, sample_rate, bits_per_sample, data_bytes,
+        |  (data_bytes * 8000) // (CAST(sample_rate AS BIGINT)
+        |    * channels * bits_per_sample) AS duration_ms
+        |FROM p""".stripMargin)
 }
