@@ -380,6 +380,28 @@ object CurationQueries {
             expr("(n_purchase * 10000) div n_signup")).otherwise(lit(0L)))
     }),
 
+    // Contingency crosstab with independence lift: source × lang cell
+    // counts against the row×col expectation, in basis points — the
+    // chi-square-family dependence check (log- and float-free). One
+    // corpus scan; the marginals attach to the tiny crosstab via
+    // windows, never a second pass.
+    "q149_crosstab" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy(col("source"))))
+        .withColumn("col_total",
+          sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .withColumn("grand", sum(col("n")).over(Window.partitionBy()))
+        .select(col("source"), col("lang"), col("n"),
+          col("row_total"), col("col_total"),
+          expr("(n * grand * 10000) div (row_total * col_total)")
+            .as("lift_bp"))
+    }),
+
     // Cohort retention: users grouped by first-seen date, counted
     // distinct on each subsequent day offset. Two shuffles (first-seen
     // aggregate, cohort-cell aggregate); the user→cohort join is an
@@ -709,6 +731,23 @@ object CurationQueries {
         |  CASE WHEN n_signup > 0 THEN (n_purchase * 10000) // n_signup
         |    ELSE 0 END AS conv_bp
         |FROM agg""".stripMargin,
+
+    "q149_crosstab" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT source, lang, n,
+        |    sum(n) OVER (PARTITION BY source) AS row_total,
+        |    sum(n) OVER (PARTITION BY lang) AS col_total,
+        |    sum(n) OVER () AS grand
+        |  FROM cells)
+        |SELECT source, lang, n,
+        |  CAST(row_total AS BIGINT) AS row_total,
+        |  CAST(col_total AS BIGINT) AS col_total,
+        |  CAST((n * grand * 10000) // (row_total * col_total) AS BIGINT)
+        |    AS lift_bp
+        |FROM m""".stripMargin,
 
     "q140_retention" ->
       """WITH e AS (
