@@ -287,6 +287,61 @@ object ScaleQueries {
           count(lit(1)).as("n_events"),
           max(col("peak") - col("cum")).cast("double").as("max_drawdown"),
           max(col("peak")).cast("double").as("peak_value"))
+    }),
+
+    // Incremental-aggregation maintenance: two date-partition partials
+    // (count + decimal sum each) merged by re-aggregation equal the
+    // direct one-pass aggregate, because decimal addition is associative
+    // — the materialized-view refresh pattern where yesterday's state
+    // merges with today's delta without rescanning history. The oracle
+    // IS the direct aggregate.
+    "q150_partial_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val e = t(s, dir, "events").select(col("event_type"),
+        (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("first_half"),
+        col("value").cast(DecimalType(20, 6)).as("v"))
+      def partial(f: Column) = e.filter(f).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      partial(col("first_half")).unionAll(partial(!col("first_half")))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("n")).as("n_events"),
+          sum(col("s")).cast("double").as("sum_value"))
+    }),
+
+    // Distribution drift over equal-frequency bins: decile edges come
+    // from the reference window (first half of the month), both halves
+    // are binned by counting edges strictly below each value — pure
+    // comparisons, no arithmetic on the values, so binning is exact on
+    // any engine — and the output is per-bin counts and shares in basis
+    // points. This is the PSI/L1 drift-detection shape with the log
+    // dropped. The 9-edge table broadcasts; the global ntile runs on
+    // the REFERENCE SAMPLE only (at 100 TB: a per-type window or a
+    // sampled reference, the binning join unchanged).
+    "q151_drift_bins" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").select(col("event_id"), col("value"),
+        (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
+      val edges = e.filter(col("is_ref"))
+        .withColumn("tile", ntile(10).over(
+          Window.orderBy(col("value"), col("event_id"))))
+        .filter(col("tile") <= 9)
+        .groupBy(col("tile")).agg(max(col("value")).as("edge"))
+      val binned = e
+        .join(broadcast(edges), col("value") > col("edge"), "left")
+        .groupBy(col("event_id"), col("is_ref"))
+        .agg(count(col("edge")).as("bin"))
+      val cells = binned.groupBy(col("bin"))
+        .agg(
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cmp"))
+      val tot = Window.partitionBy()
+      cells
+        .withColumn("tr", sum(col("n_ref")).over(tot))
+        .withColumn("tc", sum(col("n_cmp")).over(tot))
+        .select(col("bin"), col("n_ref"), col("n_cmp"),
+          expr("(n_ref * 10000) div tr").as("ref_share_bp"),
+          expr("(n_cmp * 10000) div tc").as("cmp_share_bp"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -461,5 +516,43 @@ object ScaleQueries {
         |SELECT user_id, count(*) AS n_events,
         |  CAST(max(peak - cum) AS DOUBLE) AS max_drawdown,
         |  CAST(max(peak) AS DOUBLE) AS peak_value
-        |FROM c2 GROUP BY user_id""".stripMargin)
+        |FROM c2 GROUP BY user_id""".stripMargin,
+
+    "q150_partial_merge" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type""".stripMargin,
+
+    "q151_drift_bins" ->
+      """WITH e AS (
+        |  SELECT event_id, value,
+        |    CAST(ts AS DATE) <= DATE '2024-01-15' AS is_ref
+        |  FROM events),
+        |edges AS (
+        |  SELECT tile, max(value) AS edge FROM (
+        |    SELECT value,
+        |      ntile(10) OVER (ORDER BY value, event_id) AS tile
+        |    FROM e WHERE is_ref)
+        |  WHERE tile <= 9 GROUP BY 1),
+        |b AS (
+        |  SELECT e.event_id, e.is_ref, count(edge) AS bin
+        |  FROM e LEFT JOIN edges ON e.value > edges.edge
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cmp
+        |  FROM b GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |    CAST(sum(n_cmp) AS BIGINT) AS tc
+        |  FROM c)
+        |SELECT bin, n_ref, n_cmp,
+        |  (n_ref * 10000) // tr AS ref_share_bp,
+        |  (n_cmp * 10000) // tc AS cmp_share_bp
+        |FROM c, t""".stripMargin)
 }
