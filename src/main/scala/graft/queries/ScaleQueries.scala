@@ -342,6 +342,42 @@ object ScaleQueries {
         .select(col("bin"), col("n_ref"), col("n_cmp"),
           expr("(n_ref * 10000) div tr").as("ref_share_bp"),
           expr("(n_cmp * 10000) div tc").as("cmp_share_bp"))
+    }),
+
+    // Time-weighted average over irregularly sampled series: each value
+    // weighted by its holding interval (lead(ts) − ts in integer
+    // microseconds), the weighted sum exact decimal, ONE mirrored IEEE
+    // division at the end — the correct mean for sensor/telemetry data
+    // where a plain avg() over-weights bursts. One ordered window pass
+    // per user, then a keyed aggregate; nothing global.
+    "q152_time_weighted" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").cast(DecimalType(20, 6)).as("v"))
+        .withColumn("dt_us",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dt_us").isNotNull)
+        // value in integer micro-units so the weighted sum is an exact
+        // integer on every engine (a decimal×bigint product would be
+        // promoted to float by some engines); the only float ops are the
+        // two mirrored final divisions.
+        .withColumn("vu", expr("CAST(v * 1000000 AS DECIMAL(38,0))"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("dt_us")).as("total_us"),
+          // exact integer division down to micro-units FIRST, so no
+          // float ever sees a >2^53 integer (BigDecimal→double casts
+          // are not guaranteed correctly rounded up there); the final
+          // /1e6 is float-exact on the small quotient.
+          expr("CAST(sum(vu * dt_us) div sum(dt_us) AS BIGINT)")
+            .as("tw_avg_micro"))
+        .withColumn("tw_avg",
+          expr("CAST(tw_avg_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -554,5 +590,21 @@ object ScaleQueries {
         |SELECT bin, n_ref, n_cmp,
         |  (n_ref * 10000) // tr AS ref_share_bp,
         |  (n_cmp * 10000) // tc AS cmp_share_bp
-        |FROM c, t""".stripMargin)
+        |FROM c, t""".stripMargin,
+
+    "q152_time_weighted" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT) AS vu,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS dt_us
+        |  FROM events)
+        |SELECT user_id,
+        |  count(*) AS n_intervals,
+        |  CAST(sum(dt_us) AS BIGINT) AS total_us,
+        |  CAST(sum(vu * dt_us) // sum(dt_us) AS BIGINT) AS tw_avg_micro,
+        |  CAST(CAST(sum(vu * dt_us) // sum(dt_us) AS BIGINT) AS DOUBLE)
+        |    / CAST(1000000 AS DOUBLE) AS tw_avg
+        |FROM d WHERE dt_us IS NOT NULL
+        |GROUP BY user_id""".stripMargin)
 }
