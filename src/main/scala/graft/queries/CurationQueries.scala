@@ -402,6 +402,27 @@ object CurationQueries {
             .as("lift_bp"))
     }),
 
+    // Last-touch attribution: for every purchase, the event type that
+    // immediately preceded it in the user's timeline — one lag() window
+    // pass, then a tiny aggregate with basis-point shares. The funnel's
+    // (q139) complement: which activity converts.
+    "q154_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val prev = t(s, dir, "events")
+        .withColumn("prev_event", lag(col("event_type"), 1).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("prev_event").isNotNull)
+        .groupBy(col("prev_event"))
+        .agg(count(lit(1)).as("n_purchases"))
+      prev
+        .withColumn("total", sum(col("n_purchases")).over(
+          Window.partitionBy()))
+        .select(col("prev_event"), col("n_purchases"),
+          expr("(n_purchases * 10000) div total").as("share_bp"))
+    }),
+
     // Cohort retention: users grouped by first-seen date, counted
     // distinct on each subsequent day offset. Two shuffles (first-seen
     // aggregate, cohort-cell aggregate); the user→cohort join is an
@@ -731,6 +752,21 @@ object CurationQueries {
         |  CASE WHEN n_signup > 0 THEN (n_purchase * 10000) // n_signup
         |    ELSE 0 END AS conv_bp
         |FROM agg""".stripMargin,
+
+    "q154_attribution" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_event
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_event, count(*) AS n_purchases
+        |  FROM p WHERE event_type = 'purchase' AND prev_event IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS total FROM c)
+        |SELECT prev_event, n_purchases,
+        |  (n_purchases * 10000) // total AS share_bp
+        |FROM c, t""".stripMargin,
 
     "q149_crosstab" ->
       """WITH cells AS (

@@ -345,6 +345,36 @@ object RelationalQueries {
           count(lit(1)).as("n_lineitems"))
     }),
 
+    // Grouped OLS regression (price on quantity) from the same decimal
+    // moment sums as q80: slope and intercept are pure double formulas
+    // over exactly-accumulated sums, evaluated in one mirrored order —
+    // the distributed closed-form regression (one aggregation, no
+    // iterative solver, no per-row floats).
+    "q153_regression" -> ((s, dir) => {
+      val d = DecimalType(18, 2)
+      val x = col("l_quantity").cast(d)
+      val y = col("l_extendedprice").cast(d)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("sxd"),
+          col("sy").cast("double").as("syd"),
+          col("sxy").cast("double").as("sxyd"),
+          col("sxx").cast("double").as("sxxd"))
+        .withColumn("slope",
+          (col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+            (col("nd") * col("sxxd") - col("sxd") * col("sxd")))
+        .withColumn("intercept",
+          (col("syd") - col("slope") * col("sxd")) / col("nd"))
+        .select(col("l_returnflag"), col("n"),
+          col("slope"), col("intercept"))
+    }),
+
     // SQL-entrypoint parity: the same engine surface reached through
     // spark.sql over registered temp views — ANSI text goes through
     // Spark's parser/analyzer (correlated EXISTS → rewritten semi join)
@@ -640,6 +670,33 @@ object RelationalQueries {
         |  WHERE l_orderkey = o_orderkey
         |    AND l_discount > CAST(0.05 AS DOUBLE))
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q153_regression" ->
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM f GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+        |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd
+        |  FROM a),
+        |sl AS (
+        |  SELECT l_returnflag, n, nd, sxd, syd,
+        |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope
+        |  FROM d)
+        |SELECT l_returnflag, n, slope,
+        |  (syd - slope * sxd) / nd AS intercept
+        |FROM sl""".stripMargin,
 
     "q146_bag_setops" ->
       """WITH a AS (
