@@ -375,6 +375,25 @@ object RelationalQueries {
           col("slope"), col("intercept"))
     }),
 
+    // Robust statistics: per-group median absolute deviation — the
+    // outlier-resistant scale estimate (z-scores break when the mean
+    // itself is dragged). Two grouped exact percentiles with the tiny
+    // median table broadcast back between them; deviations are plain
+    // double subtractions, exact on both engines.
+    "q155_mad" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_quantity").as("x"))
+      val med = li.groupBy(col("g"))
+        .agg(expr("percentile(x, 0.5)").as("med"))
+      li.join(broadcast(med), "g")
+        .select(col("g"), col("med"), abs(col("x") - col("med")).as("ad"))
+        .groupBy(col("g"))
+        .agg(
+          count(lit(1)).as("n"),
+          max(col("med")).as("median_x"),
+          expr("percentile(ad, 0.5)").as("mad"))
+    }),
+
     // SQL-entrypoint parity: the same engine surface reached through
     // spark.sql over registered temp views — ANSI text goes through
     // Spark's parser/analyzer (correlated EXISTS → rewritten semi join)
@@ -670,6 +689,17 @@ object RelationalQueries {
         |  WHERE l_orderkey = o_orderkey
         |    AND l_discount > CAST(0.05 AS DOUBLE))
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q155_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(median(l_quantity) AS DOUBLE) AS med
+        |  FROM lineitem GROUP BY 1)
+        |SELECT g, count(*) AS n,
+        |  max(med) AS median_x,
+        |  CAST(median(abs(l_quantity - med)) AS DOUBLE) AS mad
+        |FROM lineitem JOIN med ON l_returnflag = g
+        |GROUP BY g""".stripMargin,
 
     "q153_regression" ->
       """WITH f AS (
