@@ -378,6 +378,46 @@ object ScaleQueries {
             .as("tw_avg_micro"))
         .withColumn("tw_avg",
           expr("CAST(tw_avg_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)"))
+    }),
+
+    // Gini coefficient of per-user activity: the inequality measure
+    // behind "how concentrated is this workload" (complements q134's
+    // top-share view). Sorted-rank formula — two integer sums off one
+    // ranking window over the (user-count-sized) histogram, one mirrored
+    // double division at the end. At 100 TB the rank is a distributed
+    // sort over users, not events; events aggregate first.
+    "q156_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      counts
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("x"), col("user_id"))))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("n"), col("sx").as("total_events"),
+          expr("""CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                  / CAST(n * sx AS DOUBLE)""").as("gini"))
+    }),
+
+    // Inter-event gap histogram on a log2 scale WITHOUT floats: the
+    // bucket is the bit length of the gap in microseconds (length of
+    // the binary string — floor(log2)+1), so binning is pure integer
+    // and engine-exact where a log()-based width_bucket would be float
+    // binning at bucket edges. One ordered window pass per event type.
+    "q157_gap_hist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("gap_us") > 0)
+        .withColumn("bucket", length(bin(col("gap_us"))).cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -606,5 +646,35 @@ object ScaleQueries {
         |  CAST(CAST(sum(vu * dt_us) // sum(dt_us) AS BIGINT) AS DOUBLE)
         |    / CAST(1000000 AS DOUBLE) AS tw_avg
         |FROM d WHERE dt_us IS NOT NULL
-        |GROUP BY user_id""".stripMargin)
+        |GROUP BY user_id""".stripMargin,
+
+    "q156_gini" ->
+      """WITH counts AS (
+        |  SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i
+        |  FROM counts),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(i * x) AS BIGINT) AS six
+        |  FROM r)
+        |SELECT n, sx AS total_events,
+        |  CAST(2 * six - (n + 1) * sx AS DOUBLE)
+        |    / CAST(n * sx AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
+
+    "q157_gap_hist" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(length(bin(gap_us)) AS BIGINT) AS bucket,
+        |  count(*) AS n_gaps,
+        |  min(gap_us) AS min_gap_us,
+        |  max(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us > 0
+        |GROUP BY 1, 2""".stripMargin)
 }
