@@ -85,10 +85,24 @@ object Bench {
     // number records noise instead of plan cost (r3: q39 53.4 s in the
     // driver environment vs 3.0 s on the identical build re-run).
     val retryAboveSec = 2.0
+    // A throwing query must surface as a FAILURE, not a fast timing: the
+    // per-query line carries "err", the summary lists it, and the
+    // process exits nonzero so the driver records a broken build.
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var lastErr: Option[String] = None
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        lastErr =
+          try { fn(spark, sfDir).count(); None }
+          catch {
+            case e: Throwable =>
+              Some(e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").take(200))
+          }
         val sec = r4((System.nanoTime() - t0) / 1e9)
         releaseAll()
         sec
@@ -97,17 +111,21 @@ object Bench {
       // Record measurement provenance: when a query is re-measured the
       // per-query line carries both samples so published figures are
       // auditable (best-of-2 vs single-sample).
-      val sec =
-        if (first > retryAboveSec) {
+      val sec = lastErr match {
+        case Some(m) =>
+          errors += name -> m
+          println(s"""{"query":"$name","sec":$first,"err":"${esc(m)}"}""")
+          first
+        case None if first > retryAboveSec =>
           val second = once()
           val best = math.min(first, second)
           println(
             s"""{"query":"$name","sec":$best,"retried":true,"samples":[$first,$second]}""")
           best
-        } else {
+        case None =>
           println(s"""{"query":"$name","sec":$first}""")
           first
-        }
+      }
       name -> sec
     }
 
@@ -127,9 +145,20 @@ object Bench {
       releaseAll()
       sec
     }
-    val pipeSec = math.min(pipeOnce(), pipeOnce())
-    val recPerSec = math.rint(nRecords / pipeSec)
-    println(s"""{"query":"pipeline_e2e","sec":$pipeSec}""")
+    def guarded(name: String, run: () => Double): Double =
+      try math.min(run(), run())
+      catch {
+        case e: Throwable =>
+          val m = e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200)
+          errors += name -> m
+          println(s"""{"query":"$name","sec":-1.0,"err":"${esc(m)}"}""")
+          -1.0
+      }
+    val pipeSec = guarded("pipeline_e2e", pipeOnce _)
+    val recPerSec =
+      if (pipeSec > 0) math.rint(nRecords / pipeSec) else -1.0
+    if (pipeSec >= 0) println(s"""{"query":"pipeline_e2e","sec":$pipeSec}""")
 
     // Streaming variant of the same pipeline: FileStreamSource over the
     // events table, each micro-batch through the full transform chain in
@@ -156,26 +185,40 @@ object Bench {
       releaseAll()
       sec
     }
-    val streamSec = math.min(streamOnce(), streamOnce())
-    val streamRecPerSec = math.rint(streamRecords / streamSec)
-    println(s"""{"query":"pipeline_stream","sec":$streamSec}""")
+    val streamSec = guarded("pipeline_stream", streamOnce _)
+    val streamRecPerSec =
+      if (streamSec > 0) math.rint(streamRecords / streamSec) else -1.0
+    if (streamSec >= 0)
+      println(s"""{"query":"pipeline_stream","sec":$streamSec}""")
 
     val all = results :+ ("pipeline_e2e" -> pipeSec) :+ ("pipeline_stream" -> streamSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     val total = r4(all.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_records":$nRecords,"pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec}""")
-    // The driver records only the last ~2000 chars of stdout; the full
-    // metric line above exceeds that with 100+ queries, so its front
-    // (and the alphabetically-early queries) gets cut from the round
-    // record. Emit a compact summary LAST — total, throughputs, and
-    // every query >= 0.5 s — so the persisted tail always carries the
-    // headline numbers and the queries worth grading for performance.
-    val slow = all.filter(_._2 >= 0.5).sortBy(-_._2)
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_records":$nRecords,"pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"errors":$errJson}"""
+    println(fullLine)
+    // The driver's tail capture is size-bounded; the full metric line
+    // above exceeds it with 150+ queries. Persist the COMPLETE summary
+    // to a file (survives truncation), then print a compact,
+    // bounded-size summary LAST — total, throughputs, errors, and the
+    // top-15 slowest queries — so the captured tail always carries the
+    // headline numbers, never a mid-JSON cut.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_summary.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // read-only cwd must not kill bench
+    val slowAll = all.filter(_._2 >= 0.5).sortBy(-_._2)
+    val slow = slowAll.take(15)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fastN = all.count(_._2 < 0.5)
     val fastSum = r4(all.filter(_._2 < 0.5).map(_._2).sum)
-    println(s"""{"metric":"summary","total_sec":$total,"n_queries":${all.size},"sf":"$sfDir","pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"slow_queries_sec":$slow,"fast_queries":{"n":$fastN,"sum_sec":$fastSum}}""")
+    println(s"""{"metric":"summary","total_sec":$total,"n_queries":${all.size},"sf":"$sfDir","pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"n_errors":${errors.size},"error_queries":${errors.keys.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")},"slow_queries_sec":$slow,"slow_omitted":${math.max(0, slowAll.size - 15)},"fast_queries":{"n":$fastN,"sum_sec":$fastSum},"full_summary_file":"bench_summary.json"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -183,7 +183,16 @@ object ParquetIngestor {
     // 100k files the wall-clock is files/poolSize round-trips, not
     // files. Futures keep the input order, so results — and therefore
     // accepted-file order and the multi-path read — stay deterministic.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Set for the duration of the probe + read CONSTRUCTION only, then
+    // restored (like Loader.write restores partitionOverwriteMode): the
+    // LongType mapping for TIMESTAMP(NANOS) columns is captured when
+    // spark.read resolves each schema, so later lazy execution of the
+    // returned DataFrame does not need the flag (verified empirically),
+    // and unrelated reads in the same session keep default behavior.
+    val nanosConfKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosConfOld = spark.conf.getOption(nanosConfKey)
+    spark.conf.set(nanosConfKey, "true")
+    try {
     val probed = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
@@ -285,5 +294,11 @@ object ParquetIngestor {
         filesSkipped = skipped.size,
         filesFailed = failed.size),
       save)
+    } finally {
+      nanosConfOld match {
+        case Some(v) => spark.conf.set(nanosConfKey, v)
+        case None => spark.conf.unset(nanosConfKey)
+      }
+    }
   }
 }

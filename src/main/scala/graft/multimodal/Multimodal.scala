@@ -134,8 +134,15 @@ object Multimodal {
       } else if (id == "data") {
         dataBytes = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-      if (i <= 0) return None // corrupt size wrapped the cursor
+      if (channels >= 0 && dataBytes >= 0) {
+        i = bytes.length // both chunks found — no need to walk further
+      } else {
+        // Advance in Long: a chunk size near 2^32 (e.g. 0xFFFFFFF8) would
+        // make the Int advance zero or negative and spin the loop forever.
+        val next = i.toLong + 8L + size + (size & 1L) // word-aligned chunks
+        if (next <= i || next > Int.MaxValue) return None // corrupt size
+        i = next.toInt
+      }
     }
     if (channels > 0 && rate > 0 && bits > 0 && dataBytes >= 0)
       Some((channels, rate.toInt, bits, dataBytes))

@@ -228,12 +228,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_bp"))
   }
 
+  /** EXACT-VERIFICATION PRIMITIVE — intentionally quadratic (a true
+    * `crossJoin`: all pairs, no candidate pruning). It exists to verify
+    * the scale paths (`prefixFilterPairs`, `minhashLsh`) on SMALL
+    * bounded sets, never to run on a corpus: at 1M docs it is 5×10^11
+    * pairs. Guarded by an eager count against `maxRows` (one cheap
+    * aggregate job) so a misrouted large input fails loudly instead of
+    * melting the cluster; raise the cap explicitly if a larger exact
+    * check is really intended. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       contentCol: String,
       n: Int = 2,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = 0.2,
+      maxRows: Long = 10000L): DataFrame = {
+    val nRows = df.count()
+    require(nRows <= maxRows,
+      s"ngramJaccardPairs is an all-pairs exact-verification primitive; " +
+        s"got $nRows rows (> $maxRows). Use prefixFilterPairs or " +
+        s"minhashLsh for corpus-scale near-dup detection, or raise " +
+        s"maxRows explicitly for a deliberate larger exact check.")
     val base = df.select(col(idCol).as("id"),
       array_distinct(text.shingles(col(contentCol), n)).as("sh"))
     val l = base.select(col("id").as("id_a"), col("sh").as("sh_a"))

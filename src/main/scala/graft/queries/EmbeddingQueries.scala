@@ -83,6 +83,33 @@ object EmbeddingQueries {
             .as("centroid_sq_sum_e6"))
     }),
 
+    // Per-dimension corpus statistics (count, exact-decimal sum and
+    // sum-of-squares) — the feature-scaling / whitening stats pass a
+    // training pipeline runs before normalizing embeddings. Squares are
+    // computed in DECIMAL (xd*xd is exact at scale 12), so the result
+    // is partitioning- and engine-independent. Scale shape: posexplode
+    // fans out rows×dims, but partial aggregation collapses each map
+    // partition to one row per dim BEFORE the shuffle, so only
+    // n_partitions×dims tiny rows ever move — the 64-key "skew" never
+    // materializes.
+    "q46_dim_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        // DECIMAL(12,6), NOT (20,6): a (20,6)×(20,6) product needs
+        // precision 41, and Spark's precision-loss rule would silently
+        // round the square to scale 9 before the cast below. (12,6)
+        // keeps the product at precision 25 scale 12 — exact.
+        .withColumn("xd", col("x").cast("double").cast(DecimalType(12, 6)))
+        .groupBy(col("dim").cast("int").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xd")).as("sx"),
+          sum(expr("CAST(xd * xd AS DECIMAL(30,12))")).as("sxx"))
+        .select(col("dim"), col("n"),
+          floor(col("sx") * 1000000).cast("long").as("sx_e6"),
+          floor(col("sxx") * 1000000).cast("long").as("sxx_e6"))
+    }),
+
     // Nearest-centroid assignment (the E-step of k-means / the "route
     // to topic shard" pass of corpus organization): every non-zero
     // vector joins the 8 broadcast centroid rows, argmax cosine with a
@@ -235,6 +262,19 @@ object EmbeddingQueries {
         |  CAST(floor(CAST(sum(CAST(sx * sx AS DECIMAL(30,12))) AS DOUBLE)
         |    * 1000000) AS BIGINT) AS centroid_sq_sum_e6
         |FROM per_dim GROUP BY label""".stripMargin,
+
+    "q46_dim_stats" ->
+      """WITH dims AS (
+        |  SELECT CAST(dim - 1 AS INT) AS dim,
+        |    CAST(CAST(x AS DOUBLE) AS DECIMAL(20,6)) AS xd
+        |  FROM (SELECT unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS dim
+        |        FROM embeddings))
+        |SELECT dim, count(*) AS n,
+        |  CAST(floor(sum(xd) * 1000000) AS BIGINT) AS sx_e6,
+        |  CAST(floor(sum(CAST(xd * xd AS DECIMAL(30,12))) * 1000000)
+        |    AS BIGINT) AS sxx_e6
+        |FROM dims GROUP BY dim""".stripMargin,
 
     // int8 codes as DOUBLE lists: every value is a small integer, so
     // list_dot_product sums are exact (integers < 2^53 in doubles) —

@@ -365,7 +365,11 @@ object ScaleQueries {
         // integer on every engine (a decimal×bigint product would be
         // promoted to float by some engines); the only float ops are the
         // two mirrored final divisions.
-        .withColumn("vu", expr("CAST(v * 1000000 AS DECIMAL(38,0))"))
+        // DECIMAL(26,0), not (38,0): v is DECIMAL(20,6) so v*1e6 always
+        // fits 26 digits, and the tighter bound leaves the product
+        // vu*dt_us (26+20+1 → capped 38) real headroom before Spark's
+        // non-ANSI decimal arithmetic would overflow.
+        .withColumn("vu", expr("CAST(v * 1000000 AS DECIMAL(26,0))"))
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_intervals"),
@@ -374,10 +378,21 @@ object ScaleQueries {
           // float ever sees a >2^53 integer (BigDecimal→double casts
           // are not guaranteed correctly rounded up there); the final
           // /1e6 is float-exact on the small quotient.
-          expr("CAST(sum(vu * dt_us) div sum(dt_us) AS BIGINT)")
-            .as("tw_avg_micro"))
+          sum(expr("vu * dt_us")).as("swd"),
+          count(col("vu")).as("n_vu"))
+        // Non-ANSI decimal multiply/sum silently yields NULL past 38
+        // digits; that would publish a NULL average with no signal.
+        // Unreachable below ~10^38 value-microseconds per user, but
+        // guarded: overflow raises instead of disappearing.
+        .withColumn("tw_avg_micro",
+          expr("""CAST(if(swd IS NULL AND n_vu > 0,
+                 CAST(raise_error(
+                   'q152: decimal overflow in time-weighted sum')
+                   AS DECIMAL(38,0)),
+                 swd) div total_us AS BIGINT)"""))
         .withColumn("tw_avg",
           expr("CAST(tw_avg_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)"))
+        .drop("swd", "n_vu")
     }),
 
     // Gini coefficient of per-user activity: the inequality measure

@@ -371,15 +371,19 @@ object TextQueries {
         (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
         (lit(8000) * (lit(1) + col("doc_id") % 3)).cast("int").as("rate"),
         (lit(8) * (lit(1) + col("doc_id") % 2)).cast("int").as("bits"),
-        (col("n_chars") * 64).cast("int").as("data_bytes"))
+        // long end-to-end: an int cast would wrap (non-ANSI) past 2^25
+        // chars; the RIFF fields below take only the low 32 bits, which
+        // is exactly what a real 32-bit RIFF size field can carry.
+        (col("n_chars") * 64).cast("bigint").as("data_bytes"))
+      def lo32(c: Column): Column = pmod(c, lit(4294967296L))
       val wav = params.select(col("doc_id"), unhex(concat(
-        lit("52494646"), le32(col("data_bytes") + 36), lit("57415645"),
+        lit("52494646"), le32(lo32(col("data_bytes") + 36)), lit("57415645"),
         lit("666d7420"), le32(lit(16)), le16(lit(1)), le16(col("ch")),
         le32(col("rate")),
         le32(col("rate") * col("ch") * (col("bits") / 8).cast("int")),
         le16(col("ch") * (col("bits") / 8).cast("int")),
         le16(col("bits")),
-        lit("64617461"), le32(col("data_bytes")))).as("payload"))
+        lit("64617461"), le32(lo32(col("data_bytes"))))).as("payload"))
       graft.multimodal.Multimodal.audioInfo(
         graft.multimodal.Multimodal.asMediaTable(
           wav, "doc_id", "payload", kind = "audio"))
@@ -726,7 +730,7 @@ object TextQueries {
         |    CAST(1 + doc_id % 2 AS INT) AS channels,
         |    CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
         |    CAST(8 * (1 + doc_id % 2) AS INT) AS bits_per_sample,
-        |    CAST(n_chars * 64 AS BIGINT) AS data_bytes
+        |    CAST(n_chars * 64 AS BIGINT) % 4294967296 AS data_bytes
         |  FROM documents)
         |SELECT doc_id, channels, sample_rate, bits_per_sample, data_bytes,
         |  (data_bytes * 8000) // (CAST(sample_rate AS BIGINT)

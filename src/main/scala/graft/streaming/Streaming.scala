@@ -62,13 +62,18 @@ object Streaming {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
-  /** Run a streaming aggregation over a static directory to completion
-    * (memory sink, complete mode) and return the result as a batch
-    * DataFrame — lets the oracle harness verify streaming semantics
-    * against a plain GROUP BY. The memory-sink table and the scratch
-    * checkpoint are torn down before returning (the result is handed
-    * back as a local relation), so repeated runs in one JVM — the bench
-    * harness runs 70 queries back-to-back — leave no sink state behind. */
+  /** TEST/ORACLE HARNESS ONLY — NOT a production pattern. Runs a
+    * streaming aggregation over a static directory to completion
+    * (memory sink, complete mode) and `collect()`s the sink to the
+    * driver, which is safe here only because the results are
+    * aggregate-sized. Production streaming goes through `sensorIngest`
+    * (append-mode foreachBatch, bounded state, no driver collect) —
+    * copy THAT, not this. This helper exists so the oracle can verify
+    * streaming semantics against a plain GROUP BY. The memory-sink
+    * table and the scratch checkpoint are torn down before returning
+    * (the result is handed back as a local relation), so repeated runs
+    * in one JVM — the bench harness runs 150+ queries back-to-back —
+    * leave no sink state behind. */
   def runToCompletion(
       spark: SparkSession,
       agg: DataFrame,

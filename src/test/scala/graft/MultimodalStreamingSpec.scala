@@ -80,6 +80,23 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(Multimodal.parseWavHeader(padded) === Some((2, 44100, 16, 88200L)))
     assert(Multimodal.parseWavHeader("RIFFxxxxAVI ".getBytes) === None)
     assert(Multimodal.parseWavHeader("too short".getBytes) === None)
+    // adversarial chunk sizes must terminate (r6 advice): 0xFFFFFFF8
+    // makes the word-aligned Int advance exactly 0 — previously an
+    // infinite loop; 0xFFFFFFFF wraps negative. Both must return None,
+    // not hang the executor task.
+    for (evil <- Seq(0xFFFFFFF8, 0xFFFFFFFF, 0x7FFFFFFF)) {
+      val corrupt = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+        "JUNK".getBytes ++ le32(evil) ++ new Array[Byte](24)
+      assert(Multimodal.parseWavHeader(corrupt) === None)
+    }
+    // ...but an oversized trailing data chunk AFTER both chunks are
+    // found must still parse (fabricated headers carry no PCM body).
+    val headerOnly = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(0xFFFFFFF0)
+    assert(Multimodal.parseWavHeader(headerOnly) ===
+      Some((2, 44100, 16, 0xFFFFFFF0L & 0xFFFFFFFFL)))
 
     val media = Seq(
       Multimodal.MediaRow(1L, "audio", wav, "audio/wav"),
