@@ -242,11 +242,40 @@ object Validation {
     * when loading follows (both stages consume it). */
   def collectMetrics(cfg: PipelineConfig)(df: DataFrame): ValidationResult = {
     val c = cfg.cols
-    val tv = typeViolations(c)(df).head()
-    val rv = rangeViolations(cfg.ranges, c)(df).head()
-    val bv = batteryViolations(cfg.batteryRange, c)(df).head()
-    val tr = timeRangeStats(c)(df).head()
-    val ov = overallStats(c)(df).head()
+    // Single-pass scalar stats (SURVEY §7.4 item 8, the reference's
+    // observe()-style consolidation): the five GLOBAL aggregates —
+    // type/range/battery violation counts, time range, overall stats —
+    // collapse into ONE df.agg(...), so one job and one scan produce
+    // every scalar instead of five. At 100 TB on an uncached frame that
+    // is the difference between one and five full passes. The per-type /
+    // per-sensor profiles below keep their own jobs (different grouping
+    // keys); the suite runs 5 actions total, not 9. The standalone
+    // builders (typeViolations &c.) remain the public per-metric API.
+    val br = cfg.batteryRange
+    val rangeTypes = cfg.ranges.keys.toSeq.sorted
+    val rangeCounts = cfg.ranges.toSeq.sortBy(_._1).map { case (typ, r) =>
+      count(when(col(c.typ) === typ &&
+        (col(c.value) < r.min || col(c.value) > r.max), 1)).as(s"rv_$typ")
+    }
+    val scalarExprs = Seq(
+      count(when(col(c.ts).isNull, 1)).as("null_timestamps"),
+      count(when(col(c.value).isNull, 1)).as("invalid_values"),
+      count(when(col(c.battery).isNull, 1)).as("invalid_batteries"),
+      count(when(
+        col(c.battery) < br.min || col(c.battery) > br.max,
+        1)).as("battery_violations"),
+      min(col(c.ts)).as("min_ts"),
+      max(col(c.ts)).as("max_ts"),
+      count(lit(1)).as("total_records"),
+      countDistinct(col(c.id)).as("unique_sensors"),
+      round(avg(col(c.value)), 2).as("avg_value"),
+      round(avg(col(c.battery)), 1).as("avg_battery")) ++ rangeCounts
+    val sc = df.agg(scalarExprs.head, scalarExprs.tail: _*).head()
+    def scL(n: String): Long = sc.getLong(sc.fieldIndex(n))
+    def scD(n: String): Double = {
+      val i = sc.fieldIndex(n)
+      if (sc.isNullAt(i)) Double.NaN else sc.getDouble(i)
+    }
 
     val missing = missingProfile(c)(df).collect().toSeq.map(r => TypeProfile(
       r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -267,25 +296,26 @@ object Validation {
     val score = qualityScore(missing, anomalies, totalGapHours, cfg)
     val issues = assess(missing, anomalies, gaps, cfg)
 
-    val rangeViolationMap = cfg.ranges.keys.toSeq.sorted.map(t =>
-      t -> rv.getLong(rv.fieldIndex(t))).toMap
+    val rangeViolationMap = rangeTypes.map(t => t -> scL(s"rv_$t")).toMap
 
     val metrics = QualityMetrics(
-      totalRecords = ov.getLong(0),
-      nullTimestamps = tv.getLong(0),
-      invalidValues = tv.getLong(1),
-      invalidBatteries = tv.getLong(2),
+      totalRecords = scL("total_records"),
+      nullTimestamps = scL("null_timestamps"),
+      invalidValues = scL("invalid_values"),
+      invalidBatteries = scL("invalid_batteries"),
       rangeViolations = rangeViolationMap,
-      batteryViolations = bv.getLong(0),
-      distinctSensors = tr.getLong(2),
-      timeRange = (tr.getTimestamp(0), tr.getTimestamp(1)),
+      batteryViolations = scL("battery_violations"),
+      distinctSensors = scL("unique_sensors"),
+      timeRange = (
+        sc.getTimestamp(sc.fieldIndex("min_ts")),
+        sc.getTimestamp(sc.fieldIndex("max_ts"))),
       missingProfile = missing,
       anomalyProfile = anomalies,
       coverage = coverage,
       gaps = gaps,
       totalMissingHours = totalGapHours,
-      avgValue = if (ov.isNullAt(3)) Double.NaN else ov.getDouble(3),
-      avgBattery = if (ov.isNullAt(4)) Double.NaN else ov.getDouble(4))
+      avgValue = scD("avg_value"),
+      avgBattery = scD("avg_battery"))
 
     ValidationResult(
       passed = issues.isEmpty,
