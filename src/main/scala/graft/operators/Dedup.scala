@@ -111,6 +111,88 @@ object Dedup {
     out
   }
 
+  /** Incremental corpus dedup — classify each INCOMING document against
+    * an existing CORPUS without ever joining content to content:
+    * `exact_dup` (identical md5 content hash), `near_dup` (shares at
+    * least one MinHash LSH band bucket with a corpus doc AND exact
+    * shingle-set Jaccard >= threshold), else `unique`. `match_id` is
+    * the SMALLEST matching corpus id, exact match winning over near —
+    * deterministic on any partitioning.
+    *
+    * This is the batch-over-batch shape of a growing-corpus ingest: the
+    * corpus reduces to two index tables — (content_hash → min id) and
+    * (band bucket, signature, shingle-hash set) — which a production
+    * deployment builds once and PERSISTS between batches; each incoming
+    * batch probes them with plain equi-joins, so per-batch cost scales
+    * with the batch (plus index size), not with corpus². Incoming-vs-
+    * incoming duplicates are out of scope by design — run the batch
+    * operators (exactByHash / minhashLsh) over the survivors. */
+  def dedupAgainst(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      contentCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      shingleN: Int = 1,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    def sigs(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), md5(col(contentCol)).as("h"),
+        text.shingleHashes(col(contentCol), shingleN).as("hs"))
+      .select(col("id"), col("h"),
+        text.minhashFromHashes(col("hs"), k).as("sig"),
+        array_distinct(col("hs")).as("sh"))
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_id"),
+          concat_ws("_", transform(slice(col("sig"), b * rows + 1, rows),
+            x => x.cast("string"))).as("band_key"))): _*)).as("band"))
+
+    // Both signature tables are consumed twice (banding + verify/probe);
+    // materialize once. In production the corpus side is the persisted
+    // index, not a recomputation.
+    val cor = sigs(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inc = sigs(incoming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val exactIdx = cor.groupBy(col("h")).agg(min(col("id")).as("exact_id"))
+
+    // Band-bucket equi-join: only (id, band) pairs shuffle; a candidate
+    // pair exists iff some band collides (LSH OR-construction).
+    val cand = banded(inc).as("l")
+      .join(banded(cor).withColumnRenamed("id", "cid").as("r"),
+        col("l.band") === col("r.band"))
+      .select(col("id"), col("cid"))
+      .distinct()
+    val near = cand
+      .join(inc.select(col("id"), col("sh")), "id")
+      .join(cor.select(col("id").as("cid"), col("sh").as("csh")), "cid")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh"), col("csh"))).cast("double") /
+          size(array_union(col("sh"), col("csh"))))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id")).agg(min(col("cid")).as("near_id"))
+
+    val out = inc.select(col("id"), col("h"))
+      .join(exactIdx, Seq("h"), "left")
+      .join(near, Seq("id"), "left")
+      .select(col("id"),
+        when(col("exact_id").isNotNull, lit("exact_dup"))
+          .when(col("near_id").isNotNull, lit("near_dup"))
+          .otherwise(lit("unique")).as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+    // Materialize (batch-classification-sized) so the returned plan
+    // drops its reference to the persisted signature tables, then
+    // release them — same lifecycle discipline as minhashLsh above.
+    val res = out.localCheckpoint()
+    cor.unpersist()
+    inc.unpersist()
+    res
+  }
+
   /** Per-document 60-bit SimHash over whitespace tokens: tokens hash to
     * 60-bit ints; each bit position accumulates +1/-1 by bit value over
     * all tokens; positive sums set the output bit. Computed with an

@@ -420,6 +420,89 @@ object ScaleQueries {
     // the binary string — floor(log2)+1), so binning is pure integer
     // and engine-exact where a log()-based width_bucket would be float
     // binning at bucket edges. One ordered window pass per event type.
+    // Distributed triangle counting over the part co-purchase graph
+    // (parts sharing an order), via DEGREE-ORDERED EDGE ORIENTATION —
+    // the standard trick that makes the wedge join survive skew: every
+    // edge points from the (degree, id)-smaller endpoint to the larger,
+    // so a hub of degree d generates wedges bounded by its ORIENTED
+    // out-degree (≤ O(sqrt(m))) rather than d². All joins are
+    // equi-joins on node ids; nothing is ever all-pairs. The global
+    // clustering coefficient comes out in integer basis points.
+    "q158_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val edges = li.as("a").join(li.as("b"),
+        col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      val deg = edges.select(col("u").as("n"))
+        .unionAll(edges.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val du = deg.select(col("n").as("u"), col("d").as("du"))
+      val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+      val fwd = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = edges.join(du, "u").join(dv, "v")
+        .select(
+          when(fwd, col("u")).otherwise(col("v")).as("src"),
+          when(fwd, col("v")).otherwise(col("u")).as("dst"),
+          when(fwd, col("dv")).otherwise(col("du")).as("dd"))
+      // wedge (src → w1, src → w2) with (dd,id)-ordered endpoints, then
+      // close against the oriented edge w1 → w2.
+      val lower = col("x.dd") < col("y.dd") ||
+        (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))
+      val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && lower)
+        .select(col("x.dst").as("w1"), col("y.dst").as("w2"))
+      val tri = wedges.join(
+        oriented.select(col("src").as("w1"), col("dst").as("w2")),
+        Seq("w1", "w2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val prof = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      val ne = edges.agg(count(lit(1)).as("n_edges"))
+      prof.crossJoin(ne).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          expr("(3 * n_triangles * 10000) div n_wedges").as("closed_bp"))
+    }),
+
+    // Count-min sketch frequency estimation: d=4 hash rows × w=512
+    // columns, md5-derived row hashes (mirrored by the oracle). The
+    // sketch builds as a partial-aggregated groupBy on (row, col) — at
+    // 100 TB each map task pre-sums its slice and only d×w cells per
+    // partition shuffle; the finished 2048-cell sketch is broadcast to
+    // probe. Estimate = min over rows — always >= truth; the output
+    // compares estimate vs exact count for the top-20 users so the
+    // overestimate is visible and oracle-checkable.
+    "q159_cms" -> ((s, dir) => {
+      val d = 4
+      val w = 512
+      def pos(i: Int, key: Column): Column =
+        h32(concat(lit(s"$i:"), key.cast("string"))) % w
+      val truth = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val cells = truth.select(col("cnt"), explode(array((0 until d).map(
+        i => struct(lit(i).as("r"), pos(i, col("user_id")).as("c"))): _*))
+        .as("rc"))
+        .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+        .agg(sum(col("cnt")).as("cell"))
+      val probes = truth.select(col("user_id"), col("cnt"),
+        explode(array((0 until d).map(i =>
+          struct(lit(i).as("r"), pos(i, col("user_id")).as("c"))): _*))
+        .as("rc"))
+        .select(col("user_id"), col("cnt"),
+          col("rc.r").as("r"), col("rc.c").as("c"))
+      probes.join(broadcast(cells), Seq("r", "c"))
+        .groupBy(col("user_id"), col("cnt"))
+        .agg(min(col("cell")).as("est"))
+        .orderBy(desc("cnt"), col("user_id"))
+        .limit(20)
+        .select(col("user_id"), col("cnt").as("true_cnt"), col("est"),
+          (col("est") - col("cnt")).as("overestimate"))
+    }),
+
     "q157_gap_hist" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("event_type"))
@@ -678,6 +761,56 @@ object ScaleQueries {
         |  CAST(2 * six - (n + 1) * sx AS DOUBLE)
         |    / CAST(n * sx AS DOUBLE) AS gini
         |FROM a""".stripMargin,
+
+    "q158_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |d AS (SELECT n, count(*) AS deg FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY n),
+        |o AS (
+        |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |      THEN u ELSE v END AS src,
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |      THEN v ELSE u END AS dst,
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |      THEN dv.deg ELSE du.deg END AS dd
+        |  FROM e JOIN d du ON du.n = e.u JOIN d dv ON dv.n = e.v),
+        |wdg AS (
+        |  SELECT x.dst AS w1, y.dst AS w2 FROM o x JOIN o y
+        |    ON x.src = y.src
+        |    AND (x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst))),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM wdg JOIN o z ON z.src = wdg.w1 AND z.dst = wdg.w2),
+        |prof AS (
+        |  SELECT count(*) AS n_nodes,
+        |    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM d),
+        |ne AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  (3 * n_triangles * 10000) // n_wedges AS closed_bp
+        |FROM prof, ne, tri""".stripMargin,
+
+    "q159_cms" ->
+      """WITH truth AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |probes AS (
+        |  SELECT user_id, cnt, r,
+        |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |        CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS c
+        |  FROM truth, (SELECT unnest([0, 1, 2, 3]) AS r)),
+        |cells AS (
+        |  SELECT r, c, CAST(sum(cnt) AS BIGINT) AS cell
+        |  FROM probes GROUP BY r, c),
+        |est AS (
+        |  SELECT p.user_id, p.cnt, min(cells.cell) AS est
+        |  FROM probes p JOIN cells ON cells.r = p.r AND cells.c = p.c
+        |  GROUP BY p.user_id, p.cnt)
+        |SELECT user_id, cnt AS true_cnt, est, est - cnt AS overestimate
+        |FROM est ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
 
     "q157_gap_hist" ->
       """WITH g AS (

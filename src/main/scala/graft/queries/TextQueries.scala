@@ -349,6 +349,20 @@ object TextQueries {
         t(s, dir, "documents").filter(col("doc_id") < 500),
         "doc_id", "text", thresholdBp = 9500)),
 
+    // Incremental corpus dedup: classify a NEW batch (doc_id in
+    // [300, 500)) against the existing corpus (doc_id < 300) — exact
+    // content-hash match, MinHash-LSH near-dup (band-bucket probe +
+    // exact Jaccard verify), or unique. The growing-corpus ingest
+    // shape: per-batch cost scales with the batch, never corpus².
+    "q160_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupAgainst(
+        corpus = docs.filter(col("doc_id") < 300),
+        incoming = docs.filter(col("doc_id") >= 300 && col("doc_id") < 500),
+        "doc_id", "text", k = 8, bands = 4, shingleN = 1, threshold = 0.9)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // WAV round-trip proof: fabricate REAL RIFF/WAVE containers in-plan
     // (hex-assembled little-endian header bytes, parameters derived from
     // doc_id), push them through the byte-level header parser
@@ -723,6 +737,46 @@ object TextQueries {
          |JOIN sz sb ON id_b = sb.doc_id
          |WHERE (n_shared * 10000) // (sa.sz + sb.sz - n_shared) >= 9500"""
         .stripMargin,
+
+    "q160_incremental_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, md5(text) AS h, list_distinct(hs) AS shd,
+         |    [${(0 until 8).map(i =>
+        s"list_aggregate(list_transform(hs, h -> ${dPerm(i, "h")}), 'min')")
+        .mkString(", ")}] AS sig
+         |  FROM (SELECT doc_id, text,
+         |          list_transform(sh, s -> ${dHash32u("s")}) AS hs
+         |        FROM (SELECT doc_id, text, ${dShingles(1)} AS sh
+         |              FROM (SELECT doc_id, text, $dTok AS t
+         |                    FROM documents WHERE doc_id < 500)))),
+         |cor AS (SELECT * FROM base WHERE doc_id < 300),
+         |inc AS (SELECT * FROM base WHERE doc_id >= 300),
+         |ex AS (SELECT h, min(doc_id) AS exact_id FROM cor GROUP BY h),
+         |bc AS (
+         |  SELECT doc_id, b, array_to_string(sig[b*2+1:b*2+2], '_') AS bk
+         |  FROM cor, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |bi AS (
+         |  SELECT doc_id, b, array_to_string(sig[b*2+1:b*2+2], '_') AS bk
+         |  FROM inc, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT i.doc_id AS id, c.doc_id AS cid
+         |  FROM bi i JOIN bc c ON i.b = c.b AND i.bk = c.bk),
+         |near AS (
+         |  SELECT cand.id, min(cand.cid) AS near_id
+         |  FROM cand
+         |  JOIN base a ON a.doc_id = cand.id
+         |  JOIN base b2 ON b2.doc_id = cand.cid
+         |  WHERE len(list_intersect(a.shd, b2.shd)) * 1.0
+         |      / len(list_distinct(list_concat(a.shd, b2.shd))) >= 0.9
+         |  GROUP BY cand.id)
+         |SELECT i.doc_id,
+         |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN n.near_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'unique' END AS status,
+         |  coalesce(e.exact_id, n.near_id) AS match_id
+         |FROM inc i
+         |LEFT JOIN ex e ON i.h = e.h
+         |LEFT JOIN near n ON n.id = i.doc_id""".stripMargin,
 
     "q148_audio_meta" ->
       """WITH p AS (

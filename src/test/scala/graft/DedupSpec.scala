@@ -53,6 +53,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
 
+  test("dedupAgainst classifies incoming docs vs a corpus") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+    val incoming = docs(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact of 1
+      (11L, "alpha beta gamma delta epsilon zeta eta iota"), // near of 1
+      (12L, "totally unrelated fresh content right here"))
+    val out = Dedup.dedupAgainst(corpus, incoming, "doc_id", "text",
+      k = 16, bands = 8, shingleN = 1, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(10L) === ("exact_dup", 1L))
+    assert(out(11L) === ("near_dup", 1L))
+    assert(out(12L) === ("unique", -1L))
+    // an incoming exact dup of ANOTHER INCOMING doc is NOT flagged —
+    // incoming-vs-incoming is the batch operators' job
+    val out2 = Dedup.dedupAgainst(corpus,
+      docs((20L, "x y z w"), (21L, "x y z w")), "doc_id", "text",
+      k = 16, bands = 8, shingleN = 1, threshold = 0.5)
+      .collect().map(_.getString(1)).toSeq
+    assert(out2 === Seq("unique", "unique"))
+  }
+
   test("ngramJaccardPairs computes exact bigram jaccard") {
     val df = docs(
       (1L, "a b c d"), // bigrams: ab bc cd
