@@ -27,6 +27,24 @@ object ScaleQueries {
   private def h32(e: Column): Column =
     conv(substring(md5(e), 1, 8), 16, 10).cast("long")
 
+  /** Morton/Z-order interleave of two 16-bit values into a 32-bit
+    * z-value: bit i of x lands at position 2i, bit i of y at 2i+1.
+    * Statically unrolled into 32 shift/mask terms — stays entirely
+    * inside whole-stage codegen (no lambda, no UDF). */
+  private def interleave16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** The same interleave as a DuckDB SQL fragment over columns named
+    * `x` / `y` — generated from the same loop so the two engines share
+    * one definition. */
+  private def dInterleave16: String =
+    (0 until 16).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Systematic PPS sampling: within each source stratum, order rows
@@ -503,6 +521,75 @@ object ScaleQueries {
           (col("est") - col("cnt")).as("overestimate"))
     }),
 
+    // Z-order (Morton) clustering profile: scale both join keys to 16
+    // bits, interleave into a 32-bit z-value, bucket by the top 5 z
+    // bits (equal-WIDTH buckets — no global sort, no ntile, fully
+    // distributed), and profile each bucket's per-dimension span. The
+    // point of z-clustering at 100 TB: rows close in z are close in
+    // EVERY interleaved dimension, so files written in z ranges carry
+    // tight min/max zone maps for multi-column predicates (measured by
+    // q162). Everything is integer arithmetic.
+    "q161_zorder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      val bounds = li.agg(max(col("pk")).as("mpk"), max(col("sk")).as("msk"))
+      li.crossJoin(broadcast(bounds))
+        .select(col("pk"), col("sk"),
+          expr("(pk * 65535) div mpk").as("x"),
+          expr("(sk * 65535) div msk").as("y"))
+        .withColumn("z", interleave16(col("x"), col("y")))
+        .groupBy(expr("z >> 27").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+          (max(col("pk")) - min(col("pk"))).as("pk_span"),
+          (max(col("sk")) - min(col("sk"))).as("sk_span"))
+    }),
+
+    // Zone-map pruning effectiveness, natural layout vs z-order layout:
+    // chunk the fact table two ways (natural = arrival/orderkey ranges;
+    // z = 128 equal-width z-ranges over the scaled key pair), record
+    // each chunk's min/max "zone map" per dimension, and evaluate a
+    // two-sided box predicate: a chunk is SCANNED iff the predicate box
+    // intersects its zone rectangle. read_amp_bp is scanned-rows over
+    // matching-rows in basis points — the number a table-layout
+    // decision is made on. The z layout's zones are tight in both
+    // dimensions, so it prunes what the natural layout cannot.
+    "q162_zonemap" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      val bounds = li.agg(max(col("pk")).as("mpk"), max(col("sk")).as("msk"))
+      val base = li.crossJoin(broadcast(bounds))
+        .withColumn("z", interleave16(
+          expr("(pk * 65535) div mpk"), expr("(sk * 65535) div msk")))
+        // predicate box: [mpk/4, mpk/2] x [msk/4, msk/2], integer-exact
+        .withColumn("hit", expr(
+          """CAST(pk BETWEEN mpk div 4 AND mpk div 2
+             AND sk BETWEEN msk div 4 AND msk div 2 AS INT)"""))
+      def profile(layout: String, chunk: Column) = base
+        .groupBy(chunk.as("chunk"))
+        .agg(count(lit(1)).as("nr"),
+          min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
+          min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"),
+          sum(col("hit")).as("matches"),
+          max(col("mpk")).as("mpk"), max(col("msk")).as("msk"))
+        .withColumn("scanned", expr(
+          """CAST(pk_hi >= mpk div 4 AND pk_lo <= mpk div 2
+             AND sk_hi >= msk div 4 AND sk_lo <= msk div 2 AS INT)"""))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("scanned")).as("chunks_scanned"),
+          sum(col("nr")).as("n_rows"),
+          sum(col("scanned") * col("nr")).as("rows_scanned"),
+          sum(col("matches")).as("n_matches"))
+        .select(lit(layout).as("layout"), col("n_chunks"),
+          col("chunks_scanned"), col("n_rows"), col("rows_scanned"),
+          col("n_matches"),
+          expr("(rows_scanned * 10000) div greatest(n_matches, 1)")
+            .as("read_amp_bp"))
+      profile("natural", expr("ok div 512"))
+        .unionAll(profile("zorder", expr("z >> 25")))
+    }),
+
     "q157_gap_hist" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("event_type"))
@@ -761,6 +848,80 @@ object ScaleQueries {
         |  CAST(2 * six - (n + 1) * sx AS DOUBLE)
         |    / CAST(n * sx AS DOUBLE) AS gini
         |FROM a""".stripMargin,
+
+    "q161_zorder" ->
+      s"""WITH b AS (
+         |  SELECT max(l_partkey) AS mpk, max(l_suppkey) AS msk
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT l_partkey AS pk, l_suppkey AS sk,
+         |    (l_partkey * 65535) // mpk AS x,
+         |    (l_suppkey * 65535) // msk AS y
+         |  FROM lineitem, b),
+         |zz AS (SELECT pk, sk, ($dInterleave16) AS z FROM s)
+         |SELECT z >> 27 AS bucket, count(*) AS n_rows,
+         |  min(z) AS z_min, max(z) AS z_max,
+         |  max(pk) - min(pk) AS pk_span, max(sk) - min(sk) AS sk_span
+         |FROM zz GROUP BY 1""".stripMargin,
+
+    "q162_zonemap" ->
+      s"""WITH b AS (
+         |  SELECT max(l_partkey) AS mpk, max(l_suppkey) AS msk
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk,
+         |    mpk, msk,
+         |    (l_partkey * 65535) // mpk AS x,
+         |    (l_suppkey * 65535) // msk AS y
+         |  FROM lineitem, b),
+         |base AS (
+         |  SELECT *, ($dInterleave16) AS z,
+         |    CASE WHEN pk BETWEEN mpk // 4 AND mpk // 2
+         |      AND sk BETWEEN msk // 4 AND msk // 2
+         |      THEN 1 ELSE 0 END AS hit
+         |  FROM s),
+         |cn AS (
+         |  SELECT ok // 512 AS chunk, count(*) AS nr,
+         |    min(pk) AS pk_lo, max(pk) AS pk_hi,
+         |    min(sk) AS sk_lo, max(sk) AS sk_hi,
+         |    CAST(sum(hit) AS BIGINT) AS matches,
+         |    max(mpk) AS mpk, max(msk) AS msk
+         |  FROM base GROUP BY 1),
+         |cz AS (
+         |  SELECT z >> 25 AS chunk, count(*) AS nr,
+         |    min(pk) AS pk_lo, max(pk) AS pk_hi,
+         |    min(sk) AS sk_lo, max(sk) AS sk_hi,
+         |    CAST(sum(hit) AS BIGINT) AS matches,
+         |    max(mpk) AS mpk, max(msk) AS msk
+         |  FROM base GROUP BY 1),
+         |sn AS (SELECT *, CASE WHEN pk_hi >= mpk // 4 AND pk_lo <= mpk // 2
+         |    AND sk_hi >= msk // 4 AND sk_lo <= msk // 2
+         |    THEN 1 ELSE 0 END AS scanned FROM cn),
+         |sz AS (SELECT *, CASE WHEN pk_hi >= mpk // 4 AND pk_lo <= mpk // 2
+         |    AND sk_hi >= msk // 4 AND sk_lo <= msk // 2
+         |    THEN 1 ELSE 0 END AS scanned FROM cz),
+         |an AS (
+         |  SELECT 'natural' AS layout, count(*) AS n_chunks,
+         |    CAST(sum(scanned) AS BIGINT) AS chunks_scanned,
+         |    CAST(sum(nr) AS BIGINT) AS n_rows,
+         |    CAST(sum(scanned * nr) AS BIGINT) AS rows_scanned,
+         |    CAST(sum(matches) AS BIGINT) AS n_matches
+         |  FROM sn),
+         |az AS (
+         |  SELECT 'zorder' AS layout, count(*) AS n_chunks,
+         |    CAST(sum(scanned) AS BIGINT) AS chunks_scanned,
+         |    CAST(sum(nr) AS BIGINT) AS n_rows,
+         |    CAST(sum(scanned * nr) AS BIGINT) AS rows_scanned,
+         |    CAST(sum(matches) AS BIGINT) AS n_matches
+         |  FROM sz)
+         |SELECT layout, n_chunks, chunks_scanned, n_rows, rows_scanned,
+         |  n_matches,
+         |  (rows_scanned * 10000) // greatest(n_matches, 1) AS read_amp_bp
+         |FROM an UNION ALL
+         |SELECT layout, n_chunks, chunks_scanned, n_rows, rows_scanned,
+         |  n_matches,
+         |  (rows_scanned * 10000) // greatest(n_matches, 1) AS read_amp_bp
+         |FROM az""".stripMargin,
 
     "q158_triangles" ->
       """WITH e AS (
