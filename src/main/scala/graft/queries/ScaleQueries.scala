@@ -29,17 +29,17 @@ object ScaleQueries {
 
   /** Morton/Z-order interleave of two 16-bit values into a 32-bit
     * z-value: bit i of x lands at position 2i, bit i of y at 2i+1.
-    * Statically unrolled into 32 shift/mask terms — stays entirely
-    * inside whole-stage codegen (no lambda, no UDF). */
+    * Delegates to the native codegen'd expression (magic-mask spread,
+    * four shift-mask steps per operand — `plans.ZOrder16`), so the hot
+    * path is branch-free generated Java, and q161/q162 double as the
+    * expression's cross-engine bit-exactness gate. */
   private def interleave16(x: Column, y: Column): Column =
-    (0 until 16).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    graft.plans.ZOrder16.zorder16(x, y)
 
-  /** The same interleave as a DuckDB SQL fragment over columns named
-    * `x` / `y` — generated from the same loop so the two engines share
-    * one definition. */
+  /** The same interleave as an explicit DuckDB SQL fragment over
+    * columns named `x` / `y` — an independent formulation (per-bit
+    * shift/mask), so the oracle genuinely cross-checks the native
+    * expression's bit math rather than mirroring its implementation. */
   private def dInterleave16: String =
     (0 until 16).map { i =>
       s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})"
