@@ -449,10 +449,17 @@ object ScaleQueries {
     "q158_triangles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      // edges feeds deg + orientation + the edge count; oriented feeds
+      // the wedge self-join twice plus the closing probe. Materialize
+      // each ONCE — without this the plan re-runs the lineitem
+      // self-join + distinct eight times (verified via explain), which
+      // is exactly what does not survive a 100x scale-up. The bench /
+      // verify harnesses release persisted blocks between queries.
       val edges = li.as("a").join(li.as("b"),
         col("a.k") === col("b.k") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = edges.select(col("u").as("n"))
         .unionAll(edges.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -465,6 +472,7 @@ object ScaleQueries {
           when(fwd, col("u")).otherwise(col("v")).as("src"),
           when(fwd, col("v")).otherwise(col("u")).as("dst"),
           when(fwd, col("dv")).otherwise(col("du")).as("dd"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // wedge (src → w1, src → w2) with (dd,id)-ordered endpoints, then
       // close against the oriented edge w1 → w2.
       val lower = col("x.dd") < col("y.dd") ||
@@ -566,8 +574,20 @@ object ScaleQueries {
         .withColumn("hit", expr(
           """CAST(pk BETWEEN mpk div 4 AND mpk div 2
              AND sk BETWEEN msk div 4 AND msk div 2 AS INT)"""))
-      def profile(layout: String, chunk: Column) = base
-        .groupBy(chunk.as("chunk"))
+      // ONE scan: each row explodes into its two (layout, chunk)
+      // assignments; partial aggregation collapses the doubled rows to
+      // chunk-count rows per map partition before the (tiny) shuffle.
+      // Profiling both layouts costs one pass over the fact table, not
+      // two — at 100 TB that is the whole game.
+      val chunks = base
+        .select(
+          explode(array(
+            struct(lit("natural").as("layout"),
+              expr("ok div 512").as("chunk")),
+            struct(lit("zorder").as("layout"),
+              expr("z >> 25").as("chunk")))).as("lc"),
+          col("pk"), col("sk"), col("hit"), col("mpk"), col("msk"))
+        .groupBy(col("lc.layout").as("layout"), col("lc.chunk").as("chunk"))
         .agg(count(lit(1)).as("nr"),
           min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
           min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"),
@@ -576,18 +596,16 @@ object ScaleQueries {
         .withColumn("scanned", expr(
           """CAST(pk_hi >= mpk div 4 AND pk_lo <= mpk div 2
              AND sk_hi >= msk div 4 AND sk_lo <= msk div 2 AS INT)"""))
+      chunks.groupBy(col("layout"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("scanned")).as("chunks_scanned"),
           sum(col("nr")).as("n_rows"),
           sum(col("scanned") * col("nr")).as("rows_scanned"),
           sum(col("matches")).as("n_matches"))
-        .select(lit(layout).as("layout"), col("n_chunks"),
-          col("chunks_scanned"), col("n_rows"), col("rows_scanned"),
-          col("n_matches"),
+        .select(col("layout"), col("n_chunks"), col("chunks_scanned"),
+          col("n_rows"), col("rows_scanned"), col("n_matches"),
           expr("(rows_scanned * 10000) div greatest(n_matches, 1)")
             .as("read_amp_bp"))
-      profile("natural", expr("ok div 512"))
-        .unionAll(profile("zorder", expr("z >> 25")))
     }),
 
     "q157_gap_hist" -> ((s, dir) => {
