@@ -310,6 +310,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_bp"))
   }
 
+  /** Directed token-set CONTAINMENT join: pairs (a, b) where at least
+    * `thresholdBp`/10000 of a's distinct tokens also appear in b — the
+    * asymmetric cousin of the Jaccard prefix join that symmetric
+    * near-dup misses: quotes, excerpts, and concatenations where a
+    * small doc lives inside a big one score high containment but low
+    * Jaccard.
+    *
+    * Zero-false-negative pruning by the containment prefix principle:
+    * if b holds >= ceil(t*|A|) of A's tokens, then among A's
+    * (|A| - ceil(t*|A|) + 1) globally-RAREST tokens at least one is in
+    * b. So only A-prefix tokens probe the (full) token index — probe
+    * cost is sum over prefix tokens of document frequency, never
+    * all-pairs. Verification computes the exact intersection in integer
+    * basis points. Returns directed (id_a, id_b, n_shared,
+    * containment_bp): id_a is the contained side. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      thresholdBp: Int = 9000): DataFrame = {
+    val lists = df.select(col(idCol).as("id"),
+      sort_array(array_distinct(text.tokens(col(contentCol)))).as("ts"))
+      .withColumn("sz", size(col("ts")).cast(LongType))
+    val ex = lists.select(col("id"), col("sz"), explode(col("ts")).as("tok"))
+    val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val byId = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("tok"))
+    val prefix = ex
+      .join(dfreq, "tok") // vocab-sized dim: no broadcast hint, AQE decides
+      .withColumn("rnk", row_number().over(byId))
+      .filter(col("rnk") <=
+        col("sz") - expr(s"($thresholdBp * sz + 9999) div 10000") + lit(1))
+      .select(col("id"), col("tok"))
+    val cand = prefix.as("a")
+      .join(ex.select(col("id").as("id_b"), col("tok")).as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") =!= col("id_b"))
+      .select(col("a.id").as("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(lists.select(col("id").as("id_a"), col("ts").as("ts_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(lists.select(col("id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast(LongType))
+      .withColumn("containment_bp", expr("(n_shared * 10000) div sz_a"))
+      .filter(col("containment_bp") >= thresholdBp)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("containment_bp"))
+  }
+
   /** EXACT-VERIFICATION PRIMITIVE — intentionally quadratic (a true
     * `crossJoin`: all pairs, no candidate pruning). It exists to verify
     * the scale paths (`prefixFilterPairs`, `minhashLsh`) on SMALL

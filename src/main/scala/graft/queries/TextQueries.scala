@@ -349,6 +349,48 @@ object TextQueries {
         t(s, dir, "documents").filter(col("doc_id") < 500),
         "doc_id", "text", thresholdBp = 9500)),
 
+    // Directed containment: docs whose token set is >=95% inside
+    // another doc (quotes/excerpts/concatenations — high containment,
+    // low Jaccard). Asymmetric prefix-filter candidates, exact verify,
+    // then ONE row per contained doc — the curation decision (count of
+    // containers + the strongest, ties to the smallest id) rather than
+    // the raw pair list, which on this repetitive synthetic corpus is
+    // tens of thousands of pairs.
+    "q163_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", thresholdBp = 9500)
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(count(lit(1)).as("n_containers"),
+          max(struct(col("containment_bp").as("bp"),
+            (-col("id_b")).as("nid"))).as("m"))
+        .select(col("doc_id"), col("n_containers"),
+          col("m.bp").as("best_bp"), (-col("m.nid")).as("best_container"))),
+
+    // Canonical-representative selection for duplicate clusters: after
+    // connected components resolves near-dup PAIRS into clusters, keep
+    // the best member — longest doc, ties to the smallest id — the
+    // step that turns dedup detection into an actual curation decision
+    // (drop n_members-1 docs per cluster, keep keep_id).
+    "q164_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        k = 8, bands = 4, shingleN = 1, threshold = 0.93)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.connectedComponents(pairs)
+      labels
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(desc("n_chars"), col("id"))))
+        .withColumn("n_members", count(lit(1)).over(
+          Window.partitionBy(col("label"))))
+        .filter(col("rk") === 1)
+        .select(col("label").as("cluster_id"), col("id").as("keep_id"),
+          col("n_members"), col("n_chars").as("keep_chars"))
+    }),
+
     // Incremental corpus dedup: classify a NEW batch (doc_id in
     // [300, 500)) against the existing corpus (doc_id < 300) — exact
     // content-hash match, MinHash-LSH near-dup (band-bucket probe +
@@ -737,6 +779,55 @@ object TextQueries {
          |JOIN sz sb ON id_b = sb.doc_id
          |WHERE (n_shared * 10000) // (sa.sz + sb.sz - n_shared) >= 9500"""
         .stripMargin,
+
+    "q163_containment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_distinct($dTok) AS ts FROM documents
+         |  WHERE doc_id < 500),
+         |sz AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS sz FROM toks),
+         |ex AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b, (n_shared * 10000) // sa.sz AS bp
+         |  FROM inter JOIN sz sa ON id_a = sa.doc_id
+         |  WHERE (n_shared * 10000) // sa.sz >= 9500),
+         |per AS (
+         |  SELECT id_a, id_b, bp,
+         |    max(bp) OVER (PARTITION BY id_a) AS mx,
+         |    count(*) OVER (PARTITION BY id_a) AS nc
+         |  FROM pairs)
+         |SELECT id_a AS doc_id, CAST(max(nc) AS BIGINT) AS n_containers,
+         |  max(bp) AS best_bp,
+         |  min(CASE WHEN bp = mx THEN id_b END) AS best_container
+         |FROM per GROUP BY id_a""".stripMargin,
+
+    "q164_canonical" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.93),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |j AS (
+         |  SELECT l.cluster_id, l.id, d.n_chars
+         |  FROM lab l JOIN documents d ON d.doc_id = l.id)
+         |SELECT cluster_id, id AS keep_id, n_members, n_chars AS keep_chars
+         |FROM (
+         |  SELECT cluster_id, id, n_chars,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, id) AS rk
+         |  FROM j)
+         |WHERE rk = 1""".stripMargin,
 
     "q160_incremental_dedup" ->
       s"""WITH base AS (

@@ -77,6 +77,18 @@ class DedupSpec extends SparkSpec {
     assert(out2 === Seq("unique", "unique"))
   }
 
+  test("containmentPairs flags a doc contained in a larger one, directed") {
+    val df = docs(
+      (1L, "alpha beta gamma"), // fully inside doc 2
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four")) // disjoint
+    val out = Dedup.containmentPairs(df, "doc_id", "text",
+      thresholdBp = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // only the 1→2 direction qualifies (2's tokens are NOT 100% in 1)
+    assert(out.toSeq === Seq((1L, 2L, 10000L)))
+  }
+
   test("ngramJaccardPairs computes exact bigram jaccard") {
     val df = docs(
       (1L, "a b c d"), // bigrams: ab bc cd
