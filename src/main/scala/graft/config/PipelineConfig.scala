@@ -20,12 +20,17 @@ final case class Calibration(multiplier: Double, offset: Double)
 /** Parquet sink settings. Reference: config/default.yaml:49-54.
   * `sortWithin` (extension, default off) clusters rows inside each
   * output file by the given columns — tight parquet row-group min/max
-  * stats make time-range scans skip whole row groups at 100 TB. */
+  * stats make time-range scans skip whole row groups at 100 TB.
+  * `zorderBy` (extension, default off, exactly two columns) clusters by
+  * the Morton interleave of the pair instead — tight row-group stats in
+  * BOTH dimensions for two-sided predicates (see q161/q162); it
+  * composes after `sortWithin`'s leading partition columns. */
 final case class WriteConfig(
     compression: String = "zstd",
     partitionBy: Seq[String] = Seq("date", "sensor_id"),
     mode: String = "overwrite",
-    sortWithin: Seq[String] = Nil)
+    sortWithin: Seq[String] = Nil,
+    zorderBy: Seq[String] = Nil)
 
 /** Transformation stage knobs. Reference: config/default.yaml:57-60. */
 final case class TransformConfig(
@@ -170,6 +175,8 @@ object PipelineConfig {
       Option(n.get("mode")).foreach(x => w = w.copy(mode = x.asText))
       Option(n.get("sort_within")).foreach(x =>
         w = w.copy(sortWithin = x.elements.asScala.map(_.asText).toSeq))
+      Option(n.get("zorder_by")).foreach(x =>
+        w = w.copy(zorderBy = x.elements.asScala.map(_.asText).toSeq))
       cfg = cfg.copy(write = w)
     }
     Option(root.get("transformation")).foreach { n =>
@@ -261,6 +268,7 @@ object PipelineConfig {
       list(w, "partition_by").foreach(v => wc = wc.copy(partitionBy = v))
       str(w, "mode").foreach(v => wc = wc.copy(mode = v))
       list(w, "sort_within").foreach(v => wc = wc.copy(sortWithin = v))
+      list(w, "zorder_by").foreach(v => wc = wc.copy(zorderBy = v))
       cfg = cfg.copy(write = wc)
     }
     objOf("transformation").foreach { t =>

@@ -1,7 +1,7 @@
 package graft.load
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{FloatType, IntegerType, StringType}
 
@@ -59,10 +59,25 @@ object Loader {
     // requires tasks sorted by partition columns and would insert its
     // own sort (destroying the clustering) if the ordering didn't
     // already satisfy that requirement.
+    // zorderBy (exactly two columns) appends the Morton interleave of
+    // the pair as the trailing sort key — row groups become tight in
+    // BOTH dimensions, so two-sided range predicates skip row groups
+    // that a single-column sort cannot (measured by q162: 9x fewer
+    // rows scanned on the synthetic fact table). Same narrow
+    // sortWithinPartitions — no extra shuffle.
+    val sortKeys: Seq[Column] = {
+      val z = cfg.write.zorderBy match {
+        case Seq(a, b) => Seq(graft.plans.ZOrder16.zorder16(col(a), col(b)))
+        case Nil => Nil
+        case other => sys.error(
+          s"write.zorder_by needs exactly 2 columns, got: $other")
+      }
+      (parts ++ cfg.write.sortWithin).map(col) ++ z
+    }
     val prepared =
-      if (cfg.write.sortWithin.isEmpty) repartitioned
-      else repartitioned.sortWithinPartitions(
-        (parts ++ cfg.write.sortWithin).map(col): _*)
+      if (cfg.write.sortWithin.isEmpty && cfg.write.zorderBy.isEmpty)
+        repartitioned
+      else repartitioned.sortWithinPartitions(sortKeys: _*)
     val writer = prepared.write
       .partitionBy(parts: _*)
       .option("compression", cfg.write.compression)

@@ -117,6 +117,38 @@ class LoaderSpec extends SparkSpec {
     }
   }
 
+  test("zorderBy clusters rows by the Morton interleave inside files") {
+    val out = Files.createTempDirectory("graft-zorder").toString
+    // two interleaved dimensions: value and battery_level, shuffled
+    val rows = (0 until 200).map(i =>
+      ("s1", java.sql.Timestamp.valueOf("2023-06-01 00:00:00"),
+        "temperature", ((i * 37) % 200).toDouble, ((i * 53) % 100).toDouble,
+        java.sql.Date.valueOf("2023-06-01"), 0.0, 0.0, false))
+    val df = rows.toDF("sensor_id", "timestamp", "reading_type", "value",
+      "battery_level", "date", "daily_avg_value", "rolling_avg_value",
+      "anomalous_reading")
+    val cfg = PipelineConfig.default.copy(write =
+      PipelineConfig.default.write.copy(
+        zorderBy = Seq("value", "battery_level")))
+    Loader.write(cfg, out)(df)
+    val byFile = spark.read.parquet(out)
+      .select(input_file_name().as("f"),
+        graft.plans.ZOrder16.zorder16(col("value"), col("battery_level"))
+          .as("z"))
+      .collect().groupBy(_.getString(0))
+    assert(byFile.nonEmpty)
+    byFile.values.foreach { rs =>
+      val zs = rs.map(_.getLong(1)).toSeq
+      assert(zs === zs.sorted, "file not z-ordered internally")
+    }
+    // a malformed config (1 column) must fail loudly, not silently skip
+    val bad = PipelineConfig.default.copy(write =
+      PipelineConfig.default.write.copy(zorderBy = Seq("value")))
+    intercept[RuntimeException] {
+      Loader.write(bad, Files.createTempDirectory("graft-zbad").toString)(df)
+    }
+  }
+
   test("S11 read-back prunes partitions") {
     val out = Files.createTempDirectory("graft-load3").toString + "/out"
     Loader.write(PipelineConfig.default, out)(transformed())
