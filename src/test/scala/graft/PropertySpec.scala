@@ -22,6 +22,27 @@ class PropertySpec extends SparkSpec {
       gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
     }
 
+  test("property: zorder16 interleave is exact and order-preserving") {
+    import graft.plans.ZOrder16
+    // reference de-interleave: extract even/odd bits
+    def unspread(z: Long, off: Int): Long =
+      (0 until 16).map(i => ((z >> (2 * i + off)) & 1L) << i).sum
+    forAllN(Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)),
+      n = 50) { case (x, y) =>
+      val z = ZOrder16.spread(x) | (ZOrder16.spread(y) << 1)
+      assert(unspread(z, 0) === x) // x occupies the even bits, intact
+      assert(unspread(z, 1) === y) // y the odd bits
+    }
+    // monotone within a fixed other-dimension: the z curve preserves
+    // per-dimension order (what makes min/max zones meaningful)
+    forAllN(Gen.zip(Gen.chooseNum(0L, 65534L), Gen.chooseNum(0L, 65535L)),
+      n = 50) { case (x, y) =>
+      def z(a: Long, b: Long) = ZOrder16.spread(a) | (ZOrder16.spread(b) << 1)
+      assert(z(x, y) < z(x + 1, y))
+      assert(z(y, x) < z(y, x + 1))
+    }
+  }
+
   test("property: quality score always within [0, 100]") {
     val profiles = Gen.listOfN(4, for {
       pct <- Gen.choose(0.0, 100.0)
