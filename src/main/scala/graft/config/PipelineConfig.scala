@@ -42,7 +42,13 @@ final case class TransformConfig(
       * parity). Set false at scale: the exact global percentile buffers
       * the whole table in one aggregation buffer; the approx sketch is
       * bounded and mergeable. Per-sensor medians stay exact either way. */
-    exactGlobalMedian: Boolean = true) {
+    exactGlobalMedian: Boolean = true,
+    /** When > 0, the rolling average runs in the bucketed two-pass form
+      * (Transforms.rollingAvgBucketed) with this coarse bucket width:
+      * no task ever sorts a key's full history, at the cost of one
+      * extra aggregate pass. 0 = plain single-window form. The answer
+      * is bit-identical either way. */
+    rollingBucketSeconds: Long = 0L) {
   /** Trailing row-count frame: 7 days x 24 obs/day = 168 rows
     * (reference transformation.py:262-264 — row-count, not time-range). */
   def rollingWindowRows: Int = rollingWindowDays * readingsPerDay
@@ -185,6 +191,7 @@ object PipelineConfig {
       Option(n.get("rolling_window_days")).foreach(x => t = t.copy(rollingWindowDays = x.asInt))
       Option(n.get("outlier_handling")).foreach(x => t = t.copy(outlierHandling = x.asText))
       Option(n.get("exact_global_median")).foreach(x => t = t.copy(exactGlobalMedian = x.asBoolean))
+      Option(n.get("rolling_bucket_seconds")).foreach(x => t = t.copy(rollingBucketSeconds = x.asLong))
       cfg = cfg.copy(transformation = t)
     }
     Option(root.get("validation")).foreach { n =>
@@ -277,6 +284,7 @@ object PipelineConfig {
       num(t, "rolling_window_days").foreach(v => tc = tc.copy(rollingWindowDays = v.toInt))
       str(t, "outlier_handling").foreach(v => tc = tc.copy(outlierHandling = v))
       str(t, "exact_global_median").foreach(v => tc = tc.copy(exactGlobalMedian = v.toBoolean))
+      num(t, "rolling_bucket_seconds").foreach(v => tc = tc.copy(rollingBucketSeconds = v.toLong))
       cfg = cfg.copy(transformation = tc)
     }
     objOf("validation").foreach { v =>

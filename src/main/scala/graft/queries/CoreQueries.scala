@@ -154,6 +154,19 @@ object CoreQueries {
         exact.avgExactOver(col("value"), w).as("rolling_avg_value"))
     }),
 
+    // W1 scale variant — the SAME trailing 168-row average as q09, via
+    // the bucketed two-pass form (coarse 6 h buckets + exact carry of
+    // the trailing 167 rows across bucket gaps): no task sorts a key's
+    // full history. The oracle is q09's — the point IS bit-equality
+    // between the single-window and bucketed executors.
+    "q166_rolling_bucketed" -> ((s, dir) => {
+      Transforms.rollingAvgBucketed(
+        windowRows = 168, bucketSeconds = 21600L, cols = ec,
+        tieBreak = Seq(col("event_id")),
+        avgFn = (c, w) => exact.avgExactOver(c, w))(t(s, dir, "events"))
+        .select(col("event_id"), col("rolling_avg_value"))
+    }),
+
     // A3 — population z-score anomaly counts per type (ddof=0, n>1 and
     // sigma>0 guards).
     "q10_zscore_flags" -> ((s, dir) => {
@@ -525,6 +538,17 @@ object CoreQueries {
         |             CAST(ts + INTERVAL 330 MINUTE AS DATE))""".stripMargin,
 
     "q09_rolling_avg" ->
+      """SELECT event_id,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+        |       / count(value) OVER w AS DOUBLE) AS rolling_avg_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |             ROWS BETWEEN 167 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // Same oracle as q09 — the Spark side differs only in executor
+    // (bucketed two-pass vs single window); the answer must be
+    // bit-identical.
+    "q166_rolling_bucketed" ->
       """SELECT event_id,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
         |       / count(value) OVER w AS DOUBLE) AS rolling_avg_value

@@ -391,6 +391,21 @@ object TextQueries {
           col("n_members"), col("n_chars").as("keep_chars"))
     }),
 
+    // Same cluster resolution as q60, but with the driver union-find
+    // fast path DISABLED (driverEdgeThreshold = 0) so the oracle pins
+    // the distributed iterative min-label propagation — the path that
+    // actually runs on genuinely huge dup graphs — not just the
+    // driver-side shortcut. Identical answer, different executor.
+    "q165_cc_distributed" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(
+        t(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", k = 8, bands = 4, shingleN = 1, threshold = 0.93)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(pairs, driverEdgeThreshold = 0L)
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+    }),
+
     // Incremental corpus dedup: classify a NEW batch (doc_id in
     // [300, 500)) against the existing corpus (doc_id < 300) — exact
     // content-hash match, MinHash-LSH near-dup (band-bucket probe +
@@ -576,6 +591,24 @@ object TextQueries {
          |WHERE jaccard >= 0.93""".stripMargin,
 
     "q60_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.93),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT cluster_id, count(*) AS n_members FROM (
+         |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |GROUP BY cluster_id""".stripMargin,
+
+    // Same oracle as q60 — the Spark side differs only in which
+    // connected-components executor runs (distributed label propagation
+    // instead of driver union-find); the answer must be identical.
+    "q165_cc_distributed" ->
       s"""WITH RECURSIVE $minhashPairCtes,
          |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.93),
          |edges AS (

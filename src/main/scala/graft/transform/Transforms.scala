@@ -116,6 +116,105 @@ object Transforms {
     df.withColumn("rolling_avg_value", avg(col(cols.value)).over(w))
   }
 
+  /** W1 at extreme-history scale — the same trailing `windowRows`-row
+    * average as [[rollingAvg]], computed WITHOUT sorting any key's full
+    * history in one task (SCALE.md names the risk: a decade of one
+    * sensor's readings must fit a single task's sort buffer in the
+    * plain window form).
+    *
+    * Two-pass shape: rows are assigned a coarse time bucket
+    * (`bucketSeconds`); a per-(key, bucket) count table (aggregate-
+    * sized) derives a carry map saying which source buckets must
+    * replicate their trailing rows into which later buckets — exactly
+    * the rows whose position-from-bucket-end plus the row count of the
+    * buckets strictly between is < `windowRows`. Carried context rows
+    * union with own rows, the row-frame window runs per (key, bucket)
+    * — each task sorts at most one bucket plus `windowRows-1` carried
+    * rows — and context rows are dropped after the frame is computed.
+    *
+    * Exact for ANY bucket population (sparse buckets carry across
+    * multiple gaps via the carry map; early rows see exactly their
+    * available predecessors, preserving min_periods=1 semantics), so
+    * the result is bit-identical to [[rollingAvg]]. The carry map and
+    * counts are aggregate-sized (keys x buckets), so the planner
+    * broadcasts them; the only large shuffle is the per-(key, bucket)
+    * window itself.
+    *
+    * `avgFn` lets callers swap the frame aggregate (e.g.
+    * `exact.avgExactOver` for cross-engine decimal determinism). */
+  def rollingAvgBucketed(
+      windowRows: Int,
+      bucketSeconds: Long,
+      cols: ReadingCols = ReadingCols.sensor,
+      tieBreak: Seq[Column] = Nil,
+      avgFn: (Column, org.apache.spark.sql.expressions.WindowSpec) => Column =
+        (c, w) => avg(c).over(w))(df: DataFrame): DataFrame = {
+    require(windowRows >= 1, "windowRows must be >= 1")
+    require(bucketSeconds >= 1, "bucketSeconds must be >= 1")
+    val keyCols = Seq(cols.id, cols.typ)
+    val withB = df.withColumn("__bkt",
+      floor(unix_timestamp(col(cols.ts)).cast("double") / bucketSeconds)
+        .cast("long"))
+
+    // Pass 1: per-(key, bucket) row counts + running cumulative count.
+    // Aggregate-sized (distinct keys x occupied buckets), map-side
+    // combined; everything derived from it broadcasts.
+    val cnts = withB
+      .groupBy(keyCols.map(col) :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val wKey = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__bkt"))
+    val cum = cnts.withColumn("__cum", sum(col("__cnt")).over(wKey))
+
+    // Carry map: source bucket __sb must replicate its trailing rows
+    // into destination bucket __db when fewer than windowRows-1 rows
+    // sit strictly between them (__gap). Sparse histories naturally
+    // produce __db > __sb + 1 entries here — the multi-gap case a
+    // fixed "previous bucket only" carry would get wrong.
+    val src = cum.select(
+      keyCols.map(col) :+ col("__bkt").as("__sb") :+
+        col("__cum").as("__cum_sb"): _*)
+    val dst = cum.select(
+      keyCols.map(col) :+ col("__bkt").as("__db") :+
+        (col("__cum") - col("__cnt")).as("__cum_before_db"): _*)
+    val carryMap = src.join(dst, keyCols)
+      .filter(col("__db") > col("__sb") &&
+        (col("__cum_before_db") - col("__cum_sb")) <= windowRows - 2)
+      .select(keyCols.map(col) :+ col("__sb") :+ col("__db") :+
+        (col("__cum_before_db") - col("__cum_sb")).as("__gap"): _*)
+
+    // Trailing rows of each source bucket, positioned from the end with
+    // the EXACT reverse of the window's ordering so carried context is
+    // the contiguous tail under the original order.
+    val wDesc = Window
+      .partitionBy(keyCols.map(col) :+ col("__bkt"): _*)
+      .orderBy(col(cols.ts).desc +: tieBreak.map(_.desc): _*)
+    val carried = withB
+      .withColumn("__rn_desc", row_number().over(wDesc))
+      .filter(col("__rn_desc") <= windowRows - 1)
+      .withColumnRenamed("__bkt", "__sb")
+      .join(carryMap, keyCols :+ "__sb")
+      .filter(col("__rn_desc") + col("__gap") <= windowRows - 1)
+      .withColumn("__bkt", col("__db"))
+      .drop("__sb", "__db", "__gap", "__rn_desc")
+      .withColumn("__ctx", lit(true))
+
+    // Pass 2: the row-frame window per (key, bucket) over own + carried
+    // rows. Carried rows are strictly earlier in time than every own
+    // row of their destination bucket (smaller bucket => smaller
+    // second), so the union's order matches the global order and each
+    // own row's frame holds exactly its nearest available
+    // min(windowRows-1, history) predecessors.
+    val wRoll = Window
+      .partitionBy(keyCols.map(col) :+ col("__bkt"): _*)
+      .orderBy(col(cols.ts) +: tieBreak: _*)
+      .rowsBetween(-(windowRows - 1L), 0L)
+    withB.withColumn("__ctx", lit(false))
+      .unionByName(carried)
+      .withColumn("rolling_avg_value", avgFn(col(cols.value), wRoll))
+      .filter(!col("__ctx"))
+      .drop("__bkt", "__ctx")
+  }
+
   /** A3 — population z-score anomaly flag per reading type (reference
     * transformation.py:288-302: scipy zscore, ddof=0). stddev_pop matches
     * ddof=0; groups of one row and zero-variance groups never flag
@@ -180,7 +279,11 @@ object Transforms {
       .transform(shiftToLocal(cfg.timezoneOffsetMinutes, c))
       .transform(deriveDate(c))
       .transform(dailyAvg(c))
-      .transform(rollingAvg(cfg.transformation.rollingWindowRows, c))
+      .transform(
+        if (cfg.transformation.rollingBucketSeconds > 0)
+          rollingAvgBucketed(cfg.transformation.rollingWindowRows,
+            cfg.transformation.rollingBucketSeconds, c)
+        else rollingAvg(cfg.transformation.rollingWindowRows, c))
       .transform(anomalyFlag(cfg.transformation.zScoreThreshold, cfg.ranges, c))
       .transform(applyOutlierMode(cfg.transformation.outlierHandling))
   }

@@ -142,6 +142,55 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("streaming: hourly agg through a parquet file sink (append mode) matches batch") {
+    // The documented at-scale shape for q44's aggregation: watermarked
+    // append mode into a FileStreamSink — finalized windows land as
+    // parquet, state is bounded by the watermark, nothing is collected
+    // to the driver. The memory-sink runToCompletion helper is the
+    // ORACLE harness; this is the production pattern.
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-fsrc")
+    Files.createSymbolicLink(src.resolve("part-0.parquet"),
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"))
+    // Sentinel event far in the future: pushes the watermark past every
+    // real hourly window so append mode finalizes and emits all of
+    // them. Its own (still-open) window is never emitted.
+    val sentinelNs = 1893456000L * 1000000000L // 2030-01-01 in nanos
+    val sentDir = Files.createTempDirectory("graft-fsent")
+    Seq((999999L, sentinelNs, 0L, "__sentinel__", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(sentDir).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve("part-1.parquet"))
+    }
+    val out = Files.createTempDirectory("graft-fout").toString
+    val cp = Files.createTempDirectory("graft-fcp").toString
+    val q = Streaming.hourlyAgg(
+      Streaming.eventsStream(spark, src.toString)).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select($"hour_start", $"event_type", $"n_events", $"sum_value")
+    val batch = graft.queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double").as("sum_value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    Streaming.deleteRecursively(src)
+    Streaming.deleteRecursively(sentDir)
+  }
+
   test("streaming: sensor ingest drains raw files through transform to partitioned parquet") {
     val raw = java.nio.file.Files.createTempDirectory("graft-sraw").toString
     val out = java.nio.file.Files.createTempDirectory("graft-sout").toString + "/data"

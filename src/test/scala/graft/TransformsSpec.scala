@@ -107,6 +107,50 @@ class TransformsSpec extends SparkSpec {
     assert(out.toSeq === Seq(20.0, 22.5, 25.0))
   }
 
+  test("W1 bucketed rolling average is bit-identical to the plain window") {
+    // Dense + sparse histories: small windowRows (3) with a 1 h bucket
+    // forces carries, including the multi-gap case where the trailing
+    // window spans buckets with EMPTY buckets between them (s2's 10:00
+    // row must reach the 13:00 bucket across two empty hours).
+    val df = readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 20.0, 90.0),
+      ("s1", "2023-06-01 10:20:00", "temperature", 22.0, 90.0),
+      ("s1", "2023-06-01 10:40:00", "temperature", 24.0, 90.0),
+      ("s1", "2023-06-01 11:00:00", "temperature", 26.0, 90.0),
+      ("s1", "2023-06-01 12:30:00", "temperature", 30.0, 90.0),
+      ("s2", "2023-06-01 10:00:00", "humidity", 50.0, 88.0),
+      ("s2", "2023-06-01 13:00:00", "humidity", 60.0, 88.0),
+      ("s2", "2023-06-01 13:30:00", "humidity", 70.0, 88.0))
+    val plain = Transforms.rollingAvg(3, c)(df)
+      .orderBy("sensor_id", "timestamp")
+      .select("sensor_id", "timestamp", "rolling_avg_value").collect()
+    val bucketed = Transforms.rollingAvgBucketed(3, 3600L, c)(df)
+      .orderBy("sensor_id", "timestamp")
+      .select("sensor_id", "timestamp", "rolling_avg_value").collect()
+    assert(bucketed.toSeq === plain.toSeq)
+    // spot-check the multi-gap carry: s2@13:30 averages all three s2 rows
+    val s2last = Transforms.rollingAvgBucketed(3, 3600L, c)(df)
+      .filter($"sensor_id" === "s2" && $"timestamp" === ts("2023-06-01 13:30:00"))
+      .select("rolling_avg_value").as[Double].head()
+    assert(s2last === 60.0)
+  }
+
+  test("W1 pipeline config selects the bucketed rolling executor (same answer)") {
+    val df = readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 25.5, 95.0),
+      ("s1", "2023-06-01 11:00:00", "temperature", 24.8, 94.0),
+      ("s1", "2023-06-02 10:00:00", "temperature", 26.0, 93.0),
+      ("s2", "2023-06-01 10:00:00", "humidity", 65.2, 88.0))
+    val base = PipelineConfig.default
+    val bucketedCfg = base.copy(transformation =
+      base.transformation.copy(rollingBucketSeconds = 21600L))
+    val a = Transforms.pipeline(base)(df)
+      .orderBy("sensor_id", "timestamp", "reading_type").collect()
+    val b = Transforms.pipeline(bucketedCfg)(df)
+      .orderBy("sensor_id", "timestamp", "reading_type").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("A1 daily average is per (sensor, type, date)") {
     val df = Transforms.deriveDate(c)(readings(
       ("s1", "2023-06-01 10:00:00", "temperature", 20.0, 90.0),
