@@ -135,6 +135,31 @@ class TransformsSpec extends SparkSpec {
     assert(s2last === 60.0)
   }
 
+  test("W1 bucketed rolling plan sorts per (key, bucket), tails pruned pre-shuffle") {
+    // The scale property itself, pinned on the physical plan: the big
+    // window partitions on (key, __bkt) — never on the bare key, which
+    // would re-create the full-history sort — and the carried-tails
+    // row_number is WindowGroupLimit-pruned so at most windowRows-1
+    // rows per (key, bucket) reach the carry shuffle.
+    val df = readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 20.0, 90.0),
+      ("s1", "2023-06-01 11:00:00", "temperature", 22.0, 90.0))
+    val plan = Transforms.rollingAvgBucketed(168, 21600L, c)(df)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("avg("))
+      .toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("__bkt")),
+      "rolling window must partition by the coarse bucket")
+    // WindowGroupLimit only materializes over a real (file) source —
+    // assert it on the oracle query's plan, same executor over parquet.
+    val q166 = graft.queries.CoreQueries
+      .queries("q166_rolling_bucketed")(spark, "/root/testdata/sf0.001")
+    assert(q166.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"),
+      "carried tails must be pruned before the carry shuffle")
+  }
+
   test("W1 pipeline config selects the bucketed rolling executor (same answer)") {
     val df = readings(
       ("s1", "2023-06-01 10:00:00", "temperature", 25.5, 95.0),
