@@ -391,6 +391,14 @@ object TextQueries {
           col("n_members"), col("n_chars").as("keep_chars"))
     }),
 
+    // Sorted-neighborhood blocking: linear candidate generation for
+    // shared-prefix duplicate families — one shuffle on the block
+    // prefix, lead()-window comparisons, integer-bp exact Jaccard.
+    "q167_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        blockPrefixLen = 8, windowSize = 3, thresholdBp = 5000)),
+
     // Same cluster resolution as q60, but with the driver union-find
     // fast path DISABLED (driverEdgeThreshold = 0) so the oracle pins
     // the distributed iterative min-label propagation — the path that
@@ -604,6 +612,30 @@ object TextQueries {
          |SELECT cluster_id, count(*) AS n_members FROM (
          |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
          |GROUP BY cluster_id""".stripMargin,
+
+    "q167_sorted_neighborhood" ->
+      s"""WITH base AS (
+         |  SELECT doc_id AS id,
+         |    list_distinct($dTok) AS tok,
+         |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64) AS skey,
+         |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 8) AS block
+         |  FROM documents),
+         |led AS (
+         |  SELECT id, tok,
+         |    lead(id, 1) OVER w AS id1, lead(tok, 1) OVER w AS tok1,
+         |    lead(id, 2) OVER w AS id2, lead(tok, 2) OVER w AS tok2
+         |  FROM base WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+         |pairs AS (
+         |  SELECT id, tok, id1 AS nid, tok1 AS ntok FROM led WHERE id1 IS NOT NULL
+         |  UNION ALL
+         |  SELECT id, tok, id2, tok2 FROM led WHERE id2 IS NOT NULL),
+         |scored AS (
+         |  SELECT least(id, nid) AS id_a, greatest(id, nid) AS id_b,
+         |    CAST(len(list_intersect(tok, ntok)) AS BIGINT) AS inter,
+         |    CAST(len(list_distinct(list_concat(tok, ntok))) AS BIGINT) AS uni
+         |  FROM pairs)
+         |SELECT id_a, id_b, (inter * 10000) // uni AS jaccard_bp
+         |FROM scored WHERE inter * 10000 >= 5000 * uni""".stripMargin,
 
     // Same oracle as q60 — the Spark side differs only in which
     // connected-components executor runs (distributed label propagation

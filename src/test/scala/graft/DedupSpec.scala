@@ -179,6 +179,32 @@ class DedupSpec extends SparkSpec {
     assert(at90.toSeq === Seq((1L, 3L))) // only the identical pair
   }
 
+  test("sortedNeighborhoodPairs compares only in-block neighbors, exact bp Jaccard") {
+    val df = Seq(
+      // block "thequick": three near-identical docs sort adjacent
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumped"),
+      (3L, "the quick brown fox jumps high"),
+      // different block prefix: never compared to the above
+      (9L, "zzz completely different text entirely")) // solo in its block
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(df, "doc_id", "text",
+      blockPrefixLen = 8, windowSize = 3, thresholdBp = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // sort key order within the block: 2 (jumped) < 3 (jumps high... )
+    //  -> actually keys: "thequickbrownfoxjumps", "thequickbrownfoxjumped",
+    // "thequickbrownfoxjumpshigh"; windowSize 3 compares each to next 2,
+    // so all three in-block pairs are examined; 9 pairs with nobody.
+    // J(1,2)=4/6=6666bp, J(1,3)=5/6=8333bp, J(2,3)=4/7=5714bp
+    assert(pairs.toSeq === Seq((1L, 2L, 6666L), (1L, 3L, 8333L),
+      (2L, 3L, 5714L)))
+    // tighter threshold drops the weaker pairs but keeps the family
+    val tight = Dedup.sortedNeighborhoodPairs(df, "doc_id", "text",
+      blockPrefixLen = 8, windowSize = 3, thresholdBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tight.toSeq === Seq((1L, 3L)))
+  }
+
   test("bucketedTopK only searches the query's sign bucket") {
     val df = Seq(
       (1L, Array(1.0f, 1.0f)),
