@@ -446,6 +446,43 @@ object ScaleQueries {
     // out-degree (≤ O(sqrt(m))) rather than d². All joins are
     // equi-joins on node ids; nothing is ever all-pairs. The global
     // clustering coefficient comes out in integer basis points.
+    // Interval-overlap join WITHOUT an equi-key — the scale pattern for
+    // "which time ranges intersect" across keys: explode each interval
+    // to the coarse hour buckets it covers, equi-join on the bucket
+    // (never a range-predicate nested loop over all pairs), verify true
+    // overlap, distinct away multi-bucket double-hits, aggregate. Work
+    // is proportional to (intervals x buckets spanned) + per-bucket
+    // pair density, not |A| x |B|. Sessions come from the same gap
+    // sessionization as q62; A = users < 50, B = users in [50, 100).
+    "q170_interval_overlap" -> ((s, dir) => {
+      import graft.operators.Curation
+      val bktUs = 3600000000L // 1 h buckets in microseconds
+      def sessions(lo: Int, hi: Int, p: String) = Curation.sessionize(
+        t(s, dir, "events")
+          .filter(col("user_id") >= lo && col("user_id") < hi),
+        "user_id", "ts", "event_id", gapMinutes = 30)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(unix_micros(col("ts"))).as(s"${p}_start"),
+          max(unix_micros(col("ts"))).as(s"${p}_end"))
+        .select(col("user_id").as(s"${p}_user"),
+          col("session_id").as(s"${p}_sid"),
+          col(s"${p}_start"), col(s"${p}_end"),
+          explode(sequence(
+            expr(s"${p}_start div $bktUs"),
+            expr(s"${p}_end div $bktUs"))).as("__bkt"))
+      sessions(0, 50, "a")
+        .join(sessions(50, 100, "b"), Seq("__bkt"))
+        .filter(col("a_start") <= col("b_end") &&
+          col("b_start") <= col("a_end"))
+        .select(col("a_user"), col("a_sid"), col("b_user"), col("b_sid"),
+          (least(col("a_end"), col("b_end")) -
+            greatest(col("a_start"), col("b_start"))).as("ov"))
+        .distinct()
+        .agg(count(lit(1)).as("n_overlapping_pairs"),
+          sum(col("ov")).as("total_overlap_us"),
+          max(col("ov")).as("max_overlap_us"))
+    }),
+
     "q158_triangles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
@@ -940,6 +977,37 @@ object ScaleQueries {
          |  n_matches,
          |  (rows_scanned * 10000) // greatest(n_matches, 1) AS read_amp_bp
          |FROM az""".stripMargin,
+
+    // The oracle formulates overlap as the direct range-predicate join
+    // (DuckDB's IEJoin handles it); the Spark side must reach the same
+    // pairs through its bucket-join decomposition.
+    "q170_interval_overlap" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE user_id < 100
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s),
+        |iv AS (
+        |  SELECT user_id, session_id,
+        |    min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+        |  FROM sess GROUP BY user_id, session_id),
+        |pairs AS (
+        |  SELECT least(a.end_us, b.end_us)
+        |       - greatest(a.start_us, b.start_us) AS ov
+        |  FROM iv a JOIN iv b
+        |    ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+        |  WHERE a.user_id < 50 AND b.user_id >= 50 AND b.user_id < 100)
+        |SELECT CAST(count(*) AS BIGINT) AS n_overlapping_pairs,
+        |  CAST(sum(ov) AS BIGINT) AS total_overlap_us,
+        |  CAST(max(ov) AS BIGINT) AS max_overlap_us
+        |FROM pairs""".stripMargin,
 
     "q158_triangles" ->
       """WITH e AS (

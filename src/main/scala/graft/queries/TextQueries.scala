@@ -391,6 +391,26 @@ object TextQueries {
           col("n_members"), col("n_chars").as("keep_chars"))
     }),
 
+    // Boolean multi-term retrieval (conjunctive AND): docs containing
+    // ALL query terms, scored by summed term frequency. The postings
+    // shape at scale: the term filter cuts the exploded token stream to
+    // query-term postings BEFORE any shuffle, the per-(doc, term) tf
+    // aggregate is map-side combined, and the AND is a count of
+    // distinct matched terms == |query| — no full-text second pass, no
+    // join per term.
+    "q168_bool_retrieval" -> ((s, dir) => {
+      val qterms = Seq("dup", "vector", "key")
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
+        .filter(col("term").isin(qterms: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matched"), sum(col("tf")).as("total_tf"))
+        .filter(col("n_matched") === qterms.size)
+        .select(col("doc_id"), col("total_tf"))
+    }),
+
     // Sorted-neighborhood blocking: linear candidate generation for
     // shared-prefix duplicate families — one shuffle on the block
     // prefix, lead()-window comparisons, integer-bp exact Jaccard.
@@ -612,6 +632,15 @@ object TextQueries {
          |SELECT cluster_id, count(*) AS n_members FROM (
          |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
          |GROUP BY cluster_id""".stripMargin,
+
+    "q168_bool_retrieval" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($dTok) AS term FROM documents)
+         |  WHERE term IN ('dup', 'vector', 'key')
+         |  GROUP BY doc_id, term)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+         |FROM tf GROUP BY doc_id HAVING count(*) = 3""".stripMargin,
 
     "q167_sorted_neighborhood" ->
       s"""WITH base AS (
