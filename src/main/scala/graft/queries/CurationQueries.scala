@@ -81,6 +81,25 @@ object CurationQueries {
         .select(col("lang"), col("rn"), col("doc_id"))
     }),
 
+    // Weighted priority sampling without replacement, integer-exact:
+    // every doc draws a deterministic priority h div w (md5-derived
+    // uniform over the source's weight, src0 -> 1 ... src19 -> 20), and
+    // the global k lowest priorities win — higher-weight sources keep
+    // proportionally more docs with NO floating-point u^(1/w) and no
+    // RNG state. orderBy+limit compiles to TakeOrdered (per-partition
+    // top-k then a k-row driver merge), so the corpus never sorts.
+    "q169_weighted_sample" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        text.md5Hash32(col("text"), 0).as("h"),
+        (substring(col("source"), 4, 10).cast(LongType) + 1L).as("w"))
+        .withColumn("priority", expr("h div w"))
+        .orderBy(col("priority"), col("doc_id")).limit(100)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("priority")).cast(LongType).as("min_priority"))
+    }),
+
     // KMV distinct estimate per source from the native bottom-k sketch,
     // next to the exact count it approximates.
     "q66_kmv_distinct" -> ((s, dir) => {
@@ -489,6 +508,18 @@ object CurationQueries {
         |    CAST(row_number() OVER (PARTITION BY lang
         |      ORDER BY md5(text), doc_id) AS BIGINT) AS rn
         |  FROM documents) WHERE rn <= 10""".stripMargin,
+
+    "q169_weighted_sample" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, ${dHash32(0, "text")} AS h,
+         |    CAST(substr(source, 4) AS BIGINT) + 1 AS w
+         |  FROM documents),
+         |pick AS (
+         |  SELECT doc_id, source, h // w AS priority FROM base
+         |  ORDER BY priority, doc_id LIMIT 100)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(min(priority) AS BIGINT) AS min_priority
+         |FROM pick GROUP BY source""".stripMargin,
 
     "q66_kmv_distinct" ->
       s"""WITH h AS (
