@@ -517,8 +517,17 @@ object ScaleQueries {
       val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.src") === col("y.src") && lower)
         .select(col("x.dst").as("w1"), col("y.dst").as("w2"))
+      // The wedge stream is the big intermediate (41M rows on this
+      // dense synthetic graph vs 1.2M edges) — NEVER shuffle it. With
+      // the closing probe broadcast (2-long edge list, MBs per million
+      // edges), wedges flow map-locally from the self-join straight
+      // into a broadcast probe + partial count; only per-partition
+      // counts hit the wire. On a graph whose edge list outgrows
+      // broadcast, drop the hint and the same plan degrades to the
+      // skew-proof equi-join — orientation already bounded the wedge
+      // fan-out either way.
       val tri = wedges.join(
-        oriented.select(col("src").as("w1"), col("dst").as("w2")),
+        broadcast(oriented.select(col("src").as("w1"), col("dst").as("w2"))),
         Seq("w1", "w2"))
         .agg(count(lit(1)).as("n_triangles"))
       val prof = deg.agg(
