@@ -52,10 +52,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: JIT + codegen + parquet reader init, not counted.
+    // Warmup: JIT + codegen + parquet reader init, not counted. Covers
+    // the codepaths the first measured queries otherwise pay for:
+    // hash aggregation with decimal sums, window sort+frame, broadcast
+    // hash join, and both big tables' readers (q01 measured 1.9 s as
+    // the first query vs 1.3 s mid-run before the wider warmup).
     spark.range(1000000L).selectExpr("sum(id)").collect()
     queries.CoreQueries.t(spark, sfDir, "lineitem").count()
-    queries.CoreQueries.t(spark, sfDir, "events").count()
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val ev = queries.CoreQueries.t(spark, sfDir, "events")
+      ev.groupBy(col("event_type"))
+        .agg(sum(col("value").cast("decimal(20,6)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      ev.limit(50000)
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"))))
+        .agg(max(col("r"))).collect()
+      ev.join(broadcast(ev.groupBy(col("event_type")).count()),
+        Seq("event_type")).agg(count(lit(1))).collect()
+    }
 
     // Drop everything a query left behind so no measurement pays for a
     // predecessor's storage: orphaned streams, memory-sink temp views,
