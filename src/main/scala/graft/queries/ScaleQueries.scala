@@ -446,6 +446,43 @@ object ScaleQueries {
     // out-degree (≤ O(sqrt(m))) rather than d². All joins are
     // equi-joins on node ids; nothing is ever all-pairs. The global
     // clustering coefficient comes out in integer basis points.
+    // Bounded k-core peel (3 rounds): iteratively drop nodes with
+    // degree < k and restrict edges to survivors — the density-core
+    // extraction a graph pipeline runs before expensive per-node work.
+    // Each round is a map-side-combined degree aggregate plus two
+    // LEFT SEMI joins (survivor sets are node-sized, so they broadcast;
+    // edges never widen). Rounds are FIXED at 3 so the computation is
+    // a single lazy plan the oracle can mirror exactly — the
+    // to-convergence form is the same loop with a driver count check,
+    // same per-round plan (cf. connectedComponentsDistributed).
+    "q171_kcore_peel" -> ((s, dir) => {
+      val k = 8
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e0 = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def survivors(e: DataFrame): DataFrame = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("n"))
+      def restrict(e: DataFrame, keep: DataFrame): DataFrame = e
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+      val k1 = survivors(e0); val e1 = restrict(e0, k1)
+      val k2 = survivors(e1); val e2 = restrict(e1, k2)
+      val k3 = survivors(e2); val e3 = restrict(e2, k3)
+      e0.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(k1.agg(count(lit(1)).as("core_r1")))
+        .crossJoin(k2.agg(count(lit(1)).as("core_r2")))
+        .crossJoin(k3.agg(count(lit(1)).as("core_r3")))
+        .crossJoin(e3.agg(count(lit(1)).as("edges_r3")))
+    }),
+
     // Interval-overlap join WITHOUT an equi-key — the scale pattern for
     // "which time ranges intersect" across keys: explode each interval
     // to the coarse hour buckets it covers, equi-join on the bucket
@@ -986,6 +1023,33 @@ object ScaleQueries {
          |  n_matches,
          |  (rows_scanned * 10000) // greatest(n_matches, 1) AS read_amp_bp
          |FROM az""".stripMargin,
+
+    "q171_kcore_peel" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey % 10 = 0),
+        |d1 AS (SELECT n, count(*) AS d FROM (
+        |  SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n),
+        |k1 AS (SELECT n FROM d1 WHERE d >= 8),
+        |e1 AS (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
+        |d2 AS (SELECT n, count(*) AS d FROM (
+        |  SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY n),
+        |k2 AS (SELECT n FROM d2 WHERE d >= 8),
+        |e2 AS (SELECT u, v FROM e1
+        |  WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
+        |d3 AS (SELECT n, count(*) AS d FROM (
+        |  SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY n),
+        |k3 AS (SELECT n FROM d3 WHERE d >= 8),
+        |e3 AS (SELECT u, v FROM e2
+        |  WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3))
+        |SELECT CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*) FROM k1) AS BIGINT) AS core_r1,
+        |  CAST((SELECT count(*) FROM k2) AS BIGINT) AS core_r2,
+        |  CAST((SELECT count(*) FROM k3) AS BIGINT) AS core_r3,
+        |  CAST((SELECT count(*) FROM e3) AS BIGINT) AS edges_r3""".stripMargin,
 
     // The oracle formulates overlap as the direct range-predicate join
     // (DuckDB's IEJoin handles it); the Spark side must reach the same

@@ -391,6 +391,32 @@ object TextQueries {
           col("n_members"), col("n_chars").as("keep_chars"))
     }),
 
+    // Vocabulary-growth (Heaps-law) profile over 3-gram shingles: for
+    // each corpus prefix bound n, the distinct-shingle vocabulary and
+    // total shingle volume. The scale trick: vocab(n) = count of
+    // shingles whose FIRST occurrence is below n — one groupBy(min)
+    // over the shingle stream plus a 5-row conditional rollup, instead
+    // of 5 separate count-distinct passes over growing prefixes.
+    "q172_vocab_growth" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ns = array(Seq(100, 200, 300, 400, 500).map(n => lit(n)): _*)
+      val firstSeen = docs.select(col("doc_id"),
+        explode(array_distinct(text.shingles(col("text"), 3))).as("sv"))
+        .groupBy(col("sv")).agg(min(col("doc_id")).as("fd"))
+      val vocab = firstSeen.select(explode(ns).as("n"), col("fd"))
+        .groupBy(col("n"))
+        .agg(count(when(col("fd") < col("n"), 1)).as("vocab"))
+      val totals = docs.select(col("doc_id"),
+        size(text.shingles(col("text"), 3)).cast(LongType).as("c"))
+        .select(explode(ns).as("n"), col("doc_id"), col("c"))
+        .groupBy(col("n"))
+        .agg(sum(when(col("doc_id") < col("n"), col("c")))
+          .as("total_shingles"))
+      vocab.join(totals, Seq("n"))
+        .select(col("n").cast(LongType).as("n_docs_bound"),
+          col("vocab"), col("total_shingles"))
+    }),
+
     // Boolean multi-term retrieval (conjunctive AND): docs containing
     // ALL query terms, scored by summed term frequency. The postings
     // shape at scale: the term filter cuts the exploded token stream to
@@ -632,6 +658,23 @@ object TextQueries {
          |SELECT cluster_id, count(*) AS n_members FROM (
          |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
          |GROUP BY cluster_id""".stripMargin,
+
+    "q172_vocab_growth" ->
+      s"""WITH toks AS (SELECT doc_id, $dTok AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(${dShingles(3)})) AS sv
+         |       FROM toks),
+         |fs AS (SELECT sv, min(doc_id) AS fd FROM sh GROUP BY sv),
+         |ns AS (SELECT unnest([100, 200, 300, 400, 500]) AS n),
+         |v AS (SELECT n, count(CASE WHEN fd < n THEN 1 END) AS vocab
+         |      FROM fs, ns GROUP BY n),
+         |pd AS (SELECT doc_id, CAST(len(${dShingles(3)}) AS BIGINT) AS c
+         |       FROM toks),
+         |tt AS (SELECT n, sum(CASE WHEN doc_id < n THEN c END) AS total
+         |       FROM pd, ns GROUP BY n)
+         |SELECT CAST(v.n AS BIGINT) AS n_docs_bound,
+         |  CAST(v.vocab AS BIGINT) AS vocab,
+         |  CAST(tt.total AS BIGINT) AS total_shingles
+         |FROM v JOIN tt ON v.n = tt.n""".stripMargin,
 
     "q168_bool_retrieval" ->
       s"""WITH tf AS (
