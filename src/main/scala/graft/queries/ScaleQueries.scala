@@ -446,6 +446,55 @@ object ScaleQueries {
     // out-degree (≤ O(sqrt(m))) rather than d². All joins are
     // equi-joins on node ids; nothing is ever all-pairs. The global
     // clustering coefficient comes out in integer basis points.
+    // Benford first-digit audit — the classic fabricated-data detector
+    // a DQ pipeline runs over monetary columns. One map-side-combined
+    // aggregation to 9 rows; expected frequencies are integer
+    // basis-point LITERALS (floor(10000 * log10(1 + 1/d))), so no
+    // transcendental function ever executes in either engine. On
+    // TPC-H's uniform prices the deviation is intentionally large —
+    // the profile reports it, exactly.
+    "q174_benford" -> ((s, dir) => {
+      val expected = Seq("1" -> 3010L, "2" -> 1760L, "3" -> 1249L,
+        "4" -> 969L, "5" -> 791L, "6" -> 669L, "7" -> 579L,
+        "8" -> 511L, "9" -> 457L)
+      val digits = t(s, dir, "lineitem")
+        .select(substring(col("l_extendedprice").cast("string"), 1, 1)
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val expCol = expected.foldLeft(lit(0L)) { case (acc, (d, v)) =>
+        when(col("digit") === d, lit(v)).otherwise(acc)
+      }
+      digits.crossJoin(digits.agg(sum(col("n")).as("tot")))
+        .select(col("digit"), col("n"),
+          expr("(n * 10000) div tot").as("observed_bp"),
+          expCol.as("expected_bp"))
+        .withColumn("dev_bp", abs(col("observed_bp") - col("expected_bp")))
+    }),
+
+    // CDC apply (latest-wins upsert with tombstones): treat the event
+    // stream as a change log per (user_id, event_type) key — a
+    // deterministic 10% of changes are deletes — and materialize the
+    // final table state: the chronologically last change wins; a final
+    // delete removes the key. ONE window (row_number over the change
+    // order) per key does the whole merge — no iterative apply, no
+    // per-version join; at scale this is the standard "compact the
+    // changelog" shape with a single shuffle on the merge key.
+    "q173_cdc_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val log = t(s, dir, "events").select(
+        col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value"),
+        (h32(col("event_id").cast("string")) % 10 === 0).as("is_delete"))
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wAll = Window.partitionBy(col("user_id"), col("event_type"))
+      log.withColumn("rn", row_number().over(w))
+        .withColumn("n_changes", count(lit(1)).over(wAll))
+        .filter(col("rn") === 1 && !col("is_delete"))
+        .select(col("user_id"), col("event_type"),
+          col("value").as("final_value"), col("n_changes"))
+    }),
+
     // Bounded k-core peel (3 rounds): iteratively drop nodes with
     // degree < k and restrict edges to survivors — the density-core
     // extraction a graph pipeline runs before expensive per-node work.
@@ -1023,6 +1072,38 @@ object ScaleQueries {
          |  n_matches,
          |  (rows_scanned * 10000) // greatest(n_matches, 1) AS read_amp_bp
          |FROM az""".stripMargin,
+
+    "q174_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(l_extendedprice AS VARCHAR), 1, 1) AS digit,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM d),
+        |e(digit, expected_bp) AS (VALUES
+        |  ('1', 3010), ('2', 1760), ('3', 1249), ('4', 969), ('5', 791),
+        |  ('6', 669), ('7', 579), ('8', 511), ('9', 457))
+        |SELECT d.digit, CAST(d.n AS BIGINT) AS n,
+        |  CAST((d.n * 10000) // t.tot AS BIGINT) AS observed_bp,
+        |  CAST(e.expected_bp AS BIGINT) AS expected_bp,
+        |  CAST(abs((d.n * 10000) // t.tot - e.expected_bp) AS BIGINT)
+        |    AS dev_bp
+        |FROM d CROSS JOIN t JOIN e ON d.digit = e.digit""".stripMargin,
+
+    "q173_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 10 = 0 AS is_delete
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, event_type, value, is_delete,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n_changes
+        |  FROM log)
+        |SELECT user_id, event_type, value AS final_value,
+        |  CAST(n_changes AS BIGINT) AS n_changes
+        |FROM ranked WHERE rn = 1 AND NOT is_delete""".stripMargin,
 
     "q171_kcore_peel" ->
       """WITH e0 AS (

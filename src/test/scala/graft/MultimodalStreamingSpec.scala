@@ -191,6 +191,73 @@ class MultimodalStreamingSpec extends SparkSpec {
     Streaming.deleteRecursively(sentDir)
   }
 
+  test("streaming: incremental corpus dedup classifies micro-batches against the growing index") {
+    // The streaming form of q160's growing-corpus ingest: each
+    // micro-batch classifies against the corpus-so-far (exact hash +
+    // LSH probe) and then joins it. foreachBatch keeps the index on
+    // disk between batches — the production shape for continuous
+    // training-data ingest.
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import graft.operators.Dedup
+    val docs = graft.queries.CoreQueries
+      .t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val seed = docs.filter($"doc_id" < 20)
+    val a = docs.filter($"doc_id" >= 20 && $"doc_id" < 35)
+    val b = docs.filter($"doc_id" >= 35 && $"doc_id" < 50)
+    val corpusDir = Files.createTempDirectory("graft-inc-corpus").toString
+    val srcDir = Files.createTempDirectory("graft-inc-src")
+    val outDir = Files.createTempDirectory("graft-inc-out").toString
+    val cp = Files.createTempDirectory("graft-inc-cp").toString
+    seed.write.mode("overwrite").parquet(corpusDir)
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-inc-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, srcDir.resolve(name))
+    }
+    addFile(a, "part-0.parquet")
+    Thread.sleep(1200) // distinct mtimes -> deterministic batch order
+    addFile(b, "part-1.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val corpus = spark.read.parquet(corpusDir)
+          Dedup.dedupAgainst(corpus, batch, "doc_id", "text",
+            k = 8, bands = 4, shingleN = 1, threshold = 0.5)
+            .write.mode("append").parquet(outDir)
+          batch.write.mode("append").parquet(corpusDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchEquiv = Dedup.dedupAgainst(seed, a, "doc_id", "text",
+      k = 8, bands = 4, shingleN = 1, threshold = 0.5)
+      .unionByName(Dedup.dedupAgainst(seed.unionByName(a), b,
+        "doc_id", "text", k = 8, bands = 4, shingleN = 1, threshold = 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed.size === 30)
+    assert(streamed === batchEquiv)
+    assert(streamed.map(_._2).subsetOf(Set("exact_dup", "near_dup", "unique")))
+    // the corpus dir grew: seed + both batches are in the index now
+    assert(spark.read.parquet(corpusDir).count() === 50)
+    Streaming.deleteRecursively(srcDir)
+  }
+
   test("streaming: sensor ingest drains raw files through transform to partitioned parquet") {
     val raw = java.nio.file.Files.createTempDirectory("graft-sraw").toString
     val out = java.nio.file.Files.createTempDirectory("graft-sout").toString + "/data"
