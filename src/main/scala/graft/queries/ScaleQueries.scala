@@ -509,7 +509,10 @@ object ScaleQueries {
       val li = t(s, dir, "lineitem")
         .filter(col("l_orderkey") % 10 === 0)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e0 = li.as("a").join(li.as("b"),
+      // Broadcast the (10%-of-orders) self-join build side — the edge
+      // list derives from a bounded slice; on a full-corpus graph drop
+      // the hint and the same build is the q158 shuffle self-join.
+      val e0 = li.as("a").join(broadcast(li.as("b")),
         col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct()
@@ -518,17 +521,31 @@ object ScaleQueries {
         .unionAll(e.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("n"))
-      def restrict(e: DataFrame, keep: DataFrame): DataFrame = e
-        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-      val k1 = survivors(e0); val e1 = restrict(e0, k1)
-      val k2 = survivors(e1); val e2 = restrict(e1, k2)
-      val k3 = survivors(e2); val e3 = restrict(e2, k3)
+      // Materialize ONE persisted edge set per round (like the other
+      // iterative operators — PageRank, distributed CC): a fully lazy
+      // five-way profile re-evaluates the peel chain per aggregate
+      // branch (measured 54 s vs ~6 s at sf0.1, identical results),
+      // and per-round force jobs are where local-mode job overhead
+      // goes, so each round is exactly one job. The profile recomputes
+      // the survivor AGGREGATES from cached edge sets — aggregate-cost
+      // only. The bench/verify harnesses release persisted blocks
+      // between queries.
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      def round(e: DataFrame): DataFrame = {
+        val keep = survivors(e)
+        val nxt = e
+          .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .persist(lvl)
+        nxt.count()
+        nxt
+      }
+      val e1 = round(e0); val e2 = round(e1); val e3 = round(e2)
       e0.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(k1.agg(count(lit(1)).as("core_r1")))
-        .crossJoin(k2.agg(count(lit(1)).as("core_r2")))
-        .crossJoin(k3.agg(count(lit(1)).as("core_r3")))
+        .crossJoin(survivors(e0).agg(count(lit(1)).as("core_r1")))
+        .crossJoin(survivors(e1).agg(count(lit(1)).as("core_r2")))
+        .crossJoin(survivors(e2).agg(count(lit(1)).as("core_r3")))
         .crossJoin(e3.agg(count(lit(1)).as("edges_r3")))
     }),
 
