@@ -167,6 +167,30 @@ object CoreQueries {
         .select(col("event_id"), col("rolling_avg_value"))
     }),
 
+    // Seasonal-profile residual anomaly: the time-series upgrade of
+    // q10's flat z-score — per (event_type, hour-of-day) cell, the
+    // exact-decimal hourly mean and the cell-population residual gate
+    // |v - mu| > 3*sigma. The 120-cell profile broadcasts back to the
+    // row stream (never a low-cardinality window funnel — q10's
+    // documented skew fix applies here identically).
+    "q176_seasonal_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), hour(col("ts")).as("hod"), col("value"))
+      val prof = ev.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast(DecimalType(20, 6))).cast(DoubleType) /
+            count(lit(1))).cast(DoubleType).as("mu"),
+          stddev_pop(col("value")).as("sd"))
+      ev.join(broadcast(prof), Seq("event_type", "hod"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(max(col("n")).as("n"), max(col("mu")).as("hourly_avg"),
+          count(when(col("n") > 1 && col("sd") > 0 &&
+            abs(col("value") - col("mu")) > lit(3.0) * col("sd"), 1))
+            .as("n_anomalies"))
+        .select(col("event_type"), col("hod").cast(LongType).as("hod"),
+          col("n"), col("hourly_avg"), col("n_anomalies"))
+    }),
+
     // A3 — population z-score anomaly counts per type (ddof=0, n>1 and
     // sigma>0 guards).
     "q10_zscore_flags" -> ((s, dir) => {
@@ -555,6 +579,24 @@ object CoreQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
         |             ROWS BETWEEN 167 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q176_seasonal_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type, hour(ts) AS hod, value FROM events),
+        |prof AS (
+        |  SELECT event_type, hod, count(*) AS n,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+        |         / count(*) AS DOUBLE) AS mu,
+        |    stddev_pop(value) AS sd
+        |  FROM ev GROUP BY event_type, hod)
+        |SELECT e.event_type, CAST(e.hod AS BIGINT) AS hod,
+        |  CAST(p.n AS BIGINT) AS n, p.mu AS hourly_avg,
+        |  CAST(count(CASE WHEN p.n > 1 AND p.sd > 0
+        |    AND abs(e.value - p.mu) > 3.0 * p.sd THEN 1 END) AS BIGINT)
+        |    AS n_anomalies
+        |FROM ev e JOIN prof p
+        |  ON e.event_type = p.event_type AND e.hod = p.hod
+        |GROUP BY e.event_type, e.hod, p.n, p.mu""".stripMargin,
 
     "q10_zscore_flags" ->
       """SELECT event_type,

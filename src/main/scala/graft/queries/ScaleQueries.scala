@@ -446,6 +446,43 @@ object ScaleQueries {
     // out-degree (≤ O(sqrt(m))) rather than d². All joins are
     // equi-joins on node ids; nothing is ever all-pairs. The global
     // clustering coefficient comes out in integer basis points.
+    // Bounded BFS reachability (3 hops) from a seed set over the part
+    // co-occurrence graph: per-hop frontier expansion is ONE equi-join
+    // of the symmetric edge list against the persisted reached set plus
+    // a distinct — the standard iterative graph primitive (same
+    // persist-per-round discipline as q171/PageRank/CC). Reached sets
+    // are node-sized, so the join broadcasts at this scale and degrades
+    // to a hash join on bigger graphs.
+    "q175_bfs_hops" -> ((s, dir) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e0 = li.as("a").join(broadcast(li.as("b")),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      val sym = e0.select(col("u").as("sn"), col("v").as("dn"))
+        .unionAll(e0.select(col("v").as("sn"), col("u").as("dn")))
+        .persist(lvl)
+      val r0 = sym.filter(col("sn") < 100)
+        .select(col("sn").as("n")).distinct().persist(lvl)
+      r0.count()
+      def expand(r: DataFrame): DataFrame = {
+        val nxt = r.unionByName(
+          sym.join(r.select(col("n").as("sn")), Seq("sn"))
+            .select(col("dn").as("n")))
+          .distinct().persist(lvl)
+        nxt.count()
+        nxt
+      }
+      val r1 = expand(r0); val r2 = expand(r1); val r3 = expand(r2)
+      r0.agg(count(lit(1)).as("reach_h0"))
+        .crossJoin(r1.agg(count(lit(1)).as("reach_h1")))
+        .crossJoin(r2.agg(count(lit(1)).as("reach_h2")))
+        .crossJoin(r3.agg(count(lit(1)).as("reach_h3")))
+    }),
+
     // Benford first-digit audit — the classic fabricated-data detector
     // a DQ pipeline runs over monetary columns. One map-side-combined
     // aggregation to 9 rows; expected frequencies are integer
@@ -1089,6 +1126,26 @@ object ScaleQueries {
          |  n_matches,
          |  (rows_scanned * 10000) // greatest(n_matches, 1) AS read_amp_bp
          |FROM az""".stripMargin,
+
+    "q175_bfs_hops" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey % 10 = 0),
+        |sym AS (SELECT u AS sn, v AS dn FROM e0
+        |        UNION ALL SELECT v, u FROM e0),
+        |r0 AS (SELECT DISTINCT sn AS n FROM sym WHERE sn < 100),
+        |r1 AS (SELECT n FROM r0
+        |       UNION SELECT dn FROM sym JOIN r0 ON sym.sn = r0.n),
+        |r2 AS (SELECT n FROM r1
+        |       UNION SELECT dn FROM sym JOIN r1 ON sym.sn = r1.n),
+        |r3 AS (SELECT n FROM r2
+        |       UNION SELECT dn FROM sym JOIN r2 ON sym.sn = r2.n)
+        |SELECT CAST((SELECT count(*) FROM r0) AS BIGINT) AS reach_h0,
+        |  CAST((SELECT count(*) FROM r1) AS BIGINT) AS reach_h1,
+        |  CAST((SELECT count(*) FROM r2) AS BIGINT) AS reach_h2,
+        |  CAST((SELECT count(*) FROM r3) AS BIGINT) AS reach_h3""".stripMargin,
 
     "q174_benford" ->
       """WITH d AS (
