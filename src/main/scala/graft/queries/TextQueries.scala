@@ -437,6 +437,30 @@ object TextQueries {
         .select(col("doc_id"), col("total_tf"))
     }),
 
+    // LSH recall gate — the dedup counterpart of q105's ANN gate: on a
+    // bounded slice where exact all-pairs ground truth is computable,
+    // measure what fraction of true >=0.93-Jaccard pairs the banded
+    // MinHash probe actually surfaces (precision is 10000 by
+    // construction — candidates are exact-verified). This is the gate
+    // that licenses trusting the LSH path at corpus scale, where
+    // ground truth is unaffordable.
+    "q177_lsh_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val base = docs.select(col("doc_id").as("id"),
+        array_distinct(text.shingleHashes(col("text"), 1)).as("sh"))
+      val truth = base.as("a").join(base.as("b"),
+        col("a.id") < col("b.id"))
+        .filter(
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            size(array_union(col("a.sh"), col("b.sh"))) >= 0.93)
+        .select(col("a.id"), col("b.id"))
+      val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+        k = 8, bands = 4, shingleN = 1, threshold = 0.93)
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .withColumn("recall_bp", expr("(n_lsh * 10000) div n_true"))
+    }),
+
     // Sorted-neighborhood blocking: linear candidate generation for
     // shared-prefix duplicate families — one shuffle on the block
     // prefix, lead()-window comparisons, integer-bp exact Jaccard.
@@ -684,6 +708,19 @@ object TextQueries {
          |  GROUP BY doc_id, term)
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
          |FROM tf GROUP BY doc_id HAVING count(*) = 3""".stripMargin,
+
+    "q177_lsh_recall" ->
+      s"""WITH $minhashPairCtes,
+         |lsh AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.93),
+         |truth AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM base a JOIN base b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.shd, b.shd)) * 1.0
+         |      / len(list_distinct(list_concat(a.shd, b.shd))) >= 0.93)
+         |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+         |  CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+         |  CAST(((SELECT count(*) FROM lsh) * 10000)
+         |    // (SELECT count(*) FROM truth) AS BIGINT) AS recall_bp""".stripMargin,
 
     "q167_sorted_neighborhood" ->
       s"""WITH base AS (
