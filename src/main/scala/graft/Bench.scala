@@ -1,14 +1,32 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints a compact JSON line per query as it
-  * completes (so partial output still attributes cost), then one
-  * summary JSON line. A warmup pass (trivial range + one parquet scan)
-  * precedes timing so the first measured query doesn't absorb
-  * JVM/codegen/reader initialization; queries run in name order for
-  * stable attribution.
+  * SPARK_GRAFT_SF_DIR and emits machine-readable JSON.
+  *
+  * Output contract (what a driver/CI parses):
+  *   - stdout line 1: the FULL summary JSON (total, per-query medians,
+  *     throughputs, errors, regressions, per-query detail for the heavy
+  *     tail). Also persisted to bench_summary.json.
+  *   - stdout line 2 (last): a compact bounded-size summary (top-15
+  *     slowest + counts) that survives size-bounded tail capture.
+  *   - stderr: one progress JSON line per query as it completes, so a
+  *     crashed run still attributes cost. Progress lines are NOT on
+  *     stdout so the parseable summary is literally the first stdout
+  *     line.
+  *
+  * Measurement policy: single-shot wall-time cannot adjudicate noise vs
+  * regression for persist/broadcast/spill-heavy queries (r7: the driver
+  * measured q158 at 40.7 s where the identical build measured ~11 s —
+  * the spread IS the phenomenon). So any query whose previous committed
+  * time exceeds 2 s — or whose first sample this run does — is run
+  * THREE times and reported as {runs, median, min}; regressions compare
+  * MEDIANS. Each run also snapshots per-task executor metrics (shuffle
+  * read/write bytes, memory/disk spill, GC ms, peak execution memory)
+  * via a SparkListener, so a slow sample is attributable to spill/GC
+  * pressure rather than guessed at.
   *
   * Between queries the harness releases everything a query can leave
   * behind in a shared JVM — cached blocks, persistent RDDs, memory-sink
@@ -25,6 +43,38 @@ import org.apache.spark.sql.SparkSession
   * to the reference's ~20k rec/s end-to-end figure (BASELINE.md).
   */
 object Bench {
+
+  /** Sums task-level executor metrics between reset() and snapshot().
+    * Queries run one at a time, so everything the listener sees between
+    * the two calls belongs to the in-flight query. Registered once;
+    * listener callbacks are async, so snapshot() waits for the listener
+    * bus to drain before reading.
+    */
+  final class MetricsListener extends SparkListener {
+    private var shufRead, shufWrite, memSpill, diskSpill = 0L
+    private var gcMs, peakMem, nTasks = 0L
+    override def onTaskEnd(end: SparkListenerTaskEnd): Unit = synchronized {
+      val m = end.taskMetrics
+      if (m != null) {
+        shufRead += m.shuffleReadMetrics.totalBytesRead
+        shufWrite += m.shuffleWriteMetrics.bytesWritten
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+        gcMs += m.jvmGCTime
+        peakMem = math.max(peakMem, m.peakExecutionMemory)
+        nTasks += 1
+      }
+    }
+    def reset(): Unit = synchronized {
+      shufRead = 0; shufWrite = 0; memSpill = 0; diskSpill = 0
+      gcMs = 0; peakMem = 0; nTasks = 0
+    }
+    def json(): String = synchronized {
+      def mb(b: Long): Double = math.rint(b / 1048.576) / 1000 // MB, 3dp
+      s"""{"shuffle_read_mb":${mb(shufRead)},"shuffle_write_mb":${mb(shufWrite)},"spill_mem_mb":${mb(memSpill)},"spill_disk_mb":${mb(diskSpill)},"gc_ms":$gcMs,"peak_task_mem_mb":${mb(peakMem)},"tasks":$nTasks}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,6 +101,10 @@ object Bench {
         "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+
+    def progress(line: String): Unit = { System.err.println(line); System.err.flush() }
 
     // Warmup: JIT + codegen + parquet reader init, not counted. Covers
     // the codepaths the first measured queries otherwise pay for:
@@ -95,24 +149,27 @@ object Bench {
     def r4(sec: Double): Double = math.rint(sec * 10000) / 10000
 
     // Previous run's per-query times (the committed bench_summary.json,
-    // read BEFORE this run overwrites it): every per-query line carries
-    // "prev" and the summary machine-flags regressions, so a +0.5 s/2x
-    // drift is caught by the artifact itself instead of judge eyeballs.
+    // read BEFORE this run overwrites it) parsed with a real JSON
+    // reader — the old regex scraper silently yielded an empty baseline
+    // on any format drift, disabling the regression gate. Only compare
+    // like with like: a summary from a different SF (e.g. a local
+    // sf0.001 iteration run) is not a baseline for this run's times.
     val prevTimes: Map[String, Double] =
       try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_summary.json")), "UTF-8")
-        val start = txt.indexOf("\"queries\":{")
-        // Only compare like with like: a summary from a different SF
-        // (e.g. a local sf0.001 iteration run) is not a baseline for
-        // this run's times.
-        val sameSf = txt.contains("\"sf\":\"" + sfDir + "\"")
-        if (start < 0 || !sameSf) Map.empty
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(
+          java.nio.file.Paths.get("bench_summary.json").toFile)
+        if (root.path("sf").asText() != sfDir) Map.empty
         else {
-          val body = txt.substring(start + 11, txt.indexOf('}', start))
-          """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
-            .findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val q = root.path("queries")
+          val it = q.fieldNames()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val k = it.next()
+            val v = q.get(k)
+            if (v.isNumber) b += k -> v.asDouble()
+          }
+          b.result()
         }
       } catch { case _: Throwable => Map.empty }
     def prevTag(name: String): String =
@@ -121,22 +178,38 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
       else SparkEntry.queries
-    // A query that measures slow gets ONE re-measurement and reports the
-    // min: a single GC pause / IO-contention spike during a ~100-query
-    // run otherwise inflates that query 10-50x and the round's official
-    // number records noise instead of plan cost (r3: q39 53.4 s in the
-    // driver environment vs 3.0 s on the identical build re-run).
-    val retryAboveSec = 2.0
+    // Any query whose committed previous time — or first sample this
+    // run — exceeds 2 s gets THREE samples and reports the median; the
+    // regression gate compares medians. One sample per heavy query is
+    // not a measurement: a single GC pause / IO-contention spike during
+    // a ~180-query run inflates that query 2-10x and the round's
+    // official number records noise instead of plan cost (r3: q39
+    // 53.4 s driver vs 3.0 s identical build; r7: q158 40.7 s driver vs
+    // ~11 s identical build).
+    val heavyAboveSec = 2.0
     // A throwing query must surface as a FAILURE, not a fast timing: the
     // per-query line carries "err", the summary lists it, and the
     // process exits nonzero so the driver records a broken build.
-    def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+    def esc(s: String): String = {
+      val sb = new StringBuilder(s.length + 8)
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Per-query detail for multi-sample queries: runs, median, min, and
+    // the executor metrics of the median run — committed alongside the
+    // headline medians so a flagged regression arrives with its own
+    // spill/GC evidence.
+    val details = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var lastErr: Option[String] = None
-      def once(): Double = {
+      def once(): (Double, String) = {
+        metrics.reset()
         val t0 = System.nanoTime()
         lastErr =
           try { fn(spark, sfDir).count(); None }
@@ -146,26 +219,30 @@ object Bench {
                 Option(e.getMessage).getOrElse("").take(200))
           }
         val sec = r4((System.nanoTime() - t0) / 1e9)
+        val m = metrics.json()
         releaseAll()
-        sec
+        (sec, m)
       }
-      val first = once()
-      // Record measurement provenance: when a query is re-measured the
-      // per-query line carries both samples so published figures are
-      // auditable (best-of-2 vs single-sample).
+      val (first, firstM) = once()
       val sec = lastErr match {
         case Some(m) =>
           errors += name -> m
-          println(s"""{"query":"$name","sec":$first,"err":"${esc(m)}"}""")
+          progress(s"""{"query":"$name","sec":$first,"err":"${esc(m)}"}""")
           first
-        case None if first > retryAboveSec =>
-          val second = once()
-          val best = math.min(first, second)
-          println(
-            s"""{"query":"$name","sec":$best,"retried":true,"samples":[$first,$second]${prevTag(name)}}""")
-          best
+        case None
+            if first > heavyAboveSec ||
+              prevTimes.get(name).exists(_ > heavyAboveSec) =>
+          val (s2, m2) = once()
+          val (s3, m3) = once()
+          val runs = Seq((first, firstM), (s2, m2), (s3, m3)).sortBy(_._1)
+          val med = runs(1)._1
+          val detail =
+            s""""runs":[$first,$s2,$s3],"median":$med,"min":${runs.head._1},"metrics":${runs(1)._2}"""
+          details += name -> detail
+          progress(s"""{"query":"$name","sec":$med,$detail${prevTag(name)}}""")
+          med
         case None =>
-          println(s"""{"query":"$name","sec":$first${prevTag(name)}}""")
+          progress(s"""{"query":"$name","sec":$first${prevTag(name)}}""")
           first
       }
       name -> sec
@@ -194,13 +271,13 @@ object Bench {
           val m = e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("").take(200)
           errors += name -> m
-          println(s"""{"query":"$name","sec":-1.0,"err":"${esc(m)}"}""")
+          progress(s"""{"query":"$name","sec":-1.0,"err":"${esc(m)}"}""")
           -1.0
       }
     val pipeSec = guarded("pipeline_e2e", pipeOnce _)
     val recPerSec =
       if (pipeSec > 0) math.rint(nRecords / pipeSec) else -1.0
-    if (pipeSec >= 0) println(s"""{"query":"pipeline_e2e","sec":$pipeSec}""")
+    if (pipeSec >= 0) progress(s"""{"query":"pipeline_e2e","sec":$pipeSec}""")
 
     // Streaming variant of the same pipeline: FileStreamSource over the
     // events table, each micro-batch through the full transform chain in
@@ -231,7 +308,7 @@ object Bench {
     val streamRecPerSec =
       if (streamSec > 0) math.rint(streamRecords / streamSec) else -1.0
     if (streamSec >= 0)
-      println(s"""{"query":"pipeline_stream","sec":$streamSec}""")
+      progress(s"""{"query":"pipeline_stream","sec":$streamSec}""")
 
     val all = results :+ ("pipeline_e2e" -> pipeSec) :+ ("pipeline_stream" -> streamSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
@@ -239,10 +316,14 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = r4(all.map(_._2).sum)
+    // Failed stages report the sentinel -1.0; summing it would
+    // understate the published total by 1 s per failure.
+    val total = r4(all.map(_._2).filter(_ >= 0).sum)
     // Machine-flagged regressions vs the previous committed run: >2x
     // AND >0.5 s absolute (the absolute floor keeps sub-second jitter
-    // on fast queries from flagging).
+    // on fast queries from flagging). Heavy-tail entries compare
+    // median-vs-previous-median, so a flagged entry here reproduced
+    // across 3 runs — it is a regression, not a one-sample spike.
     val regressions = all.flatMap { case (k, v) =>
       prevTimes.get(k).collect {
         case p if p > 0 && v > 2 * p && v - p > 0.5 => k -> ((p, v))
@@ -251,26 +332,32 @@ object Bench {
     val regJson = regressions
       .map { case (k, (p, v)) => "\"" + k + "\":[" + p + "," + v + "]" }
       .mkString("{", ",", "}")
+    val detJson = details
+      .map { case (k, v) => "\"" + k + "\":{" + v + "}" }
+      .mkString("{", ",", "}")
     val prevTotal = r4(all.flatMap(x => prevTimes.get(x._1)).sum)
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_records":$nRecords,"pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"errors":$errJson,"prev_total":$prevTotal,"regressions":$regJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_records":$nRecords,"pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"errors":$errJson,"prev_total":$prevTotal,"regressions":$regJson,"details":$detJson}"""
+    // stdout line 1: the full summary (progress went to stderr, so this
+    // is literally the first stdout line — parse it directly).
     println(fullLine)
-    // The driver's tail capture is size-bounded; the full metric line
-    // above exceeds it with 150+ queries. Persist the COMPLETE summary
-    // to a file (survives truncation), then print a compact,
-    // bounded-size summary LAST — total, throughputs, errors, and the
-    // top-15 slowest queries — so the captured tail always carries the
-    // headline numbers, never a mid-JSON cut.
-    try {
+    // Only a FULL run may replace the committed baseline: a targeted
+    // `runMain graft.Bench q158 ...` iteration run would otherwise
+    // overwrite bench_summary.json with a 3-query map and silently
+    // disable the regression gate for every other query.
+    if (args.isEmpty) try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_summary.json"),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // read-only cwd must not kill bench
+    // stdout line 2 (LAST): a compact, bounded-size summary — total,
+    // throughputs, errors, the top-15 slowest — so a size-bounded TAIL
+    // capture still carries the headline numbers, never a mid-JSON cut.
     val slowAll = all.filter(_._2 >= 0.5).sortBy(-_._2)
     val slow = slowAll.take(15)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fastN = all.count(_._2 < 0.5)
-    val fastSum = r4(all.filter(_._2 < 0.5).map(_._2).sum)
+    val fastSum = r4(all.filter(v => v._2 < 0.5 && v._2 >= 0).map(_._2).sum)
     println(s"""{"metric":"summary","total_sec":$total,"n_queries":${all.size},"sf":"$sfDir","pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"n_errors":${errors.size},"error_queries":${errors.keys.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")},"slow_queries_sec":$slow,"slow_omitted":${math.max(0, slowAll.size - 15)},"fast_queries":{"n":$fastN,"sum_sec":$fastSum},"n_regressions_vs_prev":${regressions.size},"regressions_vs_prev":$regJson,"full_summary_file":"bench_summary.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

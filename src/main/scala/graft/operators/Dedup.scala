@@ -377,7 +377,9 @@ object Dedup {
     * fraction of the cost.
     *
     * Pairs are emitted once (lead is strictly forward), normalized to
-    * id_a < id_b, with an exact integer-bp token Jaccard filter. */
+    * id_a < id_b (least/greatest — ids keep their source type, so
+    * string/UUID ids work the same as numeric ones), with an exact
+    * integer-bp token Jaccard filter. */
   def sortedNeighborhoodPairs(
       df: DataFrame,
       idCol: String,
@@ -387,7 +389,7 @@ object Dedup {
       thresholdBp: Int = 5000): DataFrame = {
     require(windowSize >= 2, "windowSize must be >= 2")
     val base = df.select(
-      col(idCol).cast(LongType).as("id"),
+      col(idCol).as("id"),
       array_distinct(text.tokens(col(contentCol))).as("tok"),
       regexp_replace(lower(col(contentCol)), "[^a-z0-9]", "").as("norm"))
       .select(col("id"), col("tok"),

@@ -397,20 +397,26 @@ object ScaleQueries {
           // are not guaranteed correctly rounded up there); the final
           // /1e6 is float-exact on the small quotient.
           sum(expr("vu * dt_us")).as("swd"),
-          count(col("vu")).as("n_vu"))
+          count(col("vu")).as("n_vu"),
+          count(expr("vu * dt_us")).as("n_prod"))
         // Non-ANSI decimal multiply/sum silently yields NULL past 38
         // digits; that would publish a NULL average with no signal.
-        // Unreachable below ~10^38 value-microseconds per user, but
-        // guarded: overflow raises instead of disappearing.
+        // Two overflow shapes, both guarded: the whole SUM nulling out
+        // (swd NULL despite inputs), and a SINGLE product nulling out —
+        // which sum() then silently SKIPS, averaging over fewer
+        // intervals. The latter shows as count(vu*dt_us) < count(vu)
+        // (dt_us is non-null by filter, so a missing product can only
+        // be overflow). Unreachable below ~10^38 value-microseconds
+        // per user, but overflow raises instead of disappearing.
         .withColumn("tw_avg_micro",
-          expr("""CAST(if(swd IS NULL AND n_vu > 0,
+          expr("""CAST(if((swd IS NULL AND n_vu > 0) OR n_prod < n_vu,
                  CAST(raise_error(
                    'q152: decimal overflow in time-weighted sum')
                    AS DECIMAL(38,0)),
                  swd) div total_us AS BIGINT)"""))
         .withColumn("tw_avg",
           expr("CAST(tw_avg_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)"))
-        .drop("swd", "n_vu")
+        .drop("swd", "n_vu", "n_prod")
     }),
 
     // Gini coefficient of per-user activity: the inequality measure
@@ -467,20 +473,28 @@ object ScaleQueries {
         .persist(lvl)
       val r0 = sym.filter(col("sn") < 100)
         .select(col("sn").as("n")).distinct().persist(lvl)
-      r0.count()
-      def expand(r: DataFrame): DataFrame = {
+      val c0 = r0.count()
+      // Each hop's forced count IS the profile value — reuse it instead
+      // of re-running four aggregate jobs over the persisted frontiers
+      // (5 jobs total: the r0 build + 3 expansions + the local-relation
+      // count). The predecessor frontier unpersists as soon as the next
+      // one is materialized, so at most two node-sized sets are live.
+      def expand(r: DataFrame): (DataFrame, Long) = {
         val nxt = r.unionByName(
           sym.join(r.select(col("n").as("sn")), Seq("sn"))
             .select(col("dn").as("n")))
           .distinct().persist(lvl)
-        nxt.count()
-        nxt
+        val c = nxt.count()
+        r.unpersist(blocking = false)
+        (nxt, c)
       }
-      val r1 = expand(r0); val r2 = expand(r1); val r3 = expand(r2)
-      r0.agg(count(lit(1)).as("reach_h0"))
-        .crossJoin(r1.agg(count(lit(1)).as("reach_h1")))
-        .crossJoin(r2.agg(count(lit(1)).as("reach_h2")))
-        .crossJoin(r3.agg(count(lit(1)).as("reach_h3")))
+      val (r1, c1) = expand(r0)
+      val (r2, c2) = expand(r1)
+      val (r3, c3) = expand(r2)
+      sym.unpersist(blocking = false)
+      r3.unpersist(blocking = false)
+      s.range(1).select(lit(c0).as("reach_h0"), lit(c1).as("reach_h1"),
+        lit(c2).as("reach_h2"), lit(c3).as("reach_h3"))
     }),
 
     // Benford first-digit audit — the classic fabricated-data detector
@@ -561,29 +575,37 @@ object ScaleQueries {
       // Materialize ONE persisted edge set per round (like the other
       // iterative operators — PageRank, distributed CC): a fully lazy
       // five-way profile re-evaluates the peel chain per aggregate
-      // branch (measured 54 s vs ~6 s at sf0.1, identical results),
-      // and per-round force jobs are where local-mode job overhead
-      // goes, so each round is exactly one job. The profile recomputes
-      // the survivor AGGREGATES from cached edge sets — aggregate-cost
-      // only. The bench/verify harnesses release persisted blocks
-      // between queries.
+      // branch (measured 54 s vs ~6 s at sf0.1, identical results).
+      // Each round persists its survivor set (it feeds TWO semi-joins —
+      // unpersisted, the degree aggregate runs twice) and releases the
+      // PREDECESSOR edge set as soon as the next one is forced, the
+      // same discipline connectedComponentsDistributed uses: r7's
+      // driver bench showed this query 2x slower with 4 edge sets +
+      // survivor aggregates all live at the end-of-run memory point.
+      // Round counts are captured at force time and returned as a
+      // local relation, so the profile costs zero extra jobs.
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      def round(e: DataFrame): DataFrame = {
-        val keep = survivors(e)
+      def round(e: DataFrame): (DataFrame, Long, Long) = {
+        val keep = survivors(e).persist(lvl)
+        val coreN = keep.count()
         val nxt = e
           .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
           .select(col("u"), col("v"))
           .persist(lvl)
-        nxt.count()
-        nxt
+        val edgeN = nxt.count()
+        keep.unpersist(blocking = false)
+        e.unpersist(blocking = false)
+        (nxt, edgeN, coreN)
       }
-      val e1 = round(e0); val e2 = round(e1); val e3 = round(e2)
-      e0.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(survivors(e0).agg(count(lit(1)).as("core_r1")))
-        .crossJoin(survivors(e1).agg(count(lit(1)).as("core_r2")))
-        .crossJoin(survivors(e2).agg(count(lit(1)).as("core_r3")))
-        .crossJoin(e3.agg(count(lit(1)).as("edges_r3")))
+      val nEdges = e0.count()
+      val (e1, _, c1) = round(e0)
+      val (e2, _, c2) = round(e1)
+      val (e3, ne3, c3) = round(e2)
+      e3.unpersist(blocking = false)
+      s.range(1).select(lit(nEdges).as("n_edges"), lit(c1).as("core_r1"),
+        lit(c2).as("core_r2"), lit(c3).as("core_r3"),
+        lit(ne3).as("edges_r3"))
     }),
 
     // Interval-overlap join WITHOUT an equi-key — the scale pattern for
@@ -624,19 +646,20 @@ object ScaleQueries {
     }),
 
     "q158_triangles" -> ((s, dir) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      // edges feeds deg + orientation + the edge count; oriented feeds
-      // the wedge self-join twice plus the closing probe. Materialize
-      // each ONCE — without this the plan re-runs the lineitem
-      // self-join + distinct eight times (verified via explain), which
-      // is exactly what does not survive a 100x scale-up. The bench /
-      // verify harnesses release persisted blocks between queries.
+      // edges feeds deg + orientation; oriented feeds the wedge
+      // self-join twice, the closing probe, and the degree profile.
+      // Materialize each ONCE — without this the plan re-runs the
+      // lineitem self-join + distinct eight times (verified via
+      // explain), which is exactly what does not survive a 100x
+      // scale-up.
       val edges = li.as("a").join(li.as("b"),
         col("a.k") === col("b.k") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(lvl)
       val deg = edges.select(col("u").as("n"))
         .unionAll(edges.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -649,7 +672,17 @@ object ScaleQueries {
           when(fwd, col("u")).otherwise(col("v")).as("src"),
           when(fwd, col("v")).otherwise(col("u")).as("dst"),
           when(fwd, col("dv")).otherwise(col("du")).as("dd"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(lvl)
+      // Force `oriented`, then RELEASE `edges` BEFORE the wedge stream
+      // flies: r7's driver bench caught this query 4x slower with both
+      // MEMORY_AND_DISK persists live plus an in-flight broadcast at
+      // the end-of-suite memory point. Everything downstream (wedges,
+      // closing probe, degree profile) derives from `oriented` alone —
+      // the same edge multiset re-keyed — so only ONE edge-sized block
+      // is resident during the heavy phase. The forced count doubles
+      // as the exact edge count for the profile and the broadcast gate.
+      val nEdges = oriented.count()
+      edges.unpersist(blocking = false)
       // wedge (src → w1, src → w2) with (dd,id)-ordered endpoints, then
       // close against the oriented edge w1 → w2.
       val lower = col("x.dd") < col("y.dd") ||
@@ -658,24 +691,28 @@ object ScaleQueries {
         col("x.src") === col("y.src") && lower)
         .select(col("x.dst").as("w1"), col("y.dst").as("w2"))
       // The wedge stream is the big intermediate (41M rows on this
-      // dense synthetic graph vs 1.2M edges) — NEVER shuffle it. With
-      // the closing probe broadcast (2-long edge list, MBs per million
-      // edges), wedges flow map-locally from the self-join straight
-      // into a broadcast probe + partial count; only per-partition
-      // counts hit the wire. On a graph whose edge list outgrows
-      // broadcast, drop the hint and the same plan degrades to the
-      // skew-proof equi-join — orientation already bounded the wedge
-      // fan-out either way.
-      val tri = wedges.join(
-        broadcast(oriented.select(col("src").as("w1"), col("dst").as("w2"))),
-        Seq("w1", "w2"))
+      // dense synthetic graph vs 1.2M edges) — NEVER shuffle it when
+      // avoidable. With the closing probe broadcast, wedges flow
+      // map-locally from the self-join straight into a broadcast probe
+      // + partial count; only per-partition counts hit the wire. The
+      // hint is SIZE-GATED on the measured edge count (~30 B/row in a
+      // broadcast hash map → ~300 MB at the 10M-edge gate, sized for
+      // per-executor build memory on a real cluster, far under the
+      // 8 GB broadcast cap): past the gate the same plan degrades to
+      // the skew-proof equi-join — orientation already bounded the
+      // wedge fan-out at O(sqrt(m)) either way.
+      val closing = oriented.select(col("src").as("w1"), col("dst").as("w2"))
+      val probe = if (nEdges <= 10000000L) broadcast(closing) else closing
+      val tri = wedges.join(probe, Seq("w1", "w2"))
         .agg(count(lit(1)).as("n_triangles"))
-      val prof = deg.agg(
+      val degO = oriented.select(col("src").as("n"))
+        .unionAll(oriented.select(col("dst").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val prof = degO.agg(
         count(lit(1)).as("n_nodes"),
         sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-      val ne = edges.agg(count(lit(1)).as("n_edges"))
-      prof.crossJoin(ne).crossJoin(tri)
-        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+      prof.crossJoin(tri)
+        .select(col("n_nodes"), lit(nEdges).as("n_edges"), col("n_wedges"),
           col("n_triangles"),
           expr("(3 * n_triangles * 10000) div n_wedges").as("closed_bp"))
     }),
