@@ -231,7 +231,15 @@ object Bench {
           first
         case None
             if first > heavyAboveSec ||
-              prevTimes.get(name).exists(_ > heavyAboveSec) =>
+              prevTimes.get(name).exists(_ > heavyAboveSec) ||
+              // A sample that WOULD machine-flag as a regression (>2x
+              // prev and >0.5 s worse) must also survive a median-of-3
+              // before it may flag: sub-2s queries are otherwise
+              // single-shot, and their jitter was the last source of
+              // unreproducible regression flags (r8: q120 0.52→1.08,
+              // q167 0.73→1.60, neither reproducible).
+              prevTimes.get(name).exists(p =>
+                p > 0 && first > 2 * p && first - p > 0.5) =>
           val (s2, m2) = once()
           val (s3, m3) = once()
           val runs = Seq((first, firstM), (s2, m2), (s3, m3)).sortBy(_._1)

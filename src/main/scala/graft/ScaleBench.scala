@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up evidence for the graph/dedup flagships: replicate the
+  * sf0.1 inputs `copies`× (default 10×) as DISJOINT copies — order and
+  * part keys offset per copy, document ids offset and text passed
+  * through a per-copy substitution cipher so near-dup structure stays
+  * within a copy — write both a 1× control and the N× table through
+  * the SAME writer, then run each operator shape at both scales and
+  * report min-of-2 times, executor metrics, and the growth exponent
+  * ln(tN/t1)/ln(N).
+  *
+  * Because replication is disjoint, total WORK scales ~linearly with
+  * copies by construction (edges ×N, wedges ×N, LSH candidate pairs
+  * ×N): the exponent is a runtime-vs-work proportionality check — ≈1.0
+  * means the plan does N× the work in N× the time with no superlinear
+  * cliff (shuffle blowup, OOM, broadcast collapse), which is the claim
+  * that matters for a 100 TB scale-up. It is NOT a density test: a
+  * graph whose density grows with size pays the documented m^1.5
+  * wedge bound instead.
+  *
+  * Replicated tables are derived from the driver-generated testdata
+  * (never synthesized from scratch) and used for TIMING only — the
+  * oracle gate stays on the pristine sf dirs.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "runMain graft.ScaleBench"   # writes SCALE_BENCH.json
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val outFile = args.headOption.getOrElse("SCALE_BENCH.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new Bench.MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+
+    // ---- build replicas: ONE scan each, explode a copy index ----
+    // Offsets exceed the base key ranges (l_orderkey < 150k, l_partkey
+    // < 20k, doc_id < 5k at sf0.1) and the order offset is a multiple
+    // of 10 so the shapes' `% 10 = 0` slice keeps per-copy membership.
+    val okOff = 200000L
+    val pkOff = 20000L
+    val docOff = 5000L
+    def replicate(n: Int, dest: String): Unit = {
+      val cp = explode(sequence(lit(0), lit(n - 1))).as("cp")
+      spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey")).select(cp, col("*"))
+        .select((col("l_orderkey") + col("cp") * okOff).as("l_orderkey"),
+          (col("l_partkey") + col("cp") * pkOff).as("l_partkey"))
+        .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
+      // Per-copy substitution cipher (rotate the lowercase alphabet by
+      // 7i mod 26 — distinct nonzero rotations for i in 1..9): copies
+      // of a document share no shingles, so dedup/LSH candidate
+      // structure is intra-copy and total pairs scale linearly.
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      def rot(i: Int): String = { val r = (i * 7) % 26; alpha.drop(r) + alpha.take(r) }
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+        .select(col("doc_id"), col("text")).select(cp, col("*"))
+      val ciphered = (1 until n).foldLeft(
+        when(col("cp") === 0, col("text"))) { (acc, i) =>
+        acc.when(col("cp") === i, translate(col("text"), alpha, rot(i)))
+      }
+      docs.select((col("doc_id") + col("cp") * docOff).as("doc_id"),
+        ciphered.otherwise(col("text")).as("text"))
+        .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+    }
+    val dir1 = s"$work/x1"
+    val dirN = s"$work/x$copies"
+    replicate(1, dir1)
+    replicate(copies, dirN)
+
+    // ---- the shapes: same operators the oracle-checked queries call,
+    // with id bounds rewritten per-copy (doc_id % docOff, part % pkOff)
+    // so seed/slice sizes scale WITH the data instead of staying
+    // pinned to copy 0.
+    import graft.operators.{Dedup, Graph}
+    def li(dir: String) = spark.read.parquet(s"$dir/lineitem.parquet")
+    def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+    def lshPairs(dir: String) = Dedup.minhashLsh(
+      docs(dir).filter(col("doc_id") % docOff < 300), "doc_id", "text",
+      k = 8, bands = 4, shingleN = 1, threshold = 0.93)
+    val shapes: Seq[(String, String => DataFrame)] = Seq(
+      "triangles" -> (dir => Graph.trianglesProfile(
+        Graph.coOccurrenceEdges(li(dir), "l_orderkey", "l_partkey"))),
+      "kcore_peel" -> (dir => Graph.kcorePeel(
+        Graph.coOccurrenceEdges(li(dir).filter(col("l_orderkey") % 10 === 0),
+          "l_orderkey", "l_partkey", broadcastBuild = true),
+        k = 8, rounds = 3)),
+      "bfs_hops" -> (dir => Graph.bfsReach(
+        Graph.coOccurrenceEdges(li(dir).filter(col("l_orderkey") % 10 === 0),
+          "l_orderkey", "l_partkey", broadcastBuild = true),
+        seedPred = col("sn") % pkOff < 100, hops = 3)),
+      "minhash_lsh" -> (dir => lshPairs(dir)),
+      "simhash_dup" -> (dir =>
+        Dedup.simhashDup(docs(dir), "doc_id", "text", maxHamming = 16)),
+      "cc_distributed" -> (dir =>
+        Dedup.connectedComponents(
+          lshPairs(dir).select(col("id_a"), col("id_b")),
+          driverEdgeThreshold = 0L)
+          .groupBy(col("label")).agg(count(lit(1)).as("n_members"))))
+
+    def releaseAll(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    def r4(sec: Double): Double = math.rint(sec * 10000) / 10000
+    // min-of-2 with per-run metrics: the exponent wants the least-noise
+    // sample, and SCALE_BENCH is evidence of capability, not the
+    // regression artifact (Bench's median-of-3 plays that role).
+    def measure(fn: String => DataFrame, dir: String): (Double, Seq[Double], String, Long) = {
+      var rows = 0L
+      def once(): (Double, String) = {
+        metrics.reset()
+        val t0 = System.nanoTime()
+        rows = fn(dir).count()
+        val sec = r4((System.nanoTime() - t0) / 1e9)
+        val m = metrics.json()
+        releaseAll()
+        (sec, m)
+      }
+      val (s1, m1) = once()
+      val (s2, m2) = once()
+      val best = Seq((s1, m1), (s2, m2)).minBy(_._1)
+      (best._1, Seq(s1, s2), best._2, rows)
+    }
+
+    // warmup: reader + codegen init off the clock
+    li(dir1).count(); docs(dir1).count()
+
+    val entries = shapes.map { case (name, fn) =>
+      try {
+        val (t1, runs1, met1, rows1) = measure(fn, dir1)
+        val (tN, runsN, metN, rowsN) = measure(fn, dirN)
+        val ratio = r4(tN / t1)
+        val exponent = r4(math.log(tN / t1) / math.log(copies.toDouble))
+        System.err.println(s"""{"shape":"$name","x1":$t1,"x$copies":$tN,"ratio":$ratio,"exponent":$exponent}""")
+        s""""$name":{"x1":{"min":$t1,"runs":[${runs1.mkString(",")}],"rows":$rows1,"metrics":$met1},"x$copies":{"min":$tN,"runs":[${runsN.mkString(",")}],"rows":$rowsN,"metrics":$metN},"ratio":$ratio,"exponent":$exponent}"""
+      } catch {
+        case e: Throwable =>
+          val m = e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200)
+          System.err.println(s"""{"shape":"$name","err":"${m.replace("\"", "'")}"}""")
+          s""""$name":{"err":"${m.replace("\"", "'")}"}"""
+      }
+    }
+    val out =
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"cpus":$cpus,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; exponent=ln(tN/t1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff"}"""
+    println(out)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (out + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

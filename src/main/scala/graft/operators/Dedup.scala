@@ -45,6 +45,26 @@ object Dedup {
     *
     * Returns (id_a, id_b, est_jaccard, jaccard) for verified pairs with
     * exact shingle Jaccard >= threshold.
+    *
+    * ==Tuning recipe (recall at the threshold)==
+    * Precision is 10000 bp by construction (candidates are
+    * exact-verified); the tunable risk is RECALL — a true pair whose
+    * signatures collide in no band is never seen. With `r = k/bands`
+    * rows per band, a pair at Jaccard J survives with probability
+    * `1 - (1 - J^r)^bands`; pick bands/r so that number is ~1 at your
+    * threshold (rule of thumb: threshold ≈ (1/bands)^(1/r)). Measured
+    * recall vs exact all-pairs ground truth (the q177 gate — run it on
+    * a bounded slice of YOUR corpus before trusting the LSH path where
+    * ground truth is unaffordable):
+    *
+    * | k | bands | r | shingleN | threshold | recall (measured)       |
+    * |---|-------|---|----------|-----------|-------------------------|
+    * | 8 | 4     | 2 | 1        | 0.93      | 10000 bp @ sf0.001/0.01/0.1 |
+    * | 8 | 4     | 2 | 1        | 0.90      | ≥ 9000 bp (DedupSpec fixture, deterministic) |
+    *
+    * (predicted survival at J=0.93, r=2, b=4: 1-(1-0.865)^4 ≈ 0.9997 —
+    * the measured 100% agrees; at J=0.5 the same config drops to ~0.68,
+    * so lower thresholds need more bands / shorter rows.)
     */
   def minhashLsh(
       df: DataFrame,

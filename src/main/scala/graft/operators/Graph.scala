@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph primitives over plain (u, v) edge-list DataFrames
+  * — the operator forms behind queries q158/q171/q175, factored out so
+  * library users (and the scale bench) can run them on any graph, not
+  * just the co-purchase graph those queries derive.
+  *
+  * All three are iterative-or-self-join shapes with the same scale
+  * discipline: every round/stage materializes exactly ONE persisted
+  * frame, the predecessor is released as soon as its successor is
+  * forced, and per-round counts are captured at force time so the
+  * final profile is a zero-job local relation. Everything is an
+  * equi-join on node ids; nothing is ever all-pairs.
+  *
+  * Reference behavior mirrored: the reference pipeline has no graph
+  * operators — these extend the engine for the dedup-graph /
+  * similarity-cluster work a training-data pipeline needs (cluster
+  * resolution over near-dup pairs, density cores, reachability).
+  */
+object Graph {
+  private val lvl = StorageLevel.MEMORY_AND_DISK
+
+  /** Distinct undirected co-occurrence edges (u < v, each edge once)
+    * from a bipartite (group, member) relation — members sharing a
+    * group become adjacent. The self-equi-join on the group key is the
+    * only shuffle; `broadcastBuild` broadcasts the build side when the
+    * relation is a bounded slice (drop it on a full-corpus graph and
+    * the same plan is the shuffle self-join). */
+  def coOccurrenceEdges(
+      rel: DataFrame,
+      groupCol: String,
+      memberCol: String,
+      broadcastBuild: Boolean = false): DataFrame = {
+    val r = rel.select(col(groupCol).as("gk"), col(memberCol).as("m"))
+    val build = if (broadcastBuild) broadcast(r.as("b")) else r.as("b")
+    r.as("a").join(build,
+      col("a.gk") === col("b.gk") && col("a.m") < col("b.m"))
+      .select(col("a.m").as("u"), col("b.m").as("v"))
+      .distinct()
+  }
+
+  /** Triangle count + global clustering coefficient (integer basis
+    * points) via DEGREE-ORDERED EDGE ORIENTATION — the standard trick
+    * that makes the wedge join survive skew: every edge points from
+    * the (degree, id)-smaller endpoint to the larger, so a hub of
+    * degree d generates wedges bounded by its ORIENTED out-degree
+    * (≤ O(sqrt(m))) rather than d².
+    *
+    * Memory discipline (measured, r7→r8): `oriented` is forced and the
+    * raw edge list RELEASED before the wedge stream flies — with both
+    * persisted plus an in-flight broadcast, the driver bench caught
+    * this 4x slower at end-of-suite memory pressure. Everything
+    * downstream (wedges, closing probe, degree profile) derives from
+    * `oriented` alone, the same edge multiset re-keyed.
+    *
+    * The closing-probe broadcast is SIZE-GATED on the measured edge
+    * count (~30 B/row in a broadcast hash map → ~300 MB at the default
+    * 10M-edge gate, sized for per-executor build memory on a real
+    * cluster): under the gate, wedges flow map-locally from the
+    * self-join straight into a broadcast probe + partial count and
+    * only per-partition counts hit the wire; past it the same plan
+    * degrades to the skew-proof equi-join.
+    *
+    * Returns one row: n_nodes, n_edges, n_wedges, n_triangles,
+    * closed_bp. */
+  def trianglesProfile(
+      edgesIn: DataFrame,
+      maxBroadcastEdges: Long = 10000000L): DataFrame = {
+    val edges = edgesIn.persist(lvl)
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges.join(du, "u").join(dv, "v")
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("dd"))
+      .persist(lvl)
+    val nEdges = oriented.count()
+    edges.unpersist(blocking = false)
+    // wedge (src → w1, src → w2) with (dd,id)-ordered endpoints, then
+    // close against the oriented edge w1 → w2.
+    val lower = col("x.dd") < col("y.dd") ||
+      (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+      col("x.src") === col("y.src") && lower)
+      .select(col("x.dst").as("w1"), col("y.dst").as("w2"))
+    val closing = oriented.select(col("src").as("w1"), col("dst").as("w2"))
+    val probe =
+      if (nEdges <= maxBroadcastEdges) broadcast(closing) else closing
+    val tri = wedges.join(probe, Seq("w1", "w2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degO = oriented.select(col("src").as("n"))
+      .unionAll(oriented.select(col("dst").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val prof = degO.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    prof.crossJoin(tri)
+      .select(col("n_nodes"), lit(nEdges).as("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("(3 * n_triangles * 10000) div n_wedges").as("closed_bp"))
+  }
+
+  /** Bounded k-core peel: `rounds` iterations of "drop nodes with
+    * degree < k, restrict edges to survivors" — the density-core
+    * extraction a graph pipeline runs before expensive per-node work.
+    * Each round is a map-side-combined degree aggregate plus two LEFT
+    * SEMI joins; the survivor set is persisted ONCE per round (it
+    * feeds both semi-joins — unpersisted, the degree aggregate would
+    * run twice) and node-sized, so the semi-joins broadcast. The
+    * predecessor edge set releases as soon as the next is forced — at
+    * most two edge sets live at any point (r7's driver bench measured
+    * 2x with all four resident). Round counts are captured at force
+    * time; the returned profile is a local relation costing zero extra
+    * jobs: n_edges, core_r1..core_r{rounds}, edges_r{rounds}. */
+  def kcorePeel(edgesIn: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    def survivors(e: DataFrame): DataFrame = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k).select(col("n"))
+    def round(e: DataFrame): (DataFrame, Long, Long) = {
+      val keep = survivors(e).persist(lvl)
+      val coreN = keep.count()
+      val nxt = e
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .persist(lvl)
+      val edgeN = nxt.count()
+      keep.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      (nxt, edgeN, coreN)
+    }
+    val e0 = edgesIn.persist(lvl)
+    val nEdges = e0.count()
+    val (eLast, neLast, cores) =
+      (1 to rounds).foldLeft((e0, 0L, Vector.empty[Long])) {
+        case ((e, _, cs), _) =>
+          val (nxt, ne, c) = round(e)
+          (nxt, ne, cs :+ c)
+      }
+    eLast.unpersist(blocking = false)
+    val coreCols = cores.zipWithIndex.map { case (c, i) =>
+      lit(c).as(s"core_r${i + 1}")
+    }
+    edgesIn.sparkSession.range(1).select(
+      lit(nEdges).as("n_edges") +: coreCols :+
+        lit(neLast).as(s"edges_r$rounds"): _*)
+  }
+
+  /** Bounded BFS reachability: expand a seed set `hops` times over the
+    * symmetrized edge list. Per-hop frontier expansion is ONE
+    * equi-join of the (persisted) symmetric edges against the reached
+    * set plus a distinct; reached sets are node-sized, so the join
+    * broadcasts at moderate scale and degrades to a hash join on
+    * bigger graphs. Each hop's forced count IS the profile value —
+    * the predecessor frontier unpersists as soon as the next is
+    * materialized, and the returned profile (reach_h0..reach_h{hops})
+    * is a local relation. `seedPred` selects seed nodes from the
+    * symmetrized source column `sn`. */
+  def bfsReach(edgesIn: DataFrame, seedPred: Column, hops: Int = 3): DataFrame = {
+    require(hops >= 1, "hops must be >= 1")
+    val sym = edgesIn.select(col("u").as("sn"), col("v").as("dn"))
+      .unionAll(edgesIn.select(col("v").as("sn"), col("u").as("dn")))
+      .persist(lvl)
+    val r0 = sym.filter(seedPred)
+      .select(col("sn").as("n")).distinct().persist(lvl)
+    val c0 = r0.count()
+    def expand(r: DataFrame): (DataFrame, Long) = {
+      val nxt = r.unionByName(
+        sym.join(r.select(col("n").as("sn")), Seq("sn"))
+          .select(col("dn").as("n")))
+        .distinct().persist(lvl)
+      val c = nxt.count()
+      r.unpersist(blocking = false)
+      (nxt, c)
+    }
+    val (rLast, counts) = (1 to hops).foldLeft((r0, Vector(c0))) {
+      case ((r, cs), _) =>
+        val (nxt, c) = expand(r)
+        (nxt, cs :+ c)
+    }
+    sym.unpersist(blocking = false)
+    rLast.unpersist(blocking = false)
+    edgesIn.sparkSession.range(1).select(
+      counts.zipWithIndex.map { case (c, i) =>
+        lit(c).as(s"reach_h$i")
+      }: _*)
+  }
+}

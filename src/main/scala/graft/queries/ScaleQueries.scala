@@ -439,63 +439,15 @@ object ScaleQueries {
                   / CAST(n * sx AS DOUBLE)""").as("gini"))
     }),
 
-    // Inter-event gap histogram on a log2 scale WITHOUT floats: the
-    // bucket is the bit length of the gap in microseconds (length of
-    // the binary string — floor(log2)+1), so binning is pure integer
-    // and engine-exact where a log()-based width_bucket would be float
-    // binning at bucket edges. One ordered window pass per event type.
-    // Distributed triangle counting over the part co-purchase graph
-    // (parts sharing an order), via DEGREE-ORDERED EDGE ORIENTATION —
-    // the standard trick that makes the wedge join survive skew: every
-    // edge points from the (degree, id)-smaller endpoint to the larger,
-    // so a hub of degree d generates wedges bounded by its ORIENTED
-    // out-degree (≤ O(sqrt(m))) rather than d². All joins are
-    // equi-joins on node ids; nothing is ever all-pairs. The global
-    // clustering coefficient comes out in integer basis points.
     // Bounded BFS reachability (3 hops) from a seed set over the part
-    // co-occurrence graph: per-hop frontier expansion is ONE equi-join
-    // of the symmetric edge list against the persisted reached set plus
-    // a distinct — the standard iterative graph primitive (same
-    // persist-per-round discipline as q171/PageRank/CC). Reached sets
-    // are node-sized, so the join broadcasts at this scale and degrades
-    // to a hash join on bigger graphs.
-    "q175_bfs_hops" -> ((s, dir) => {
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 10 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e0 = li.as("a").join(broadcast(li.as("b")),
-        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-      val sym = e0.select(col("u").as("sn"), col("v").as("dn"))
-        .unionAll(e0.select(col("v").as("sn"), col("u").as("dn")))
-        .persist(lvl)
-      val r0 = sym.filter(col("sn") < 100)
-        .select(col("sn").as("n")).distinct().persist(lvl)
-      val c0 = r0.count()
-      // Each hop's forced count IS the profile value — reuse it instead
-      // of re-running four aggregate jobs over the persisted frontiers
-      // (5 jobs total: the r0 build + 3 expansions + the local-relation
-      // count). The predecessor frontier unpersists as soon as the next
-      // one is materialized, so at most two node-sized sets are live.
-      def expand(r: DataFrame): (DataFrame, Long) = {
-        val nxt = r.unionByName(
-          sym.join(r.select(col("n").as("sn")), Seq("sn"))
-            .select(col("dn").as("n")))
-          .distinct().persist(lvl)
-        val c = nxt.count()
-        r.unpersist(blocking = false)
-        (nxt, c)
-      }
-      val (r1, c1) = expand(r0)
-      val (r2, c2) = expand(r1)
-      val (r3, c3) = expand(r2)
-      sym.unpersist(blocking = false)
-      r3.unpersist(blocking = false)
-      s.range(1).select(lit(c0).as("reach_h0"), lit(c1).as("reach_h1"),
-        lit(c2).as("reach_h2"), lit(c3).as("reach_h3"))
-    }),
+    // co-occurrence graph — Graph.bfsReach carries the frontier/persist
+    // discipline.
+    "q175_bfs_hops" -> ((s, dir) =>
+      graft.operators.Graph.bfsReach(
+        graft.operators.Graph.coOccurrenceEdges(
+          t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0),
+          "l_orderkey", "l_partkey", broadcastBuild = true),
+        seedPred = col("sn") < 100, hops = 3)),
 
     // Benford first-digit audit — the classic fabricated-data detector
     // a DQ pipeline runs over monetary columns. One map-side-combined
@@ -555,58 +507,15 @@ object ScaleQueries {
     // a single lazy plan the oracle can mirror exactly — the
     // to-convergence form is the same loop with a driver count check,
     // same per-round plan (cf. connectedComponentsDistributed).
-    "q171_kcore_peel" -> ((s, dir) => {
-      val k = 8
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 10 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      // Broadcast the (10%-of-orders) self-join build side — the edge
-      // list derives from a bounded slice; on a full-corpus graph drop
-      // the hint and the same build is the q158 shuffle self-join.
-      val e0 = li.as("a").join(broadcast(li.as("b")),
-        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def survivors(e: DataFrame): DataFrame = e.select(col("u").as("n"))
-        .unionAll(e.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("n"))
-      // Materialize ONE persisted edge set per round (like the other
-      // iterative operators — PageRank, distributed CC): a fully lazy
-      // five-way profile re-evaluates the peel chain per aggregate
-      // branch (measured 54 s vs ~6 s at sf0.1, identical results).
-      // Each round persists its survivor set (it feeds TWO semi-joins —
-      // unpersisted, the degree aggregate runs twice) and releases the
-      // PREDECESSOR edge set as soon as the next one is forced, the
-      // same discipline connectedComponentsDistributed uses: r7's
-      // driver bench showed this query 2x slower with 4 edge sets +
-      // survivor aggregates all live at the end-of-run memory point.
-      // Round counts are captured at force time and returned as a
-      // local relation, so the profile costs zero extra jobs.
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      def round(e: DataFrame): (DataFrame, Long, Long) = {
-        val keep = survivors(e).persist(lvl)
-        val coreN = keep.count()
-        val nxt = e
-          .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
-          .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
-          .select(col("u"), col("v"))
-          .persist(lvl)
-        val edgeN = nxt.count()
-        keep.unpersist(blocking = false)
-        e.unpersist(blocking = false)
-        (nxt, edgeN, coreN)
-      }
-      val nEdges = e0.count()
-      val (e1, _, c1) = round(e0)
-      val (e2, _, c2) = round(e1)
-      val (e3, ne3, c3) = round(e2)
-      e3.unpersist(blocking = false)
-      s.range(1).select(lit(nEdges).as("n_edges"), lit(c1).as("core_r1"),
-        lit(c2).as("core_r2"), lit(c3).as("core_r3"),
-        lit(ne3).as("edges_r3"))
-    }),
+    // Broadcast the (10%-of-orders) self-join build side — the edge
+    // list derives from a bounded slice; on a full-corpus graph drop
+    // the flag and the same build is the q158 shuffle self-join.
+    "q171_kcore_peel" -> ((s, dir) =>
+      graft.operators.Graph.kcorePeel(
+        graft.operators.Graph.coOccurrenceEdges(
+          t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0),
+          "l_orderkey", "l_partkey", broadcastBuild = true),
+        k = 8, rounds = 3)),
 
     // Interval-overlap join WITHOUT an equi-key — the scale pattern for
     // "which time ranges intersect" across keys: explode each interval
@@ -645,77 +554,13 @@ object ScaleQueries {
           max(col("ov")).as("max_overlap_us"))
     }),
 
-    "q158_triangles" -> ((s, dir) => {
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      // edges feeds deg + orientation; oriented feeds the wedge
-      // self-join twice, the closing probe, and the degree profile.
-      // Materialize each ONCE — without this the plan re-runs the
-      // lineitem self-join + distinct eight times (verified via
-      // explain), which is exactly what does not survive a 100x
-      // scale-up.
-      val edges = li.as("a").join(li.as("b"),
-        col("a.k") === col("b.k") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-        .persist(lvl)
-      val deg = edges.select(col("u").as("n"))
-        .unionAll(edges.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val du = deg.select(col("n").as("u"), col("d").as("du"))
-      val dv = deg.select(col("n").as("v"), col("d").as("dv"))
-      val fwd = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val oriented = edges.join(du, "u").join(dv, "v")
-        .select(
-          when(fwd, col("u")).otherwise(col("v")).as("src"),
-          when(fwd, col("v")).otherwise(col("u")).as("dst"),
-          when(fwd, col("dv")).otherwise(col("du")).as("dd"))
-        .persist(lvl)
-      // Force `oriented`, then RELEASE `edges` BEFORE the wedge stream
-      // flies: r7's driver bench caught this query 4x slower with both
-      // MEMORY_AND_DISK persists live plus an in-flight broadcast at
-      // the end-of-suite memory point. Everything downstream (wedges,
-      // closing probe, degree profile) derives from `oriented` alone —
-      // the same edge multiset re-keyed — so only ONE edge-sized block
-      // is resident during the heavy phase. The forced count doubles
-      // as the exact edge count for the profile and the broadcast gate.
-      val nEdges = oriented.count()
-      edges.unpersist(blocking = false)
-      // wedge (src → w1, src → w2) with (dd,id)-ordered endpoints, then
-      // close against the oriented edge w1 → w2.
-      val lower = col("x.dd") < col("y.dd") ||
-        (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))
-      val wedges = oriented.as("x").join(oriented.as("y"),
-        col("x.src") === col("y.src") && lower)
-        .select(col("x.dst").as("w1"), col("y.dst").as("w2"))
-      // The wedge stream is the big intermediate (41M rows on this
-      // dense synthetic graph vs 1.2M edges) — NEVER shuffle it when
-      // avoidable. With the closing probe broadcast, wedges flow
-      // map-locally from the self-join straight into a broadcast probe
-      // + partial count; only per-partition counts hit the wire. The
-      // hint is SIZE-GATED on the measured edge count (~30 B/row in a
-      // broadcast hash map → ~300 MB at the 10M-edge gate, sized for
-      // per-executor build memory on a real cluster, far under the
-      // 8 GB broadcast cap): past the gate the same plan degrades to
-      // the skew-proof equi-join — orientation already bounded the
-      // wedge fan-out at O(sqrt(m)) either way.
-      val closing = oriented.select(col("src").as("w1"), col("dst").as("w2"))
-      val probe = if (nEdges <= 10000000L) broadcast(closing) else closing
-      val tri = wedges.join(probe, Seq("w1", "w2"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val degO = oriented.select(col("src").as("n"))
-        .unionAll(oriented.select(col("dst").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val prof = degO.agg(
-        count(lit(1)).as("n_nodes"),
-        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-      prof.crossJoin(tri)
-        .select(col("n_nodes"), lit(nEdges).as("n_edges"), col("n_wedges"),
-          col("n_triangles"),
-          expr("(3 * n_triangles * 10000) div n_wedges").as("closed_bp"))
-    }),
+    // Full-table co-purchase graph (no broadcast on the edge build —
+    // the full lineitem self-join is the shuffle form); the wedge-join
+    // memory/broadcast discipline lives in Graph.trianglesProfile.
+    "q158_triangles" -> ((s, dir) =>
+      graft.operators.Graph.trianglesProfile(
+        graft.operators.Graph.coOccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey"))),
 
     // Count-min sketch frequency estimation: d=4 hash rows × w=512
     // columns, md5-derived row hashes (mirrored by the oracle). The

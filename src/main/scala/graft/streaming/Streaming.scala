@@ -175,14 +175,42 @@ object Streaming {
         s" AND r_$tsCol <= l_$tsCol + interval $maxDelay"))
   }
 
+  /** Lands ONE micro-batch of the sensor-ingest stream idempotently:
+    * the batch runs through the full transform pipeline and writes
+    * with `batch_id` PREPENDED to the partition columns under dynamic
+    * partition overwrite. foreachBatch is at-least-once — a crash
+    * after this write but before the streaming commit REPLAYS the
+    * batch with the SAME batchId, and the replay then overwrites
+    * exactly the `batch_id=N` partitions the orphaned attempt wrote
+    * (plain append mode would double them). Different batches never
+    * clobber each other even when they share (date, sensor_id),
+    * because batch_id leads the partition path. This is the streaming
+    * counterpart of the batch pipeline's write-then-commit contract
+    * (see IngestionSpec "crash between write and commit"). */
+  def landBatch(
+      batch: DataFrame,
+      batchId: Long,
+      cfg: graft.config.PipelineConfig,
+      outPath: String): Unit = {
+    val transformed = batch.transform(
+      graft.transform.Transforms.pipeline(cfg))
+      .withColumn("batch_id", lit(batchId))
+    val writeCfg = cfg.copy(write = cfg.write.copy(
+      mode = "overwrite",
+      partitionBy = "batch_id" +: cfg.write.partitionBy))
+    graft.load.Loader.write(writeCfg, outPath)(transformed)
+  }
+
   /** Streaming replacement for the reference's file-name checkpoint
     * ingestion (SURVEY §2.7): a FileStreamSource over the raw sensor
     * directory discovers new files incrementally (Spark's own
     * compacted source log replaces the JSON checkpoint), pushes every
     * micro-batch through the full transform pipeline, and lands it via
-    * the partitioned writer in append mode. `Trigger.AvailableNow`
-    * drains what exists and stops — the exact batch-incremental
-    * contract, with streaming-grade exactly-once file tracking. */
+    * `landBatch` — batchId-keyed dynamic overwrite, so the
+    * at-least-once foreachBatch replay contract composes to
+    * exactly-once output. `Trigger.AvailableNow` drains what exists
+    * and stops — the exact batch-incremental contract, with
+    * streaming-grade exactly-once file tracking. */
   def sensorIngest(
       spark: SparkSession,
       rawDir: String,
@@ -196,11 +224,8 @@ object Streaming {
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val transformed = batch.transform(
-          graft.transform.Transforms.pipeline(cfg))
-        val writeCfg = cfg.copy(write = cfg.write.copy(mode = "append"))
-        graft.load.Loader.write(writeCfg, outPath)(transformed)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        landBatch(batch, batchId, cfg, outPath)
       }
       .start()
   }

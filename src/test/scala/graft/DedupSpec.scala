@@ -205,6 +205,27 @@ class DedupSpec extends SparkSpec {
     assert(tight.toSeq === Seq((1L, 3L)))
   }
 
+  test("minhashLsh recall >= 0.9 at documented settings (scaladoc table)") {
+    // 20 planted near-dup pairs: doc 2i has 20 tokens from a vocab
+    // disjoint per pair; doc 2i+1 swaps one token out -> exact Jaccard
+    // 19/21 ≈ 0.905 per pair, zero cross-pair overlap. Deterministic
+    // (md5-seeded hashes), so this pins the measured-recall row of the
+    // minhashLsh scaladoc table: k=8, bands=4 (r=2), shingleN=1.
+    val fixture = (0 until 20).flatMap { i =>
+      val toks = (0 until 20).map(j => s"w${i}_$j")
+      Seq((2L * i, toks.mkString(" ")),
+        (2L * i + 1, (toks.tail :+ s"x$i").mkString(" ")))
+    }
+    val df = docs(fixture: _*)
+    val truth = (0 until 20).map(i => (2L * i, 2L * i + 1))
+    val found = Dedup.minhashLsh(df, "doc_id", "text",
+      k = 8, bands = 4, shingleN = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth.toSet)) // precision 1.0 by construction
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall < 0.9: missed ${truth.toSet -- found}")
+  }
+
   test("bucketedTopK only searches the query's sign bucket") {
     val df = Seq(
       (1L, Array(1.0f, 1.0f)),

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(rows: (Long, Long)*) = rows.toSeq.toDF("u", "v")
+
+  test("coOccurrenceEdges: members sharing a group, each pair once") {
+    val rel = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L))
+      .toDF("g", "m")
+    val out = Graph.coOccurrenceEdges(rel, "g", "m")
+      .orderBy("u", "v").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("trianglesProfile: K4 has 4 triangles, 12 wedges, closure 1.0") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val row = Graph.trianglesProfile(k4).collect().head
+    assert(row.getAs[Long]("n_nodes") === 4L)
+    assert(row.getAs[Long]("n_edges") === 6L)
+    assert(row.getAs[Long]("n_wedges") === 12L)
+    assert(row.getAs[Long]("n_triangles") === 4L)
+    assert(row.getAs[Long]("closed_bp") === 10000L)
+  }
+
+  test("trianglesProfile: equi-join fallback (gate=0) matches broadcast path") {
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+    val bcast = Graph.trianglesProfile(g).collect().head
+    val shuffle = Graph.trianglesProfile(g, maxBroadcastEdges = 0L)
+      .collect().head
+    assert(bcast.toSeq === shuffle.toSeq)
+    assert(bcast.getAs[Long]("n_triangles") === 2L)
+  }
+
+  test("kcorePeel: pendant drops, triangle core survives") {
+    // triangle 1-2-3 plus pendant 4 on node 1
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val row = Graph.kcorePeel(g, k = 2, rounds = 3).collect().head
+    assert(row.getAs[Long]("n_edges") === 4L)
+    assert(row.getAs[Long]("core_r1") === 3L) // {1,2,3}
+    assert(row.getAs[Long]("core_r2") === 3L) // stable
+    assert(row.getAs[Long]("core_r3") === 3L)
+    assert(row.getAs[Long]("edges_r3") === 3L) // the triangle
+  }
+
+  test("bfsReach: frontier grows one hop per round on a path graph") {
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val row = Graph.bfsReach(path, seedPred = col("sn") === 1L, hops = 3)
+      .collect().head
+    assert(row.getAs[Long]("reach_h0") === 1L) // {1}
+    assert(row.getAs[Long]("reach_h1") === 2L) // +2
+    assert(row.getAs[Long]("reach_h2") === 3L) // +3
+    assert(row.getAs[Long]("reach_h3") === 4L) // +4
+  }
+}

@@ -116,6 +116,60 @@ class IngestionSpec extends SparkSpec {
     assert(r3.data.get.count() === 3)
   }
 
+  test("crash between write and commit: re-run re-ingests without duplicating output") {
+    // The deferred-commit contract (Result.commit) and the dynamic-
+    // overwrite sink have to compose: a crash AFTER Loader.write but
+    // BEFORE ing.commit leaves the checkpoint untouched, so the next
+    // run retries the same files — and because the sink overwrites the
+    // batch's partitions instead of appending, the retry REPLACES the
+    // orphaned output rather than doubling it. End-to-end exactly-once
+    // from at-least-once retries plus an idempotent sink.
+    import graft.config.PipelineConfig
+    import graft.load.Loader
+    import graft.transform.Transforms
+    val raw = tmpDir()
+    val out = s"${tmpDir()}/processed"
+    addFile(raw, "2023-06-01.parquet")
+    addFile(raw, "2023-06-02.parquet", rows = 3)
+    val cfg = PipelineConfig.default
+    val cpPath = s"$raw/.checkpoint"
+
+    // RUN 1 — simulated crash: ingest, transform, WRITE... then die
+    // before commit().
+    val ing1 = ParquetIngestor.ingest(spark, raw, Schemas.raw, Some(cpPath))
+    Loader.write(cfg, out)(
+      ing1.data.get.transform(Transforms.pipeline(cfg)))
+    val fs = new Path(raw).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Checkpoint.load(fs, new Path(cpPath)).processedFiles.isEmpty)
+    // Materialize the crash-state profile NOW — the rerun below
+    // replaces the underlying files.
+    val afterCrash = spark.read.parquet(out)
+    val rowsAfterCrash = afterCrash.count()
+    assert(rowsAfterCrash > 0)
+    val perPartCrash = afterCrash.groupBy($"date", $"sensor_id").count()
+      .collect().map(r => (r.get(0).toString, r.get(1).toString) -> r.getLong(2)).toMap
+
+    // RUN 2 — the retry: same files come back (not silently dropped),
+    // the write lands on the same partitions, commit succeeds.
+    val ing2 = ParquetIngestor.ingest(spark, raw, Schemas.raw, Some(cpPath))
+    assert(ing2.accepted.toSet ===
+      Set("2023-06-01.parquet", "2023-06-02.parquet"))
+    Loader.write(cfg, out)(
+      ing2.data.get.transform(Transforms.pipeline(cfg)))
+    ing2.commit(ing2.data.get.count())
+
+    // Idempotent: identical row count, no per-partition doubling.
+    val afterRerun = spark.read.parquet(out)
+    assert(afterRerun.count() === rowsAfterCrash)
+    val perPart = afterRerun.groupBy($"date", $"sensor_id").count()
+      .collect().map(r => (r.get(0).toString, r.get(1).toString) -> r.getLong(2)).toMap
+    assert(perPart === perPartCrash)
+
+    // RUN 3 — nothing left to do.
+    val ing3 = ParquetIngestor.ingest(spark, raw, Schemas.raw, Some(cpPath))
+    assert(ing3.data.isEmpty && ing3.stats.filesProcessed === 0)
+  }
+
   test("ingest: parallel probe over many files keeps isolation and order") {
     val dir = tmpDir()
     // 24 good files, 3 corrupt, 2 schema-broken — more files than the

@@ -275,9 +275,13 @@ class MultimodalStreamingSpec extends SparkSpec {
     val stored = spark.read.parquet(out)
     assert(stored.count() === 3)
     assert(stored.columns.contains("rolling_avg_value"))
-    // partition layout date=/sensor_id= (IST-shifted dates)
+    // partition layout batch_id=/date=/sensor_id= — batch_id leads so a
+    // foreachBatch REPLAY overwrites its own partitions idempotently
     val dirs = new java.io.File(out).listFiles().map(_.getName)
-    assert(dirs.exists(_.startsWith("date=2023-06-01")))
+    assert(dirs.exists(_.startsWith("batch_id=")))
+    val batch0 = new java.io.File(s"$out/${dirs.filter(_.startsWith("batch_id=")).min}")
+      .listFiles().map(_.getName)
+    assert(batch0.exists(_.startsWith("date=2023-06-01")))
 
     // second run with no new files ingests nothing (source log checkpoint)
     val q2 = Streaming.sensorIngest(spark, raw, out, cfg, cp)
@@ -299,6 +303,28 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(after.count() === 5)
     assert(after.filter($"sensor_id" === "s3").count() === 2)
     assert(after.filter($"sensor_id" === "s1").count() === 2) // no re-ingest
+  }
+
+  test("streaming: foreachBatch replay with the same batchId is idempotent") {
+    // foreachBatch is at-least-once: a crash between landBatch's write
+    // and the streaming commit re-delivers the SAME batch with the SAME
+    // batchId. batch_id-keyed dynamic overwrite makes the replay
+    // replace the orphaned output instead of appending to it — while a
+    // DIFFERENT batch sharing the same (date, sensor_id) partitions
+    // appends untouched alongside.
+    val out = java.nio.file.Files.createTempDirectory("graft-sland").toString + "/data"
+    val cfg = graft.config.PipelineConfig.default
+    val batch = Seq(
+      ("s1", java.sql.Timestamp.valueOf("2023-06-01 10:00:00"), "temperature", 25.0, 90.0),
+      ("s2", java.sql.Timestamp.valueOf("2023-06-01 11:00:00"), "temperature", 26.0, 91.0))
+      .toDF("sensor_id", "timestamp", "reading_type", "value", "battery_level")
+    Streaming.landBatch(batch, 0L, cfg, out)
+    val once = spark.read.parquet(out).count()
+    Streaming.landBatch(batch, 0L, cfg, out) // the replay
+    assert(spark.read.parquet(out).count() === once)
+    // a genuinely new batch into the SAME dates/sensors adds rows
+    Streaming.landBatch(batch, 1L, cfg, out)
+    assert(spark.read.parquet(out).count() === 2 * once)
   }
 
   test("streaming: flatMapGroupsWithState running totals equal batch totals") {
