@@ -570,6 +570,77 @@ object ScaleQueries {
     // probe. Estimate = min over rows — always >= truth; the output
     // compares estimate vs exact count for the top-20 users so the
     // overestimate is visible and oracle-checkable.
+    // Robust outlier detection via MAD (median absolute deviation) —
+    // the DQ complement of q10's z-score: median/MAD are immune to the
+    // very outliers they hunt (one 1e9 reading shifts a mean+stddev
+    // gate, not a median one). Exact medians in integer micro-units
+    // with the 2x TRICK: 2*median is the SUM of the two middle values,
+    // always an integer, so no float midpoint ever crosses the engine
+    // boundary; the outlier test |v-med| > 3*MAD becomes the
+    // pure-integer 2*dev2x > 3*mad4x. Two grouped exact percentiles
+    // (one event_type shuffle each) with broadcast 5-row merge-backs;
+    // at 100 TB per-group exact percentile buffers the group — swap in
+    // percentile_approx exactly like imputeBattery's
+    // exactGlobalMedian knob.
+    "q178_mad_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT)")
+          .as("vu"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("CAST(2 * percentile(vu, 0.5D) AS BIGINT)").as("med2x"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev2x", abs(lit(2L) * col("vu") - col("med2x")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("CAST(2 * percentile(dev2x, 0.5D) AS BIGINT)").as("mad4x"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med2x")).as("med2x_micro"),
+          max(col("mad4x")).as("mad4x_micro"),
+          sum(when(lit(2L) * col("dev2x") > lit(3L) * col("mad4x"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+    }),
+
+    // Deterministic uniform-by-hash sample quantiles — order statistics
+    // from a KMV-style sample: md5(event_id) is a uniform permutation
+    // BOTH engines compute identically, so "the k rows with the
+    // smallest hashes" is a deterministic uniform sample. Spark plans
+    // the global bottom-k as TakeOrderedAndProject (per-partition
+    // top-k + driver merge of k rows — no global sort, no full
+    // shuffle), which is THE way to pull order statistics from 100 TB
+    // without sorting it. Quantile estimates from the sample sit next
+    // to the exact ones with an integer-bp error column — the
+    // q105/q177 gate pattern, here for sampling error. All quantiles
+    // ride the 4x trick (p in {.25,.5,.75} is dyadic: 4*interpolated
+    // value is an exact integer in both engines).
+    "q179_sample_quantiles" -> ((s, dir) => {
+      val k = 1024
+      val ev = t(s, dir, "events").select(col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT)")
+          .as("vu"))
+      val sample = ev
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+        .limit(k)
+      def q4x(src: String, p: String, name: String) =
+        expr(s"CAST(4 * percentile($src, ${p}D) AS BIGINT)").as(name)
+      val est = sample.agg(
+        q4x("vu", "0.25", "est_p25_4x"),
+        q4x("vu", "0.5", "est_p50_4x"),
+        q4x("vu", "0.75", "est_p75_4x"))
+      val exact = ev.agg(
+        count(lit(1)).as("n"),
+        q4x("vu", "0.25", "ex_p25_4x"),
+        q4x("vu", "0.5", "ex_p50_4x"),
+        q4x("vu", "0.75", "ex_p75_4x"))
+      est.crossJoin(exact)
+        .withColumn("err_p25_bp",
+          expr("abs(est_p25_4x - ex_p25_4x) * 10000 div ex_p25_4x"))
+        .withColumn("err_p50_bp",
+          expr("abs(est_p50_4x - ex_p50_4x) * 10000 div ex_p50_4x"))
+        .withColumn("err_p75_bp",
+          expr("abs(est_p75_4x - ex_p75_4x) * 10000 div ex_p75_4x"))
+    }),
+
     "q159_cms" -> ((s, dir) => {
       val d = 4
       val w = 512
@@ -1150,6 +1221,54 @@ object ScaleQueries {
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
         |  (3 * n_triangles * 10000) // n_wedges AS closed_bp
         |FROM prof, ne, tri""".stripMargin,
+
+    "q178_mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS vu
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, CAST(2 * median(vu) AS BIGINT) AS med2x
+        |  FROM ev GROUP BY 1),
+        |dev AS (
+        |  SELECT ev.event_type, abs(2 * vu - med2x) AS dev2x, med2x
+        |  FROM ev JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, CAST(2 * median(dev2x) AS BIGINT) AS mad4x
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(dev.med2x) AS BIGINT) AS med2x_micro,
+        |  CAST(max(mad.mad4x) AS BIGINT) AS mad4x_micro,
+        |  CAST(sum(CASE WHEN 2 * dev2x > 3 * mad4x THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
+    "q179_sample_quantiles" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS vu
+        |  FROM events),
+        |smp AS (
+        |  SELECT vu FROM ev
+        |  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 1024),
+        |est AS (
+        |  SELECT CAST(4 * quantile_cont(vu, 0.25) AS BIGINT) AS est_p25_4x,
+        |    CAST(4 * quantile_cont(vu, 0.5) AS BIGINT) AS est_p50_4x,
+        |    CAST(4 * quantile_cont(vu, 0.75) AS BIGINT) AS est_p75_4x
+        |  FROM smp),
+        |ex AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(4 * quantile_cont(vu, 0.25) AS BIGINT) AS ex_p25_4x,
+        |    CAST(4 * quantile_cont(vu, 0.5) AS BIGINT) AS ex_p50_4x,
+        |    CAST(4 * quantile_cont(vu, 0.75) AS BIGINT) AS ex_p75_4x
+        |  FROM ev)
+        |SELECT est_p25_4x, est_p50_4x, est_p75_4x, n,
+        |  ex_p25_4x, ex_p50_4x, ex_p75_4x,
+        |  abs(est_p25_4x - ex_p25_4x) * 10000 // ex_p25_4x AS err_p25_bp,
+        |  abs(est_p50_4x - ex_p50_4x) * 10000 // ex_p50_4x AS err_p50_bp,
+        |  abs(est_p75_4x - ex_p75_4x) * 10000 // ex_p75_4x AS err_p75_bp
+        |FROM est, ex""".stripMargin,
 
     "q159_cms" ->
       """WITH truth AS (

@@ -145,4 +145,24 @@ object syntax {
         signBits: Int = 8): DataFrame =
       Dedup.embeddingNearDup(corpus, idCol, vecCol, threshold, signBits)
   }
+
+  /** Graph primitives over (u, v) edge-list DataFrames — see
+    * [[graft.operators.Graph]]. These run EAGER iterative jobs
+    * (persist/force/release per round), unlike the lazy ops above. */
+  implicit class EdgeListOps(private val edges: DataFrame) extends AnyVal {
+
+    /** Triangle count + clustering profile — see
+      * [[graft.operators.Graph.trianglesProfile]]. */
+    def trianglesProfile(maxBroadcastEdges: Long = 10000000L): DataFrame =
+      graft.operators.Graph.trianglesProfile(edges, maxBroadcastEdges)
+
+    /** Bounded k-core peel — see [[graft.operators.Graph.kcorePeel]]. */
+    def kcorePeel(k: Int, rounds: Int = 3): DataFrame =
+      graft.operators.Graph.kcorePeel(edges, k, rounds)
+
+    /** Bounded BFS reachability — see
+      * [[graft.operators.Graph.bfsReach]]. */
+    def bfsReach(seedPred: Column, hops: Int = 3): DataFrame =
+      graft.operators.Graph.bfsReach(edges, seedPred, hops)
+  }
 }

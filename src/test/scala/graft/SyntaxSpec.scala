@@ -56,6 +56,20 @@ class SyntaxSpec extends SparkSpec {
       Dedup.embeddingNearDup(vecs, "vec_id", "embedding"))
   }
 
+  test("edge-list ops delegate to Graph (same results; ops are eager)") {
+    // Graph ops run eager per-round jobs and return local relations,
+    // so delegation is asserted on RESULTS (plan canonicalization
+    // would itself execute both sides anyway).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("u", "v")
+    assert(edges.trianglesProfile().collect().head.toSeq ===
+      graft.operators.Graph.trianglesProfile(edges).collect().head.toSeq)
+    assert(edges.kcorePeel(k = 2).collect().head.toSeq ===
+      graft.operators.Graph.kcorePeel(edges, k = 2).collect().head.toSeq)
+    assert(edges.bfsReach(col("sn") === 4L, hops = 2).collect().head.toSeq ===
+      graft.operators.Graph.bfsReach(edges, col("sn") === 4L, 2)
+        .collect().head.toSeq)
+  }
+
   test("fluent chain end-to-end: dedup then near-dup pairs") {
     val pairs = docs.nearDupPairs("doc_id", "text", k = 8, bands = 4)
       .as[(Long, Long, Double, Double)].collect()
