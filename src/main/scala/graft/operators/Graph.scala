@@ -87,10 +87,18 @@ object Graph {
     val nEdges = oriented.count()
     edges.unpersist(blocking = false)
     // wedge (src → w1, src → w2) with (dd,id)-ordered endpoints, then
-    // close against the oriented edge w1 → w2.
+    // close against the oriented edge w1 → w2. Under the same size
+    // gate as the closing probe, the y-side of the wedge self-join
+    // broadcasts too: the whole heavy phase (wedge generation →
+    // closing probe → partial count) then runs as ONE map-local stage
+    // over the cached x-side with zero exchanges; past the gate it
+    // degrades to the shuffle self-join on src.
     val lower = col("x.dd") < col("y.dd") ||
       (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))
-    val wedges = oriented.as("x").join(oriented.as("y"),
+    val ySide =
+      if (nEdges <= maxBroadcastEdges) broadcast(oriented.as("y"))
+      else oriented.as("y")
+    val wedges = oriented.as("x").join(ySide,
       col("x.src") === col("y.src") && lower)
       .select(col("x.dst").as("w1"), col("y.dst").as("w2"))
     val closing = oriented.select(col("src").as("w1"), col("dst").as("w2"))
