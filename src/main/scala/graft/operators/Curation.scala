@@ -147,9 +147,14 @@ object Curation {
       .agg(
         graft.plans.BottomKAgg.bottomK(col("__h"), k).as("__sk"),
         countDistinct(col("__h")).as("n_exact"))
-      .withColumn("__kth", element_at(col("__sk"), k))
+      // try_element_at: NULL (not an ANSI index error) when fewer than
+      // k values exist — the guard below may be evaluated on such rows
+      // before the size() conjunct folds them away.
+      .withColumn("__kth", expr(s"try_element_at(__sk, $k)"))
+      // __kth > 0 guard: a literal zero hash (p = 2^-32 per value) would
+      // be an ANSI divide-by-zero; fall back to the exact count.
       .withColumn("n_est",
-        when(size(col("__sk")) >= k,
+        when(size(col("__sk")) >= k && col("__kth") > 0,
           expr(s"CAST(${(k - 1).toLong * 4294967296L} div __kth AS BIGINT)"))
           .otherwise(col("n_exact")))
       .drop("__sk", "__kth")

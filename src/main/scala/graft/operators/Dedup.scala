@@ -428,7 +428,13 @@ object Dedup {
         size(array_intersect(col("tok"), col("n.tok"))).cast(LongType))
       .withColumn("uni",
         size(array_union(col("tok"), col("n.tok"))).cast(LongType))
-      .filter(col("inter") * 10000 >= lit(thresholdBp.toLong) * col("uni"))
+      // uni > 0: a pair of token-FREE documents (empty/punctuation-only
+      // text) has no token evidence either way — excluded, rather than
+      // admitted by the vacuous 0 >= 0 and then crashing the ANSI
+      // integer division below. Exact dedup is the right tool for
+      // content-free duplicates.
+      .filter(col("uni") > 0 &&
+        col("inter") * 10000 >= lit(thresholdBp.toLong) * col("uni"))
       .select(
         least(col("id"), col("n.id")).as("id_a"),
         greatest(col("id"), col("n.id")).as("id_b"),

@@ -114,8 +114,11 @@ object Graph {
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     prof.crossJoin(tri)
       .select(col("n_nodes"), lit(nEdges).as("n_edges"), col("n_wedges"),
+        // nullif: a wedge-free graph yields closed_bp NULL instead of
+        // an ANSI divide-by-zero crash (GraphSpec pins this).
         col("n_triangles"),
-        expr("(3 * n_triangles * 10000) div n_wedges").as("closed_bp"))
+        expr("(3 * n_triangles * 10000) div nullif(n_wedges, 0)")
+          .as("closed_bp"))
   }
 
   /** Bounded k-core peel: `rounds` iterations of "drop nodes with

@@ -154,7 +154,9 @@ object Ranking {
         removedCount("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_control"),
         removedCount("[^\\x20-\\x7E\\t\\n\\r]").as("n_nonascii"),
         length(c).cast(LongType).as("n_chars"))
+      // nullif: an empty document reports NULL instead of an ANSI
+      // divide-by-zero crash.
       .withColumn("nonascii_bp",
-        expr("n_nonascii * 10000 div n_chars").cast(LongType))
+        expr("n_nonascii * 10000 div nullif(n_chars, 0)").cast(LongType))
   }
 }

@@ -205,6 +205,18 @@ class DedupSpec extends SparkSpec {
     assert(tight.toSeq === Seq((1L, 3L)))
   }
 
+  test("sortedNeighborhoodPairs: token-free documents emit no pairs, no crash") {
+    // empty/punctuation-only docs share the "" block and would meet in
+    // the lead() window with union size 0 — the vacuous 0 >= 0 must not
+    // reach the ANSI integer division (they are exact-dedup material,
+    // not token-Jaccard material)
+    val df = docs((1L, "..."), (2L, ""), (3L, "!!!"),
+      (4L, "real words here"), (5L, "real words here too"))
+    val pairs = Dedup.sortedNeighborhoodPairs(df, "doc_id", "text",
+      blockPrefixLen = 8, windowSize = 3, thresholdBp = 5000).collect()
+    assert(pairs.forall(r => r.getLong(0) >= 4L)) // only the token-ful pair
+  }
+
   test("minhashLsh recall >= 0.9 at documented settings (scaladoc table)") {
     // 20 planted near-dup pairs: doc 2i has 20 tokens from a vocab
     // disjoint per pair; doc 2i+1 swaps one token out -> exact Jaccard

@@ -47,6 +47,28 @@ class GraphSpec extends SparkSpec {
     assert(row.getAs[Long]("edges_r3") === 3L) // the triangle
   }
 
+  test("edge cases: wedge-free graph, over-aggressive peel, empty seed set") {
+    // single edge: no wedges, no triangles — closed_bp is NULL (0/0
+    // under non-ANSI integer div), everything else well-defined
+    val one = edges((1L, 2L))
+    val tp = Graph.trianglesProfile(one).collect().head
+    assert(tp.getAs[Long]("n_edges") === 1L)
+    assert(tp.getAs[Long]("n_wedges") === 0L)
+    assert(tp.getAs[Long]("n_triangles") === 0L)
+    assert(tp.isNullAt(tp.fieldIndex("closed_bp")))
+    // k above every degree: the whole graph peels away in round 1 and
+    // stays empty
+    val g = edges((1L, 2L), (2L, 3L))
+    val peel = Graph.kcorePeel(g, k = 10, rounds = 3).collect().head
+    assert(peel.getAs[Long]("core_r1") === 0L)
+    assert(peel.getAs[Long]("core_r3") === 0L)
+    assert(peel.getAs[Long]("edges_r3") === 0L)
+    // seed predicate matching nothing: all frontiers empty
+    val bfs = Graph.bfsReach(g, seedPred = col("sn") === 99L, hops = 2)
+      .collect().head
+    assert((0 to 2).forall(i => bfs.getAs[Long](s"reach_h$i") === 0L))
+  }
+
   test("bfsReach: frontier grows one hop per round on a path graph") {
     val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val row = Graph.bfsReach(path, seedPred = col("sn") === 1L, hops = 3)

@@ -92,6 +92,16 @@ class RankingSpec extends SparkSpec {
     assert(hh == expected, s"got $hh")
   }
 
+  test("charQuality: empty document reports NULL ratio, no crash") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "ok")).toDF("doc_id", "text")
+    val rows = Ranking.charQuality(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getLong(4) === 0L) // n_chars
+    assert(rows(0).isNullAt(5)) // nonascii_bp NULL, not divide-by-zero
+    assert(rows(1).getLong(5) === 0L)
+  }
+
   test("bm25 ranks a term-dense short doc above a term-sparse long doc") {
     import spark.implicits._
     val docs = Seq(
