@@ -61,6 +61,40 @@ object RankingQueries {
     "q130_bigram_lm" -> ((s, dir) => {
       Ranking.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Unicode-script profile — the multilingual-curation signal behind
+    // "route this document to the right language pipeline": per-doc
+    // character counts for five script classes via the same
+    // count-by-removal regex trick as q129 (length difference after
+    // regexp_replace — identical in Java regex and RE2, both
+    // character-counting on UTF-8), rolled up to a 5-row corpus
+    // profile. The synthetic corpus is ASCII, so deterministic
+    // script snippets are injected in-plan (mirrored by the oracle,
+    // q129-style) to make every class non-trivially populated. One
+    // narrow codegen'd projection + one 5-group aggregate; nothing
+    // text-sized ever shuffles (the explode carries (script, count)
+    // pairs only).
+    "q180_script_profile" -> ((s, dir) => {
+      val base = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" привет мир"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" 你好世界")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" αβγδ")).otherwise(lit(""))))
+      def removed(p: String) =
+        (length(col("text")) -
+          length(regexp_replace(col("text"), p, ""))).cast("long")
+      base.select(col("doc_id"),
+        explode(map(
+          lit("latin"), removed("[a-zA-Z]"),
+          lit("digit"), removed("[0-9]"),
+          lit("cyrillic"), removed("[Ѐ-ӿ]"),
+          lit("cjk"), removed("[一-鿿]"),
+          lit("greek"), removed("[Ͱ-Ͽ]"))).as(Seq("script", "n")))
+        .groupBy(col("script"))
+        .agg(sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_docs_with"),
+          sum(col("n")).as("total_chars"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -140,6 +174,38 @@ object RankingQueries {
            |      '[^\x20-\x7E\t\n\r]', '', 'g'))) * 10000
            |    // length(text) AS BIGINT) AS nonascii_bp
            |FROM dirty""".stripMargin,
+
+    "q180_script_profile" ->
+      """WITH base AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' привет мир' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' 你好世界' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' αβγδ' ELSE '' END AS text
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+        |      AS latin,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS digit,
+        |    length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))
+        |      AS cyrillic,
+        |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+        |      AS cjk,
+        |    length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g'))
+        |      AS greek
+        |  FROM base),
+        |u AS (
+        |  SELECT 'latin' AS script, latin AS n FROM p
+        |  UNION ALL SELECT 'digit', digit FROM p
+        |  UNION ALL SELECT 'cyrillic', cyrillic FROM p
+        |  UNION ALL SELECT 'cjk', cjk FROM p
+        |  UNION ALL SELECT 'greek', greek FROM p)
+        |SELECT script,
+        |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_with,
+        |  CAST(sum(n) AS BIGINT) AS total_chars
+        |FROM u GROUP BY 1""".stripMargin,
 
     "q130_bigram_lm" ->
       raw"""WITH tk AS (
