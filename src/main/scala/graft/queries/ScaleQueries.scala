@@ -641,6 +641,47 @@ object ScaleQueries {
           expr("abs(est_p75_4x - ex_p75_4x) * 10000 div ex_p75_4x"))
     }),
 
+    // Per-KEY sample quantiles with BOUNDED mergeable state — the
+    // 100 TB answer to "median per user" where exact percentile
+    // buffers every value of every group: pack (28-bit md5 hash,
+    // 32-bit value-micro) into ONE long and feed the native BottomKAgg
+    // sketch (TypedImperativeAggregate: k-bounded buffer, map-side
+    // partial merge, deterministic under any partitioning). The k
+    // smallest packed longs ARE the k hash-smallest rows — a uniform
+    // per-group sample both engines reconstruct identically — and the
+    // low 32 bits read the sampled values back out. Estimates sit next
+    // to the exact full-group median with an integer-bp error column
+    // (q179's gate pattern, per key); the 2x-median trick keeps every
+    // crossing value an integer.
+    "q181_grouped_sample_quantiles" -> ((s, dir) => {
+      val k = 64
+      // pack = hash28(event_id) << 32 | vu  (vu < 2^32 for this data;
+      // 28 hash bits keep the packed long positive). Distinct packs ==
+      // distinct (hash, value) pairs — mirrored with DISTINCT in SQL.
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT)")
+          .as("vu"),
+        (conv(substring(md5(col("event_id").cast("string")), 1, 7), 16, 10)
+          .cast("long") * lit(4294967296L)).as("hp"))
+        .withColumn("pack", col("hp") + col("vu"))
+      // lower-middle + upper-middle of the sorted sample — equals
+      // 2*interpolated-median, always an integer
+      def med2x(arr: String): Column = expr(
+        s"CAST(element_at($arr, CAST((size($arr) + 1) div 2 AS INT)) + " +
+          s"element_at($arr, CAST(size($arr) div 2 + 1 AS INT)) AS BIGINT)")
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          graft.plans.BottomKAgg.bottomK(col("pack"), k).as("sk"),
+          expr("CAST(2 * percentile(vu, 0.5D) AS BIGINT)").as("exact_med2x"))
+        .withColumn("vals",
+          sort_array(expr("transform(sk, x -> x % 4294967296)")))
+        .withColumn("sample_n", size(col("vals")).cast("long"))
+        .withColumn("est_med2x", med2x("vals"))
+        .withColumn("err_bp", expr(
+          "abs(est_med2x - exact_med2x) * 10000 div nullif(exact_med2x, 0)"))
+        .drop("sk", "vals", "hp")
+    }),
+
     "q159_cms" -> ((s, dir) => {
       val d = 4
       val w = 512
@@ -1221,6 +1262,34 @@ object ScaleQueries {
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
         |  (3 * n_triangles * 10000) // n_wedges AS closed_bp
         |FROM prof, ne, tri""".stripMargin,
+
+    "q181_grouped_sample_quantiles" ->
+      """WITH ev AS (
+        |  SELECT user_id, vu, hp + vu AS pack FROM (
+        |    SELECT user_id,
+        |      CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS vu,
+        |      ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT
+        |        * 4294967296 AS hp
+        |    FROM events)),
+        |d AS (SELECT DISTINCT user_id, pack FROM ev),
+        |r AS (
+        |  SELECT user_id, pack,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY pack) AS rn
+        |  FROM d),
+        |smp AS (
+        |  SELECT user_id, pack % 4294967296 AS v FROM r WHERE rn <= 64),
+        |est AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS sample_n,
+        |    CAST(2 * median(v) AS BIGINT) AS est_med2x
+        |  FROM smp GROUP BY 1),
+        |ex AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(2 * median(vu) AS BIGINT) AS exact_med2x
+        |  FROM ev GROUP BY 1)
+        |SELECT ex.user_id, n, exact_med2x, sample_n, est_med2x,
+        |  abs(est_med2x - exact_med2x) * 10000 // nullif(exact_med2x, 0)
+        |    AS err_bp
+        |FROM ex JOIN est ON ex.user_id = est.user_id""".stripMargin,
 
     "q178_mad_outliers" ->
       """WITH ev AS (

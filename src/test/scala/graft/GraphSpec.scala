@@ -9,6 +9,36 @@ class GraphSpec extends SparkSpec {
 
   private def edges(rows: (Long, Long)*) = rows.toSeq.toDF("u", "v")
 
+  test("property: triangle profile matches brute force on random graphs") {
+    // deterministic pseudo-random graphs (fixed seeds), brute-force
+    // reference entirely independent of the operator's orientation trick
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 8 + rnd.nextInt(5)
+      val es = (for {
+        u <- 0L until n; v <- (u + 1) until n
+        if rnd.nextInt(100) < 35
+      } yield (u, v)).toSeq
+      if (es.nonEmpty) {
+        val adj = es.toSet
+        def conn(a: Long, b: Long) = adj((a min b, a max b))
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val triBrute = (for {
+          i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+          if conn(i, j) && conn(j, k) && conn(i, k)
+        } yield 1).size.toLong
+        val wedgeBrute = nodes.map { x =>
+          val d = es.count(e => e._1 == x || e._2 == x).toLong
+          d * (d - 1) / 2
+        }.sum
+        val row = Graph.trianglesProfile(edges(es: _*)).collect().head
+        assert(row.getAs[Long]("n_triangles") === triBrute, s"seed=$seed")
+        assert(row.getAs[Long]("n_wedges") === wedgeBrute, s"seed=$seed")
+        assert(row.getAs[Long]("n_edges") === es.size.toLong, s"seed=$seed")
+      }
+    }
+  }
+
   test("coOccurrenceEdges: members sharing a group, each pair once") {
     val rel = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L))
       .toDF("g", "m")
