@@ -77,10 +77,34 @@ object ScaleBench {
         ciphered.otherwise(col("text")).as("text"))
         .write.mode("overwrite").parquet(s"$dest/documents.parquet")
     }
+    // Events-based shapes get a deeper replication (default 100x =
+    // 10M rows): the table is small at sf0.1, and 10x would measure
+    // fixed overhead, not window/aggregate work. Keys offset per copy
+    // (user_id < 1500, event_id < 100000 at sf0.1) so per-key shapes
+    // see disjoint key spaces — work linear in copies by construction.
+    val eventsCopies =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS_COPIES", "100").toInt
+    def replicateEvents(n: Int, dest: String): Unit = {
+      val cp = explode(sequence(lit(0), lit(n - 1))).as("cp")
+      // events.ts is TIMESTAMP(NANOS) — read through CoreQueries.t
+      // (nanosAsLong + micros conversion); the replica carries a plain
+      // micros TIMESTAMP, which t() passes through untouched.
+      queries.CoreQueries.t(spark, base, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).select(cp, col("*"))
+        .select((col("event_id") + col("cp") * 10000000L).as("event_id"),
+          col("ts"), (col("user_id") + col("cp") * 10000L).as("user_id"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$dest/events.parquet")
+    }
     val dir1 = s"$work/x1"
     val dirN = s"$work/x$copies"
+    val dirE1 = s"$work/ev_x1"
+    val dirEN = s"$work/ev_x$eventsCopies"
     replicate(1, dir1)
     replicate(copies, dirN)
+    replicateEvents(1, dirE1)
+    replicateEvents(eventsCopies, dirEN)
 
     // ---- the shapes: same operators the oracle-checked queries call,
     // with id bounds rewritten per-copy (doc_id % docOff, part % pkOff)
@@ -111,6 +135,16 @@ object ScaleBench {
           lshPairs(dir).select(col("id_a"), col("id_b")),
           driverEdgeThreshold = 0L)
           .groupBy(col("label")).agg(count(lit(1)).as("n_members"))))
+    // Events-based window/aggregate shapes — the oracle-checked query
+    // lambdas run unmodified on the replicated dir (no id-bound
+    // filters inside them).
+    val eventShapes: Seq[(String, String => DataFrame)] = Seq(
+      "mad_outliers" ->
+        (dir => SparkEntry.queries("q178_mad_outliers")(spark, dir)),
+      "cdc_apply" ->
+        (dir => SparkEntry.queries("q173_cdc_apply")(spark, dir)),
+      "time_weighted" ->
+        (dir => SparkEntry.queries("q152_time_weighted")(spark, dir)))
 
     def releaseAll(): Unit = {
       spark.catalog.clearCache()
@@ -142,24 +176,29 @@ object ScaleBench {
     // warmup: reader + codegen init off the clock
     li(dir1).count(); docs(dir1).count()
 
-    val entries = shapes.map { case (name, fn) =>
-      try {
-        val (t1, runs1, met1, rows1) = measure(fn, dir1)
-        val (tN, runsN, metN, rowsN) = measure(fn, dirN)
-        val ratio = r4(tN / t1)
-        val exponent = r4(math.log(tN / t1) / math.log(copies.toDouble))
-        System.err.println(s"""{"shape":"$name","x1":$t1,"x$copies":$tN,"ratio":$ratio,"exponent":$exponent}""")
-        s""""$name":{"x1":{"min":$t1,"runs":[${runs1.mkString(",")}],"rows":$rows1,"metrics":$met1},"x$copies":{"min":$tN,"runs":[${runsN.mkString(",")}],"rows":$rowsN,"metrics":$metN},"ratio":$ratio,"exponent":$exponent}"""
-      } catch {
-        case e: Throwable =>
-          val m = e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").take(200)
-          System.err.println(s"""{"shape":"$name","err":"${m.replace("\"", "'")}"}""")
-          s""""$name":{"err":"${m.replace("\"", "'")}"}"""
+    def runShapes(
+        pairs: Seq[(String, String => DataFrame)],
+        lo: String, hi: String, n: Int): Seq[String] =
+      pairs.map { case (name, fn) =>
+        try {
+          val (t1, runs1, met1, rows1) = measure(fn, lo)
+          val (tN, runsN, metN, rowsN) = measure(fn, hi)
+          val ratio = r4(tN / t1)
+          val exponent = r4(math.log(tN / t1) / math.log(n.toDouble))
+          System.err.println(s"""{"shape":"$name","x1":$t1,"x$n":$tN,"ratio":$ratio,"exponent":$exponent}""")
+          s""""$name":{"x1":{"min":$t1,"runs":[${runs1.mkString(",")}],"rows":$rows1,"metrics":$met1},"x$n":{"min":$tN,"runs":[${runsN.mkString(",")}],"rows":$rowsN,"metrics":$metN},"copies":$n,"ratio":$ratio,"exponent":$exponent}"""
+        } catch {
+          case e: Throwable =>
+            val m = e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").take(200)
+            System.err.println(s"""{"shape":"$name","err":"${m.replace("\"", "'")}"}""")
+            s""""$name":{"err":"${m.replace("\"", "'")}"}"""
+        }
       }
-    }
+    val entries = runShapes(shapes, dir1, dirN, copies) ++
+      runShapes(eventShapes, dirE1, dirEN, eventsCopies)
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"cpus":$cpus,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; exponent=ln(tN/t1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"cpus":$cpus,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; exponent=ln(tN/t1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff"}"""
     println(out)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (out + "\n").getBytes("UTF-8"))
