@@ -682,6 +682,31 @@ object ScaleQueries {
         .drop("sk", "vals", "hp")
     }),
 
+    // Top-k per KEY without a window sort: the standard row_number()
+    // approach sorts EVERY group's full row set; here each (group)
+    // aggregates through the native BottomKAgg with an INVERTED score
+    // packing — pack = (2^20 - count) << 32 | user_id, so ascending
+    // packs are descending counts with ascending-id tie-break — and
+    // the k-bounded, map-side-merged sketch buffer replaces the sort.
+    // State per group is k longs regardless of group size: the shape
+    // that survives a billion rows per key. The oracle reconstructs
+    // the same top-5 with a row_number window — two independent
+    // formulations, one answer.
+    "q182_topk_per_key" -> ((s, dir) => {
+      val k = 5
+      val counts = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pack",
+          (lit(1048576L) - col("n")) * lit(4294967296L) + col("user_id"))
+      counts.groupBy(col("event_type"))
+        .agg(graft.plans.BottomKAgg.bottomK(col("pack"), k).as("sk"))
+        .select(col("event_type"), posexplode(col("sk")).as(Seq("pos", "x")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          expr("CAST(x % 4294967296 AS BIGINT)").as("user_id"),
+          expr("CAST(1048576 - x div 4294967296 AS BIGINT)").as("n"))
+    }),
+
     "q159_cms" -> ((s, dir) => {
       val d = 4
       val w = 512
@@ -1262,6 +1287,19 @@ object ScaleQueries {
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
         |  (3 * n_triangles * 10000) // n_wedges AS closed_bp
         |FROM prof, ne, tri""".stripMargin,
+
+    "q182_topk_per_key" ->
+      """WITH counts AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY n DESC, user_id) AS rank
+        |  FROM counts)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank,
+        |  user_id, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     "q181_grouped_sample_quantiles" ->
       """WITH ev AS (
