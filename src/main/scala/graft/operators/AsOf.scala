@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.time.epochUs
+
 /** As-of (point-in-time) join — an operator Spark lacks natively.
   *
   * Implemented as union + ordered window rather than a custom physical
@@ -66,8 +68,8 @@ object AsOf {
       .filter(col("__side") === 1)
     val bounded = toleranceUs match {
       case Some(tol) => matched.withColumn("asof_match",
-        when(unix_micros(col("__ts")) -
-          unix_micros(col("asof_match").getField(ts)) <= tol,
+        when(epochUs(col("__ts")) -
+          epochUs(col("asof_match").getField(ts)) <= tol,
           col("asof_match")))
       case None => matched
     }

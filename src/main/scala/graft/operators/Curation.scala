@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.functions.text
+import graft.functions.time.epochUs
 
 /** Training-data curation operators beyond the reference surface:
   * sessionization, cross-document boilerplate profiling, benchmark
@@ -34,10 +35,10 @@ object Curation {
       gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val gapUs = gapMinutes.toLong * 60L * 1000000L
-    df.withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+    df.withColumn("__prev_us", lag(epochUs(col(tsCol)), 1).over(w))
       .withColumn("__new_session",
         when(col("__prev_us").isNull ||
-          unix_micros(col(tsCol)) - col("__prev_us") > gapUs, 1L).otherwise(0L))
+          epochUs(col(tsCol)) - col("__prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("__new_session"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampNTZType, TimestampType}
 
 import graft.config.{Calibration, ReadingCols, ValueRange}
 import graft.functions.exact
@@ -39,16 +39,27 @@ object CoreQueries {
 
   private val ec = ReadingCols.events
 
-  /** Table loader. The synthetic `events.ts` is parquet TIMESTAMP(NANOS),
-    * which Spark's vectorized reader refuses; read it as nanosecond longs
-    * and truncate to microseconds — exactly what DuckDB does on read, so
-    * both engines see identical instants. */
+  /** Table loader, normalizing timestamp physical types at the boundary.
+    * The synthetic data has shipped as parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader refuses, so it's read as nanosecond longs
+    * and truncated to microseconds — and as TIMESTAMP(MICROS) tz-naive,
+    * which Spark 4 surfaces as TIMESTAMP_NTZ. Both are normalized to
+    * TimestampType here: under the engine-wide pinned UTC session the
+    * NTZ→TIMESTAMP cast maps the wall-clock to the same instant DuckDB
+    * sees reading the same file, so every downstream `unix_micros` /
+    * window / date function works and oracle comparisons stay exact.
+    * Normalizing once at the read keeps 180+ query call sites free of
+    * per-site type dispatch (and immune to the next data regeneration). */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val df0 = s.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events" && df0.schema("ts").dataType == LongType)
+        df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df0
+    df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

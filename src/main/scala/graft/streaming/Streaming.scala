@@ -15,11 +15,17 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Events schema as the stream source sees it: parquet TIMESTAMP(NANOS)
-    * surfaces as LongType nanos (see CoreQueries.t); converted after read. */
-  private val eventsRawSchema = StructType(Seq(
+  /** Events schema as the stream source sees it, with `ts` declared as
+    * whatever the parquet footers actually hold — the data has shipped
+    * both as TIMESTAMP(NANOS) (surfaces as LongType nanos under
+    * nanosAsLong; converted after read) and TIMESTAMP(MICROS) tz-naive
+    * (surfaces as TIMESTAMP_NTZ in Spark 4; cast to TimestampType under
+    * the pinned UTC session). A FileStreamSource needs the schema up
+    * front, so the type is probed with one driver-side batch read of
+    * the same directory (footer metadata only — no data scan). */
+  private def eventsRawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -41,11 +47,17 @@ object Streaming {
           d.resolve("part-0.parquet"), java.nio.file.Paths.get(path))
         d.toString
       } else path
-    spark.readStream
-      .schema(eventsRawSchema)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventsRawSchema(tsType))
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", watermark)
+    val withTs = tsType match {
+      case LongType => // legacy TIMESTAMP(NANOS) read as nanos-longs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP or TIMESTAMP_NTZ: same instant under UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+    withTs.withWatermark("ts", watermark)
   }
 
   /** Hourly tumbling-window aggregation per event type: counts + exact

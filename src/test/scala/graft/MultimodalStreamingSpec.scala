@@ -154,11 +154,20 @@ class MultimodalStreamingSpec extends SparkSpec {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"))
     // Sentinel event far in the future: pushes the watermark past every
     // real hourly window so append mode finalizes and emits all of
-    // them. Its own (still-open) window is never emitted.
-    val sentinelNs = 1893456000L * 1000000000L // 2030-01-01 in nanos
+    // them. Its own (still-open) window is never emitted. The sentinel
+    // file must carry the SAME parquet ts type as the real events file
+    // (the stream source reads both under one schema), so match the
+    // probed type: raw nanos-longs for legacy data, timestamp otherwise.
+    val sentinelUs = 1893456000L * 1000000L // 2030-01-01 in micros
     val sentDir = Files.createTempDirectory("graft-fsent")
-    Seq((999999L, sentinelNs, 0L, "__sentinel__", 0.0, "{}"))
+    val eventsTsType = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet").schema("ts").dataType
+    Seq((999999L, sentinelUs, 0L, "__sentinel__", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", eventsTsType match {
+        case org.apache.spark.sql.types.LongType => $"ts" * 1000L
+        case t => timestamp_micros($"ts").cast(t)
+      })
       .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
     locally {
       import scala.jdk.CollectionConverters._
