@@ -31,5 +31,17 @@ scalacOptions += "-deprecation"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole "cluster" in this one JVM: 32 task threads
+  // sharing the unified memory region plus the driver. 8g was measured
+  // GC-bound on the long bench suite (q124: 10 s GC of 14 s wall with
+  // zero spill); the host has 128 GiB, so give the shared JVM a heap
+  // sized like a real executor's.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Pin the initial heap to the max: G1 otherwise starts small, and the
+  // explicit full GCs between bench queries keep shrinking the heap
+  // back, so every heavy query pays repeated expand/evacuate cycles
+  // (measured: q158 39 s summed GC with an unpinned 24g heap vs 4.7 s
+  // pinned — the resizing, not the ceiling, was the cost).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+UseG1GC",
 )

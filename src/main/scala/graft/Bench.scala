@@ -143,6 +143,12 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // Two GCs with a drain gap: the first enqueues the dropped
+      // blocks'/broadcasts' weak references, the async ContextCleaner
+      // then actually removes them, and the second GC reclaims the
+      // memory that removal freed. One GC only queues the work.
+      System.gc()
+      Thread.sleep(50)
       System.gc()
     }
 
@@ -188,8 +194,10 @@ object Bench {
     // ~11 s identical build).
     val heavyAboveSec = 2.0
     // A throwing query must surface as a FAILURE, not a fast timing: the
-    // per-query line carries "err", the summary lists it, and the
-    // process exits nonzero so the driver records a broken build.
+    // per-query line carries "err" and the summary lists it. The process
+    // still exits 0 — the artifact of record must always land parseable;
+    // gates read the errors map, not the exit code (r8: rc=1 nearly cost
+    // the round its bench artifact).
     def esc(s: String): String = {
       val sb = new StringBuilder(s.length + 8)
       s.foreach {
@@ -368,6 +376,5 @@ object Bench {
     val fastSum = r4(all.filter(v => v._2 < 0.5 && v._2 >= 0).map(_._2).sum)
     println(s"""{"metric":"summary","total_sec":$total,"n_queries":${all.size},"sf":"$sfDir","pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"n_errors":${errors.size},"error_queries":${errors.keys.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")},"slow_queries_sec":$slow,"slow_omitted":${math.max(0, slowAll.size - 15)},"fast_queries":{"n":$fastN,"sum_sec":$fastSum},"n_regressions_vs_prev":${regressions.size},"regressions_vs_prev":$regJson,"full_summary_file":"bench_summary.json"}""")
     spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
   }
 }

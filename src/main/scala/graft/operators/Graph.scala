@@ -24,6 +24,17 @@ import org.apache.spark.storage.StorageLevel
 object Graph {
   private val lvl = StorageLevel.MEMORY_AND_DISK
 
+  /** Release an iteration frame regardless of how it was materialized:
+    * a persisted frame unpersists through the cache manager; a
+    * localCheckpoint'ed one is a bare LogicalRDD whose blocks are only
+    * reachable through the plan's RDD handle. */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => df.unpersist(blocking = false)
+    }
+
   /** Distinct undirected co-occurrence edges (u < v, each edge once)
     * from a bipartite (group, member) relation — members sharing a
     * group become adjacent. The self-equi-join on the group key is the
@@ -86,26 +97,31 @@ object Graph {
       .persist(lvl)
     val nEdges = oriented.count()
     edges.unpersist(blocking = false)
-    // wedge (src → w1, src → w2) with (dd,id)-ordered endpoints, then
-    // close against the oriented edge w1 → w2. Under the same size
-    // gate as the closing probe, the y-side of the wedge self-join
-    // broadcasts too: the whole heavy phase (wedge generation →
-    // closing probe → partial count) then runs as ONE map-local stage
-    // over the cached x-side with zero exchanges; past the gate it
-    // degrades to the shuffle self-join on src.
-    val lower = col("x.dd") < col("y.dd") ||
-      (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))
-    val ySide =
-      if (nEdges <= maxBroadcastEdges) broadcast(oriented.as("y"))
-      else oriented.as("y")
-    val wedges = oriented.as("x").join(ySide,
-      col("x.src") === col("y.src") && lower)
-      .select(col("x.dst").as("w1"), col("y.dst").as("w2"))
-    val closing = oriented.select(col("src").as("w1"), col("dst").as("w2"))
-    val probe =
-      if (nEdges <= maxBroadcastEdges) broadcast(closing) else closing
-    val tri = wedges.join(probe, Seq("w1", "w2"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // Close triangles by ADJACENCY INTERSECTION, not wedge
+    // materialization: per oriented source, collect the sorted
+    // out-neighbor array (bounded by the orientation at ~sqrt(m)
+    // entries), attach both endpoints' arrays to every oriented edge
+    // (u,v), and count |N+(u) ∩ N+(v)| per edge. The wedge multiset —
+    // 10-100x the edge list, and the measured GC/spill driver of the
+    // earlier self-join formulation — is never materialized: total
+    // work is Σ_edges (|N+(u)|+|N+(v)|), the same asymptotic bound,
+    // but the only shuffles are one edge-sized aggregate and two
+    // edge-sized equi-joins. Under the size gate the node-sized
+    // adjacency table broadcasts and the whole closure phase is one
+    // map-local stage; past it, SHUFFLE_HASH keeps the build on the
+    // adjacency side and streams edges (no wedge-sized sort ever).
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    def adjSide(renameTo: String, arr: String): DataFrame = {
+      val a = adj.select(col("src").as(renameTo), col("nbrs").as(arr))
+      if (nEdges <= maxBroadcastEdges) broadcast(a) else a.hint("shuffle_hash")
+    }
+    val tri = oriented
+      .join(adjSide("src", "nu"), Seq("src"))
+      .join(adjSide("dst", "nv"), Seq("dst"), "left")
+      .select(when(col("nv").isNull, lit(0))
+        .otherwise(size(array_intersect(col("nu"), col("nv")))).as("c"))
+      .agg(sum(col("c")).as("n_triangles"))
     val degO = oriented.select(col("src").as("n"))
       .unionAll(oriented.select(col("dst").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -132,7 +148,18 @@ object Graph {
     * most two edge sets live at any point (r7's driver bench measured
     * 2x with all four resident). Round counts are captured at force
     * time; the returned profile is a local relation costing zero extra
-    * jobs: n_edges, core_r1..core_r{rounds}, edges_r{rounds}. */
+    * jobs: n_edges, core_r1..core_r{rounds}, edges_r{rounds}.
+    *
+    * Each round's edge set is localCheckpoint'ed, NOT merely persisted:
+    * persist caches the data but leaves the logical plan growing by two
+    * joins per round, and AQE re-plans that deepening tree on every
+    * action — measured at sf0.1, rounds went from <1 s each to 5-26 s
+    * of driver-side stage re-planning by round 3 (job time was flat;
+    * with AQE off the blowup vanishes). Cutting lineage keeps per-round
+    * planning O(1), the same checkpoint-per-iteration discipline as
+    * PageRank (q136). On a multi-executor cluster swap localCheckpoint
+    * for reliable checkpoint()/persist-with-replication — local blocks
+    * don't survive executor loss. */
   def kcorePeel(edgesIn: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     def survivors(e: DataFrame): DataFrame = e.select(col("u").as("n"))
@@ -146,10 +173,10 @@ object Graph {
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .persist(lvl)
+        .localCheckpoint() // eager: materializes AND truncates lineage
       val edgeN = nxt.count()
       keep.unpersist(blocking = false)
-      e.unpersist(blocking = false)
+      release(e)
       (nxt, edgeN, coreN)
     }
     val e0 = edgesIn.persist(lvl)
@@ -160,7 +187,7 @@ object Graph {
           val (nxt, ne, c) = round(e)
           (nxt, ne, cs :+ c)
       }
-    eLast.unpersist(blocking = false)
+    release(eLast)
     val coreCols = cores.zipWithIndex.map { case (c, i) =>
       lit(c).as(s"core_r${i + 1}")
     }
@@ -178,22 +205,27 @@ object Graph {
     * the predecessor frontier unpersists as soon as the next is
     * materialized, and the returned profile (reach_h0..reach_h{hops})
     * is a local relation. `seedPred` selects seed nodes from the
-    * symmetrized source column `sn`. */
+    * symmetrized source column `sn`.
+    *
+    * Frontiers are localCheckpoint'ed per hop (not merely persisted)
+    * for the same reason as kcorePeel's rounds: the reached-set plan
+    * otherwise grows a join+distinct per hop and AQE's driver-side
+    * re-planning of the deepening tree dominates hop wall-time. */
   def bfsReach(edgesIn: DataFrame, seedPred: Column, hops: Int = 3): DataFrame = {
     require(hops >= 1, "hops must be >= 1")
     val sym = edgesIn.select(col("u").as("sn"), col("v").as("dn"))
       .unionAll(edgesIn.select(col("v").as("sn"), col("u").as("dn")))
       .persist(lvl)
     val r0 = sym.filter(seedPred)
-      .select(col("sn").as("n")).distinct().persist(lvl)
+      .select(col("sn").as("n")).distinct().localCheckpoint()
     val c0 = r0.count()
     def expand(r: DataFrame): (DataFrame, Long) = {
       val nxt = r.unionByName(
         sym.join(r.select(col("n").as("sn")), Seq("sn"))
           .select(col("dn").as("n")))
-        .distinct().persist(lvl)
+        .distinct().localCheckpoint()
       val c = nxt.count()
-      r.unpersist(blocking = false)
+      release(r)
       (nxt, c)
     }
     val (rLast, counts) = (1 to hops).foldLeft((r0, Vector(c0))) {
@@ -202,7 +234,7 @@ object Graph {
         (nxt, cs :+ c)
     }
     sym.unpersist(blocking = false)
-    rLast.unpersist(blocking = false)
+    release(rLast)
     edgesIn.sparkSession.range(1).select(
       counts.zipWithIndex.map { case (c, i) =>
         lit(c).as(s"reach_h$i")
