@@ -57,6 +57,16 @@ class GraphSpec extends SparkSpec {
     assert(row.getAs[Long]("closed_bp") === 10000L)
   }
 
+  test("trianglesProfile: string-id graph takes the array_intersect fallback") {
+    // Same K4 with non-integral node ids: exercises the non-native
+    // closure count (SortedLongIntersectCount requires long elements).
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d")).toDF("u", "v")
+    val row = Graph.trianglesProfile(k4).collect().head
+    assert(row.getAs[Long]("n_triangles") === 4L)
+    assert(row.getAs[Long]("n_wedges") === 12L)
+  }
+
   test("trianglesProfile: equi-join fallback (gate=0) matches broadcast path") {
     val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
     val bcast = Graph.trianglesProfile(g).collect().head
