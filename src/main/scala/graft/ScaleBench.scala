@@ -60,6 +60,12 @@ object ScaleBench {
         .select(col("l_orderkey"), col("l_partkey")).select(cp, col("*"))
         .select((col("l_orderkey") + col("cp") * okOff).as("l_orderkey"),
           (col("l_partkey") + col("cp") * pkOff).as("l_partkey"))
+        // Write replicas as cpus-many files: a single ~90 MB file has
+        // 1-3 parquet row groups, so the scan stage of every shape
+        // runs near-single-threaded and the "xN" time measures file
+        // layout, not plan scaling. A real N-times-larger feed lands
+        // as N times more files — replicate that.
+        .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
       // Per-copy substitution cipher (rotate the lowercase alphabet by
       // 7i mod 26 — distinct nonzero rotations for i in 1..9): copies
@@ -75,6 +81,7 @@ object ScaleBench {
       }
       docs.select((col("doc_id") + col("cp") * docOff).as("doc_id"),
         ciphered.otherwise(col("text")).as("text"))
+        .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dest/documents.parquet")
     }
     // Events-based shapes get a deeper replication (default 100x =
@@ -95,16 +102,38 @@ object ScaleBench {
         .select((col("event_id") + col("cp") * 10000000L).as("event_id"),
           col("ts"), (col("user_id") + col("cp") * 10000L).as("user_id"),
           col("event_type"), col("value"))
+        .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dest/events.parquet")
+    }
+    // Embeddings replicate deep like events (2000 vectors at sf0.1 —
+    // 10x only measures overhead): 100x = 200k vectors. Vectors are
+    // reused verbatim across copies (offset ids); that is fine for
+    // TIMING — top-k scoring work depends on corpus size, not vector
+    // values — and these replicas never feed the recall oracles.
+    val embCopies =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_EMB_COPIES", "100").toInt
+    val embOff = 2000L
+    def replicateEmb(n: Int, dest: String): Unit = {
+      val cp = explode(sequence(lit(0), lit(n - 1))).as("cp")
+      spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).select(cp, col("*"))
+        .select((col("vec_id") + col("cp") * embOff).as("vec_id"),
+          col("embedding"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
     }
     val dir1 = s"$work/x1"
     val dirN = s"$work/x$copies"
     val dirE1 = s"$work/ev_x1"
     val dirEN = s"$work/ev_x$eventsCopies"
+    val dirM1 = s"$work/emb_x1"
+    val dirMN = s"$work/emb_x$embCopies"
     replicate(1, dir1)
     replicate(copies, dirN)
     replicateEvents(1, dirE1)
     replicateEvents(eventsCopies, dirEN)
+    replicateEmb(1, dirM1)
+    replicateEmb(embCopies, dirMN)
 
     // ---- the shapes: same operators the oracle-checked queries call,
     // with id bounds rewritten per-copy (doc_id % docOff, part % pkOff)
@@ -145,6 +174,23 @@ object ScaleBench {
         (dir => SparkEntry.queries("q173_cdc_apply")(spark, dir)),
       "time_weighted" ->
         (dir => SparkEntry.queries("q152_time_weighted")(spark, dir)))
+
+    // Similarity shapes: a FIXED 100-query set against the replicated
+    // corpus — query work constant, corpus work xN. Brute force is the
+    // exact baseline (expected exponent ~1: linear in corpus by
+    // construction); the sign-bucketed IVF form is the scale path (an
+    // equi-join on the cell, same top-k semantics, expected well under
+    // brute's constant). Queries come from copy 0 so both scales rank
+    // against identical query vectors.
+    import graft.operators.Similarity
+    def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+    val embShapes: Seq[(String, String => DataFrame)] = Seq(
+      "ann_brute" -> (dir => Similarity.bruteForceTopK(
+        emb(dir), emb(dir).filter(col("vec_id") < 100),
+        "vec_id", "embedding", k = 5)),
+      "ann_bucketed" -> (dir => Similarity.bucketedTopK(
+        emb(dir), emb(dir).filter(col("vec_id") < 100),
+        "vec_id", "embedding", k = 3)))
 
     def releaseAll(): Unit = {
       spark.catalog.clearCache()
@@ -196,9 +242,10 @@ object ScaleBench {
         }
       }
     val entries = runShapes(shapes, dir1, dirN, copies) ++
-      runShapes(eventShapes, dirE1, dirEN, eventsCopies)
+      runShapes(eventShapes, dirE1, dirEN, eventsCopies) ++
+      runShapes(embShapes, dirM1, dirMN, embCopies)
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"cpus":$cpus,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; exponent=ln(tN/t1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"cpus":$cpus,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; exponent=ln(tN/t1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff"}"""
     println(out)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (out + "\n").getBytes("UTF-8"))

@@ -478,24 +478,27 @@ object ScaleQueries {
     // stream as a change log per (user_id, event_type) key — a
     // deterministic 10% of changes are deletes — and materialize the
     // final table state: the chronologically last change wins; a final
-    // delete removes the key. ONE window (row_number over the change
-    // order) per key does the whole merge — no iterative apply, no
-    // per-version join; at scale this is the standard "compact the
-    // changelog" shape with a single shuffle on the merge key.
+    // delete removes the key. ONE hash aggregate does the whole merge:
+    // max_by over the (ts, event_id) change order picks the winning
+    // change and count tallies the log depth, both map-side combined —
+    // no sort anywhere (the earlier row_number window form full-sorted
+    // the 10M-row changelog at 100x for a per-key maximum; an
+    // aggregation's partial state is one change per key per partition).
+    // The (ts, event_id) struct order is total — event_id is unique —
+    // so the winner is deterministic on any partitioning.
     "q173_cdc_apply" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val log = t(s, dir, "events").select(
         col("user_id"), col("event_type"), col("ts"), col("event_id"),
         col("value"),
         (h32(col("event_id").cast("string")) % 10 === 0).as("is_delete"))
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      val wAll = Window.partitionBy(col("user_id"), col("event_type"))
-      log.withColumn("rn", row_number().over(w))
-        .withColumn("n_changes", count(lit(1)).over(wAll))
-        .filter(col("rn") === 1 && !col("is_delete"))
+      log.groupBy(col("user_id"), col("event_type"))
+        .agg(
+          max_by(struct(col("value"), col("is_delete")),
+            struct(col("ts"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_changes"))
+        .filter(!col("last.is_delete"))
         .select(col("user_id"), col("event_type"),
-          col("value").as("final_value"), col("n_changes"))
+          col("last.value").as("final_value"), col("n_changes"))
     }),
 
     // Bounded k-core peel (3 rounds): iteratively drop nodes with
