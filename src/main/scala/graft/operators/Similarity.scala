@@ -169,4 +169,44 @@ object Similarity {
     }
     assigned.select(col("vid"), col("centroid_id"), col("d2"))
   }
+
+  /** SemDeDup-style semantic dedup: k-means-cluster the embeddings
+    * (deterministic Lloyd, `lloydIterations`), then hunt near-
+    * duplicates ONLY within a cluster — `dropped` marks every vector
+    * that has cosine > `threshold` with a LOWER-id vector in its
+    * cluster (lower id survives; deterministic on any partitioning
+    * because the comparison is a total order and the cosine arithmetic
+    * is the strict sequential fold both engines share).
+    *
+    * This is the scale shape of embedding dedup on a 100 TB corpus:
+    * the pairwise stage is an equi-join on the cluster id, so candidate
+    * pairs are Σ_c |c|² instead of N² — the clustering pass (linear,
+    * broadcast centroids) buys a quadratic-term cap, exactly the
+    * SemDeDup argument. Skewed/huge clusters are the known failure
+    * mode; raise k (smaller cells) or sub-bucket by sign pattern
+    * (Dedup.embeddingNearDup) before the pair join.
+    *
+    * Returns (vid, centroid_id, dropped). */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 2,
+      threshold: Double = 0.3): DataFrame = {
+    val assign = lloydIterations(df, idCol, vecCol, k, iters)
+      .select(col("vid"), col("centroid_id"))
+    // Raw float vectors: the pair stage scores through the native
+    // float-array cosine (FloatVecCosine), same as bruteForceTopK.
+    val v = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val av = assign.join(v, "vid")
+    val dropped = av.as("a").join(av.as("b"),
+      col("a.centroid_id") === col("b.centroid_id") &&
+        col("a.vid") < col("b.vid"))
+      .filter(embeddings.cosine(col("a.v"), col("b.v")) > threshold)
+      .select(col("b.vid").as("vid")).distinct()
+    av.join(dropped.withColumn("dropped", lit(true)), Seq("vid"), "left")
+      .select(col("vid"), col("centroid_id"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
 }

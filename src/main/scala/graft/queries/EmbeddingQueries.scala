@@ -176,6 +176,23 @@ object EmbeddingQueries {
             .cast("long").as("sum_d2_e6"))
     }),
 
+    // SemDeDup-style semantic dedup: k-means cluster (2 deterministic
+    // Lloyd iterations), then near-dup pairs ONLY within a cluster —
+    // cos > 0.3 with a lower-id cluster-mate drops a vector. The
+    // cluster equi-join caps candidate pairs at Σ|c|² instead of N²;
+    // output is the per-cluster survival profile. Floats cross the
+    // engine boundary only through the cos > τ comparison, and the
+    // cosine is the bit-identical sequential fold both engines share.
+    "q183_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2, threshold = 0.3)
+        .groupBy(col("centroid_id"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+    }),
+
     // Higher-order-function scalar surface (transform / filter / exists
     // / zip_with / aggregate — all codegen'd lambdas, no UDFs): per
     // vector, element count, positives, strict-left-fold sum of
@@ -390,6 +407,61 @@ object EmbeddingQueries {
          |  CAST(floor(sum(CAST(d2 AS DECIMAL(20,6))) * 1000000) AS BIGINT)
          |    AS sum_d2_e6
          |FROM a2 WHERE rn = 1
+         |GROUP BY centroid_id""".stripMargin,
+
+    "q183_semantic_dedup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS vid, $dVec AS v FROM embeddings),
+         |c0 AS (
+         |  SELECT vid AS centroid_id, v AS cv FROM v ORDER BY vid LIMIT 8),
+         |p1 AS (
+         |  SELECT vid, centroid_id, v,
+         |    list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+         |      + list_dot_product(cv, cv) AS d2
+         |  FROM v, c0),
+         |a1 AS (
+         |  SELECT vid, centroid_id, v,
+         |    row_number() OVER (PARTITION BY vid
+         |                       ORDER BY d2, centroid_id) AS rn
+         |  FROM p1),
+         |e1 AS (SELECT vid, centroid_id, v FROM a1 WHERE rn = 1),
+         |md AS (
+         |  SELECT centroid_id, dim,
+         |    CAST(CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE) / count(x)
+         |      AS DOUBLE) AS m
+         |  FROM (SELECT centroid_id,
+         |          generate_subscripts(v, 1) - 1 AS dim,
+         |          unnest(v) AS x
+         |        FROM e1)
+         |  GROUP BY centroid_id, dim),
+         |c1 AS (
+         |  SELECT centroid_id, list(m ORDER BY dim) AS cv
+         |  FROM md GROUP BY centroid_id),
+         |p2 AS (
+         |  SELECT vid, centroid_id,
+         |    list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+         |      + list_dot_product(cv, cv) AS d2
+         |  FROM v, c1),
+         |a2 AS (
+         |  SELECT vid, centroid_id,
+         |    row_number() OVER (PARTITION BY vid
+         |                       ORDER BY d2, centroid_id) AS rn
+         |  FROM p2),
+         |e2 AS (SELECT vid, centroid_id FROM a2 WHERE rn = 1),
+         |n AS (
+         |  SELECT vid, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         |drops AS (
+         |  SELECT DISTINCT b.vid AS bvid
+         |  FROM e2 a JOIN e2 b ON a.centroid_id = b.centroid_id
+         |    AND a.vid < b.vid
+         |  JOIN n na ON na.vid = a.vid
+         |  JOIN n nb ON nb.vid = b.vid
+         |  WHERE na.nrm > 0 AND nb.nrm > 0
+         |    AND list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) > 0.3)
+         |SELECT centroid_id, count(*) AS n_members,
+         |  CAST(sum(CASE WHEN drops.bvid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped
+         |FROM e2 LEFT JOIN drops ON e2.vid = drops.bvid
          |GROUP BY centroid_id""".stripMargin,
 
     "q84_array_hof" ->

@@ -85,4 +85,26 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Long]("exact_n") == 4L)
     assert(r.getAs[Long]("recall_bp") == 10000L)
   }
+
+  test("semanticDedup drops the higher id of a near-identical cluster pair") {
+    // Two tight groups far apart (orthogonal axes). k=2 with ids 0,1 as
+    // seeds separates them; within each group every pair has cos ~1, so
+    // the lowest id survives and every other member drops. The lone
+    // near-orthogonal outlier (id 5, mixed direction, cos < 0.3 to
+    // everything in its cluster) must survive.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.01f, 0.99f, 0.0f, 0.0f)),
+      (4L, Array(0.98f, 0.0f, 0.01f, 0.0f)),
+      (5L, Array(0.1f, 0.0f, -0.99f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.3)
+      .orderBy("vid").collect()
+    val dropped = out.filter(_.getAs[Boolean]("dropped")).map(_.getLong(0)).toSet
+    assert(dropped === Set(2L, 3L, 4L)) // 0 and 1 survive as min ids; 5 unique
+    assert(out.length === 6)
+  }
 }
