@@ -478,12 +478,13 @@ object ScaleQueries {
     // stream as a change log per (user_id, event_type) key — a
     // deterministic 10% of changes are deletes — and materialize the
     // final table state: the chronologically last change wins; a final
-    // delete removes the key. ONE hash aggregate does the whole merge:
+    // delete removes the key. ONE aggregate does the whole merge:
     // max_by over the (ts, event_id) change order picks the winning
-    // change and count tallies the log depth, both map-side combined —
-    // no sort anywhere (the earlier row_number window form full-sorted
-    // the 10M-row changelog at 100x for a per-key maximum; an
-    // aggregation's partial state is one change per key per partition).
+    // change and count tallies the log depth. The struct buffer plans
+    // as SortAggregate, but the PARTIAL phase is what matters at scale:
+    // each partition collapses to one change per key map-side, so the
+    // exchange moves ~|keys| states where the earlier row_number window
+    // form shuffled the whole 10M-row changelog and sorted it per key.
     // The (ts, event_id) struct order is total — event_id is unique —
     // so the winner is deterministic on any partitioning.
     "q173_cdc_apply" -> ((s, dir) => {
