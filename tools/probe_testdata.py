@@ -55,6 +55,13 @@ def main() -> int:
                 print(f"  !! {t}.{c} has unexpected physical type {typ} — "
                       "check CoreQueries.t / Streaming.eventsStream handle it")
                 rc = 1
+        if t == "embeddings":
+            typ = str(schema.field("embedding").type)
+            if "float" not in typ:
+                print(f"  !! embeddings.embedding is {typ}, expected "
+                      "list<float> — the native vector expressions "
+                      "(FloatVecDot/FloatVecCosine) read float elements")
+                rc = 1
     return rc
 
 
