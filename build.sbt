@@ -28,20 +28,34 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 scalacOptions += "-deprecation"
+// local[32] runs the whole "cluster" in this one JVM: 32 task threads
+// sharing the unified memory region plus the driver. 8g was measured
+// GC-bound on the long bench suite (q124: 10 s GC of 14 s wall with
+// zero spill), so the default aims for 24g — but clamped to 60% of the
+// host's MemAvailable so the forked JVM still STARTS on smaller hosts
+// (a hard-pinned 24g Xms bakes in a 128-GiB-host assumption).
+// SPARK_DRIVER_MEM overrides the derived value verbatim.
+val graftHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val availKb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemAvailable:") =>
+        l.trim.split("\\s+")(1).toLong }
+      .getOrElse(0L)
+    catch { case _: Throwable => 0L }
+  val gb =
+    if (availKb <= 0) 24L // probe failed: keep the old default
+    else math.max(2L, math.min(24L, availKb * 6 / 10 >> 20))
+  s"${gb}g"
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs the whole "cluster" in this one JVM: 32 task threads
-  // sharing the unified memory region plus the driver. 8g was measured
-  // GC-bound on the long bench suite (q124: 10 s GC of 14 s wall with
-  // zero spill); the host has 128 GiB, so give the shared JVM a heap
-  // sized like a real executor's.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx$graftHeap",
   // Pin the initial heap to the max: G1 otherwise starts small, and the
   // explicit full GCs between bench queries keep shrinking the heap
   // back, so every heavy query pays repeated expand/evacuate cycles
   // (measured: q158 39 s summed GC with an unpinned 24g heap vs 4.7 s
   // pinned — the resizing, not the ceiling, was the cost).
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms$graftHeap",
   "-XX:+UseG1GC",
 )

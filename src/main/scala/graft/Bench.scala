@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
   *     crashed run still attributes cost. Progress lines are NOT on
   *     stdout so the parseable summary is literally the first stdout
   *     line.
+  *   - exit status: 0 on a clean run, 3 when any query errored. The
+  *     summary JSON (stdout + bench_summary.json) is always emitted
+  *     BEFORE exiting, so the artifact of record lands parseable either
+  *     way — consumers gating on exit status see a broken build as
+  *     broken, consumers parsing the JSON read the errors map.
   *
   * Measurement policy: single-shot wall-time cannot adjudicate noise vs
   * regression for persist/broadcast/spill-heavy queries (r7: the driver
@@ -194,10 +199,12 @@ object Bench {
     // ~11 s identical build).
     val heavyAboveSec = 2.0
     // A throwing query must surface as a FAILURE, not a fast timing: the
-    // per-query line carries "err" and the summary lists it. The process
-    // still exits 0 — the artifact of record must always land parseable;
-    // gates read the errors map, not the exit code (r8: rc=1 nearly cost
-    // the round its bench artifact).
+    // per-query line carries "err" and the summary lists it. The run
+    // CONTINUES past a failure (one broken query must not cost the other
+    // 180 their measurements) and the summary always lands before the
+    // process exits — nonzero, if anything errored (see the contract in
+    // the object doc; r8: an artifact-less rc=1 nearly cost the round
+    // its bench numbers, hence summary-first).
     def esc(s: String): String = {
       val sb = new StringBuilder(s.length + 8)
       s.foreach {
@@ -375,6 +382,10 @@ object Bench {
     val fastN = all.count(_._2 < 0.5)
     val fastSum = r4(all.filter(v => v._2 < 0.5 && v._2 >= 0).map(_._2).sum)
     println(s"""{"metric":"summary","total_sec":$total,"n_queries":${all.size},"sf":"$sfDir","pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"n_errors":${errors.size},"error_queries":${errors.keys.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")},"slow_queries_sec":$slow,"slow_omitted":${math.max(0, slowAll.size - 15)},"fast_queries":{"n":$fastN,"sum_sec":$fastSum},"n_regressions_vs_prev":${regressions.size},"regressions_vs_prev":$regJson,"full_summary_file":"bench_summary.json"}""")
+    System.out.flush()
     spark.stop()
+    // Exit-status contract (object doc): the artifact above already
+    // landed, so failing the process cannot cost the round its numbers.
+    if (errors.nonEmpty) sys.exit(3)
   }
 }

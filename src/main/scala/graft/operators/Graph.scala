@@ -24,16 +24,40 @@ import org.apache.spark.storage.StorageLevel
 object Graph {
   private val lvl = StorageLevel.MEMORY_AND_DISK
 
-  /** Release an iteration frame regardless of how it was materialized:
-    * a persisted frame unpersists through the cache manager; a
-    * localCheckpoint'ed one is a bare LogicalRDD whose blocks are only
-    * reachable through the plan's RDD handle. */
-  private def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => df.unpersist(blocking = false)
+  /** Tracks the frames ONE operator invocation localCheckpoint'ed so
+    * release() frees exactly those. A checkpointed frame is a bare
+    * LogicalRDD whose cached blocks are only reachable through the
+    * plan's RDD handle — but a CALLER may legitimately pass an
+    * already-checkpointed (LogicalRDD-backed) DataFrame in, and
+    * unpersisting that RDD as a side effect would invalidate the
+    * caller's data (its lineage is truncated; the blocks ARE the data).
+    * So the RDD-handle branch fires only for RDDs this tracker
+    * registered; anything else falls back to the cache-manager
+    * unpersist, a no-op for frames the operator never persisted. */
+  private final class Owned {
+    private val rdds = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    /** Eager localCheckpoint, registered for later release. */
+    def checkpoint(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      c.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => rdds.add(l.rdd)
+        case _ => ()
+      }
+      c
     }
+    def release(df: DataFrame): Unit = {
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD
+            if rdds.remove(l.rdd) =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+      // Drop any cache-manager entry this operator created for the same
+      // frame (no-op when absent; never touches a caller's checkpoint).
+      df.unpersist(blocking = false)
+    }
+  }
 
   /** Distinct undirected co-occurrence edges (u < v, each edge once)
     * from a bipartite (group, member) relation — members sharing a
@@ -182,6 +206,7 @@ object Graph {
     * don't survive executor loss. */
   def kcorePeel(edgesIn: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    val owned = new Owned
     def survivors(e: DataFrame): DataFrame = e.select(col("u").as("n"))
       .unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -189,14 +214,13 @@ object Graph {
     def round(e: DataFrame): (DataFrame, Long, Long) = {
       val keep = survivors(e).persist(lvl)
       val coreN = keep.count()
-      val nxt = e
+      val nxt = owned.checkpoint(e // eager: materializes AND truncates lineage
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
+        .select(col("u"), col("v")))
       val edgeN = nxt.count()
       keep.unpersist(blocking = false)
-      release(e)
+      owned.release(e)
       (nxt, edgeN, coreN)
     }
     val e0 = edgesIn.persist(lvl)
@@ -207,7 +231,7 @@ object Graph {
           val (nxt, ne, c) = round(e)
           (nxt, ne, cs :+ c)
       }
-    release(eLast)
+    owned.release(eLast)
     val coreCols = cores.zipWithIndex.map { case (c, i) =>
       lit(c).as(s"core_r${i + 1}")
     }
@@ -233,19 +257,20 @@ object Graph {
     * re-planning of the deepening tree dominates hop wall-time. */
   def bfsReach(edgesIn: DataFrame, seedPred: Column, hops: Int = 3): DataFrame = {
     require(hops >= 1, "hops must be >= 1")
+    val owned = new Owned
     val sym = edgesIn.select(col("u").as("sn"), col("v").as("dn"))
       .unionAll(edgesIn.select(col("v").as("sn"), col("u").as("dn")))
       .persist(lvl)
-    val r0 = sym.filter(seedPred)
-      .select(col("sn").as("n")).distinct().localCheckpoint()
+    val r0 = owned.checkpoint(
+      sym.filter(seedPred).select(col("sn").as("n")).distinct())
     val c0 = r0.count()
     def expand(r: DataFrame): (DataFrame, Long) = {
-      val nxt = r.unionByName(
+      val nxt = owned.checkpoint(r.unionByName(
         sym.join(r.select(col("n").as("sn")), Seq("sn"))
           .select(col("dn").as("n")))
-        .distinct().localCheckpoint()
+        .distinct())
       val c = nxt.count()
-      release(r)
+      owned.release(r)
       (nxt, c)
     }
     val (rLast, counts) = (1 to hops).foldLeft((r0, Vector(c0))) {
@@ -254,7 +279,7 @@ object Graph {
         (nxt, cs :+ c)
     }
     sym.unpersist(blocking = false)
-    release(rLast)
+    owned.release(rLast)
     edgesIn.sparkSession.range(1).select(
       counts.zipWithIndex.map { case (c, i) =>
         lit(c).as(s"reach_h$i")

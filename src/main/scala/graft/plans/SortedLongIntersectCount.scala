@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native Catalyst expression: |a ∩ b| for two SORTED, DISTINCT,
   * non-null long-array columns, by two-pointer merge.
@@ -29,6 +30,19 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
 
   override def nullIntolerant: Boolean = true
+
+  // ArrayData.getLong misreads any non-bigint element encoding, so a
+  // mistyped caller (array<int>) must fail at ANALYSIS, not return
+  // silently-garbage counts.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          "sorted_long_intersect_count requires array<bigint> on both " +
+            s"sides, got ${l.catalogString} and ${r.catalogString}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

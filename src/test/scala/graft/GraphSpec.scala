@@ -109,6 +109,43 @@ class GraphSpec extends SparkSpec {
     assert((0 to 2).forall(i => bfs.getAs[Long](s"reach_h$i") === 0L))
   }
 
+  test("operators never unpersist a caller-checkpointed input (ownership)") {
+    // A caller may pass an already-localCheckpoint'ed edge list (its
+    // lineage is truncated — the cached blocks ARE the data). The
+    // iterative operators release their own per-round checkpoints
+    // through the RDD handle; that branch must never fire on frames
+    // they did not checkpoint themselves.
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.storage.StorageLevel
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).localCheckpoint()
+    val rdd = g.queryExecution.analyzed.asInstanceOf[LogicalRDD].rdd
+    assert(rdd.getStorageLevel !== StorageLevel.NONE)
+    Graph.kcorePeel(g, k = 2, rounds = 2).collect()
+    assert(rdd.getStorageLevel !== StorageLevel.NONE,
+      "kcorePeel released the caller's checkpoint blocks")
+    Graph.bfsReach(g, seedPred = col("sn") === 1L, hops = 2).collect()
+    assert(rdd.getStorageLevel !== StorageLevel.NONE,
+      "bfsReach released the caller's checkpoint blocks")
+    assert(g.count() === 4L) // the caller's frame is still computable
+  }
+
+  test("SortedLongIntersectCount rejects non-bigint arrays at analysis") {
+    // ArrayData.getLong misreads int-encoded elements; misuse must be
+    // an analysis error, not silently-garbage counts.
+    val ints = Seq((Array(1, 2, 3), Array(2, 3, 4))).toDF("a", "b")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(
+        graft.plans.SortedLongIntersectCount(col("a"), col("b")).as("c"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("array<bigint>"))
+    val longs = Seq((Array(1L, 2L, 3L), Array(2L, 3L, 4L))).toDF("a", "b")
+    val c = longs.select(
+      graft.plans.SortedLongIntersectCount(col("a"), col("b")).as("c"))
+      .collect().head.getInt(0)
+    assert(c === 2)
+  }
+
   test("bfsReach: frontier grows one hop per round on a path graph") {
     val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val row = Graph.bfsReach(path, seedPred = col("sn") === 1L, hops = 3)
