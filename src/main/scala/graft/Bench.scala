@@ -234,9 +234,18 @@ object Bench {
                 Option(e.getMessage).getOrElse("").take(200))
           }
         val sec = r4((System.nanoTime() - t0) / 1e9)
+        // Streaming queries report driver-side setup separately from
+        // micro-batch execution (fixed overhead vs the part that
+        // amortizes with batch size); spliced into this run's metrics
+        // object so it travels with whichever sample becomes the median.
+        val phase = streaming.Streaming.lastPhaseTimings()
+          .map { case (su, st) => s""","setup_sec":$su,"stream_sec":$st""" }
+          .getOrElse("")
         val m = metrics.json()
+        val merged =
+          if (phase.isEmpty) m else m.dropRight(1) + phase + "}"
         releaseAll()
-        (sec, m)
+        (sec, merged)
       }
       val (first, firstM) = once()
       val sec = lastErr match {
@@ -265,6 +274,12 @@ object Bench {
           progress(s"""{"query":"$name","sec":$med,$detail${prevTag(name)}}""")
           med
         case None =>
+          // Single-run query: still commit the phase split to details if
+          // present (both streaming queries must carry setup vs stream
+          // in the artifact, however fast they ran).
+          if (firstM.contains("\"setup_sec\"")) {
+            details += name -> s""""runs":[$first],"median":$first,"min":$first,"metrics":$firstM"""
+          }
           progress(s"""{"query":"$name","sec":$first${prevTag(name)}}""")
           first
       }

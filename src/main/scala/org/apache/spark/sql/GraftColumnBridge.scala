@@ -9,4 +9,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Drop every loaded state-store provider (a stopped streaming
+    * query's keyed state otherwise stays resident until the async
+    * maintenance task unloads it). Safe between queries: providers
+    * reload lazily from the checkpoint on next use. */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
+
+  /** True when the shared cache manager holds no cached plans — the
+    * bench harness asserts this between queries so leaked cache entries
+    * surface as a counted artifact instead of ambient slowdown. */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }
