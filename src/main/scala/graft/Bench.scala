@@ -57,7 +57,7 @@ object Bench {
     */
   final class MetricsListener extends SparkListener {
     private var shufRead, shufWrite, memSpill, diskSpill = 0L
-    private var gcMs, peakMem, nTasks = 0L
+    private var gcMs, peakMem, nTasks, taskMs = 0L
     override def onTaskEnd(end: SparkListenerTaskEnd): Unit = synchronized {
       val m = end.taskMetrics
       if (m != null) {
@@ -68,16 +68,22 @@ object Bench {
         gcMs += m.jvmGCTime
         peakMem = math.max(peakMem, m.peakExecutionMemory)
         nTasks += 1
+        taskMs += m.executorRunTime
       }
     }
     def reset(): Unit = synchronized {
       shufRead = 0; shufWrite = 0; memSpill = 0; diskSpill = 0
-      gcMs = 0; peakMem = 0; nTasks = 0
+      gcMs = 0; peakMem = 0; nTasks = 0; taskMs = 0
     }
     def json(): String = synchronized {
       def mb(b: Long): Double = math.rint(b / 1048.576) / 1000 // MB, 3dp
-      s"""{"shuffle_read_mb":${mb(shufRead)},"shuffle_write_mb":${mb(shufWrite)},"spill_mem_mb":${mb(memSpill)},"spill_disk_mb":${mb(diskSpill)},"gc_ms":$gcMs,"peak_task_mem_mb":${mb(peakMem)},"tasks":$nTasks}"""
+      // task_time_ms (summed executor run time) is the adjudicator for
+      // wall-time moves: a slow sample with FLAT task time is driver-
+      // side or ambient-JVM cost, not a plan regression (r9's q143
+      // flags were unadjudicable without it).
+      s"""{"shuffle_read_mb":${mb(shufRead)},"shuffle_write_mb":${mb(shufWrite)},"spill_mem_mb":${mb(memSpill)},"spill_disk_mb":${mb(diskSpill)},"gc_ms":$gcMs,"peak_task_mem_mb":${mb(peakMem)},"tasks":$nTasks,"task_time_ms":$taskMs}"""
     }
+    def taskTimeMs(): Long = synchronized(taskMs)
   }
 
   def main(args: Array[String]): Unit = {
@@ -132,6 +138,21 @@ object Bench {
         .agg(max(col("r"))).collect()
       ev.join(broadcast(ev.groupBy(col("event_type")).count()),
         Seq("event_type")).agg(count(lit(1))).collect()
+      // Graph closure codepath: collect_list+sort_array aggregation and
+      // the native SortedLongIntersectCount two-pointer codegen. q158's
+      // FIRST sample was 2-3x its warm runs (r9 driver: 29.96 vs 8.99 s)
+      // and per-run task-time attribution shows the excess INSIDE tasks
+      // — interpreted/un-JITed generated code, paid by whichever
+      // measured query hits the path first. The warmup graph is sized
+      // (~60k edges, adjacency arrays ~30 longs) so the closure loops
+      // actually reach C2 compilation, not just class loading; ~1.5 s
+      // once, off the clock.
+      graft.operators.Graph.trianglesProfile(
+        spark.range(120000L)
+          .selectExpr(
+            "pmod(xxhash64(id), 2000) AS u",
+            "pmod(xxhash64(id * 2 + 1), 2000) AS v")
+          .filter(col("u") < col("v")).distinct()).collect()
     }
 
     // Drop everything a query left behind so no measurement pays for a
@@ -140,21 +161,60 @@ object Bench {
     // ContextCleaner release broadcast variables and shuffle state —
     // they are reference-tracked, so on a 128 GiB heap they otherwise
     // survive the whole run.
+    // Leak accounting across the whole run: releaseAll() BLOCKS (bounded)
+    // until the block manager reports zero broadcast blocks, then counts
+    // what survived. r9's later-runs-slower smell (q143) pointed at
+    // inter-query state surviving the old fixed 50 ms cleanup gap — the
+    // ContextCleaner drains asynchronously, so a heavy query's broadcast
+    // debris could still be mid-removal while the next query measured.
+    // With the barrier, a nonzero leak is a counted artifact in the
+    // summary instead of ambient slowdown attributed to the wrong query.
+    var leakNonzero, leakMaxBroadcast, leakCacheNonEmpty, leakRdds = 0L
+    def broadcastBlocks(): Int =
+      org.apache.spark.SparkEnv.get.blockManager
+        .getMatchingBlockIds(_.isBroadcast).size
     def releaseAll(): Unit = {
       spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      // Terminated StreamExecutions stay registered for
+      // awaitAnyTermination and pin their final micro-batch's executed
+      // plan — broadcasts included (observed as the 2 surviving
+      // broadcast blocks after every streaming query).
+      spark.streams.resetTerminated()
       spark.catalog.listTables().collect()
         .filter(_.isTemporary)
         .foreach(t => spark.catalog.dropTempView(t.name))
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      // Two GCs with a drain gap: the first enqueues the dropped
-      // blocks'/broadcasts' weak references, the async ContextCleaner
-      // then actually removes them, and the second GC reclaims the
-      // memory that removal freed. One GC only queues the work.
+      // The GC enqueues the dropped blocks'/broadcasts' weak references;
+      // the async ContextCleaner then actually removes them. Poll the
+      // block manager (bounded) until the removal has HAPPENED — a fixed
+      // sleep raced the cleaner — then GC once more to reclaim what the
+      // removal freed.
       System.gc()
-      Thread.sleep(50)
+      var waitedMs = 0
+      while (broadcastBlocks() > 0 && waitedMs < 2000) {
+        Thread.sleep(25)
+        waitedMs += 25
+        if (waitedMs % 500 == 0) System.gc() // re-enqueue stragglers
+      }
       System.gc()
+      val bc = broadcastBlocks()
+      if (bc > 0 && sys.env.contains("GRAFT_BENCH_DEBUG")) {
+        System.err.println("LEAK-DEBUG blocks=" +
+          org.apache.spark.SparkEnv.get.blockManager
+            .getMatchingBlockIds(_.isBroadcast).mkString(","))
+        Thread.dumpStack()
+      }
+      val rdds = spark.sparkContext.getPersistentRDDs.size
+      val cacheDirty =
+        if (org.apache.spark.sql.GraftColumnBridge.cacheIsEmpty(spark)) 0 else 1
+      if (bc > 0 || rdds > 0 || cacheDirty > 0) {
+        leakNonzero += 1
+        leakMaxBroadcast = math.max(leakMaxBroadcast, bc.toLong)
+        leakCacheNonEmpty += cacheDirty
+        leakRdds += rdds
+      }
     }
 
     def r4(sec: Double): Double = math.rint(sec * 10000) / 10000
@@ -223,11 +283,22 @@ object Bench {
     val details = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var lastErr: Option[String] = None
-      def once(): (Double, String) = {
+      def once(): (Double, String, Long) = {
         metrics.reset()
         val t0 = System.nanoTime()
         lastErr =
-          try { fn(spark, sfDir).count(); None }
+          try {
+            // The result frame is deliberately a nulled-out var: its
+            // QueryExecution pins the executed plan's broadcast
+            // variables, and a stack-reachable reference during
+            // releaseAll() keeps the ContextCleaner from collecting
+            // them (observed: 2 broadcast blocks surviving the
+            // barrier on exactly the queries measured last).
+            var df = fn(spark, sfDir)
+            df.count()
+            df = null
+            None
+          }
           catch {
             case e: Throwable =>
               Some(e.getClass.getSimpleName + ": " +
@@ -244,10 +315,11 @@ object Bench {
         val m = metrics.json()
         val merged =
           if (phase.isEmpty) m else m.dropRight(1) + phase + "}"
+        val taskMs = metrics.taskTimeMs()
         releaseAll()
-        (sec, merged)
+        (sec, merged, taskMs)
       }
-      val (first, firstM) = once()
+      val (first, firstM, firstT) = once()
       val sec = lastErr match {
         case Some(m) =>
           errors += name -> m
@@ -264,12 +336,16 @@ object Bench {
               // q167 0.73→1.60, neither reproducible).
               prevTimes.get(name).exists(p =>
                 p > 0 && first > 2 * p && first - p > 0.5) =>
-          val (s2, m2) = once()
-          val (s3, m3) = once()
+          val (s2, m2, t2) = once()
+          val (s3, m3, t3) = once()
           val runs = Seq((first, firstM), (s2, m2), (s3, m3)).sortBy(_._1)
           val med = runs(1)._1
+          // runs_task_ms is per-run summed executor time, SAME ORDER as
+          // runs: a cold first sample with inflated task time is
+          // JIT/codegen warming inside tasks; inflated wall with flat
+          // task time is driver/ambient. The artifact self-adjudicates.
           val detail =
-            s""""runs":[$first,$s2,$s3],"median":$med,"min":${runs.head._1},"metrics":${runs(1)._2}"""
+            s""""runs":[$first,$s2,$s3],"runs_task_ms":[$firstT,$t2,$t3],"median":$med,"min":${runs.head._1},"metrics":${runs(1)._2}"""
           details += name -> detail
           progress(s"""{"query":"$name","sec":$med,$detail${prevTag(name)}}""")
           med
@@ -326,7 +402,10 @@ object Bench {
       val streamAcc = spark.sparkContext.longAccumulator("stream_records")
       val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-stream")
       val t1 = System.nanoTime()
-      val sq = streaming.Streaming.eventsStream(spark, s"$sfDir/events.parquet")
+      // var + null for the same stack-reachability reason as once()'s
+      // df: the query handle pins its final micro-batch's executed plan
+      // (broadcasts included) through StreamExecution.lastExecution.
+      var sq = streaming.Streaming.eventsStream(spark, s"$sfDir/events.parquet")
         .writeStream
         .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -336,6 +415,7 @@ object Bench {
         }
         .start()
       sq.awaitTermination()
+      sq = null
       val sec = r4((System.nanoTime() - t1) / 1e9)
       streamRecords = streamAcc.value
       streaming.Streaming.deleteRecursively(ckpt)
@@ -374,8 +454,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":{" + v + "}" }
       .mkString("{", ",", "}")
     val prevTotal = r4(all.flatMap(x => prevTimes.get(x._1)).sum)
+    // Inter-query hygiene over the whole run: n_nonzero counts
+    // releaseAll() calls that still saw residue AFTER the bounded
+    // cleanup barrier. All-zero = every measurement started from a
+    // clean block manager / cache manager.
+    val leakJson =
+      s"""{"n_nonzero":$leakNonzero,"max_broadcast_blocks":$leakMaxBroadcast,"cache_nonempty":$leakCacheNonEmpty,"persistent_rdds":$leakRdds}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_records":$nRecords,"pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"errors":$errJson,"prev_total":$prevTotal,"regressions":$regJson,"details":$detJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_records":$nRecords,"pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"errors":$errJson,"prev_total":$prevTotal,"regressions":$regJson,"leak_checks":$leakJson,"details":$detJson}"""
     // stdout line 1: the full summary (progress went to stderr, so this
     // is literally the first stdout line — parse it directly).
     println(fullLine)
@@ -396,7 +482,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fastN = all.count(_._2 < 0.5)
     val fastSum = r4(all.filter(v => v._2 < 0.5 && v._2 >= 0).map(_._2).sum)
-    println(s"""{"metric":"summary","total_sec":$total,"n_queries":${all.size},"sf":"$sfDir","pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"n_errors":${errors.size},"error_queries":${errors.keys.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")},"slow_queries_sec":$slow,"slow_omitted":${math.max(0, slowAll.size - 15)},"fast_queries":{"n":$fastN,"sum_sec":$fastSum},"n_regressions_vs_prev":${regressions.size},"regressions_vs_prev":$regJson,"full_summary_file":"bench_summary.json"}""")
+    println(s"""{"metric":"summary","total_sec":$total,"n_queries":${all.size},"sf":"$sfDir","pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"n_errors":${errors.size},"error_queries":${errors.keys.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")},"slow_queries_sec":$slow,"slow_omitted":${math.max(0, slowAll.size - 15)},"fast_queries":{"n":$fastN,"sum_sec":$fastSum},"n_regressions_vs_prev":${regressions.size},"regressions_vs_prev":$regJson,"leak_checks":$leakJson,"full_summary_file":"bench_summary.json"}""")
     System.out.flush()
     spark.stop()
     // Exit-status contract (object doc): the artifact above already
