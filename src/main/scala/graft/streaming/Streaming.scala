@@ -68,7 +68,7 @@ object Streaming {
     val (dir, tsType) = sourceCache.computeIfAbsent(path, { p =>
       val d =
         if (p.endsWith(".parquet")) {
-          val sd = Files.createTempDirectory("graft-stream-src")
+          val sd = scratchDir("graft-stream-src")
           Files.createSymbolicLink(
             sd.resolve("part-0.parquet"), java.nio.file.Paths.get(p))
           sd.toString
@@ -120,7 +120,21 @@ object Streaming {
       name: String,
       outputMode: String = "complete"): DataFrame = {
     val setup0 = System.nanoTime()
-    val checkpoint = Files.createTempDirectory(s"graft-stream-$name")
+    // Scratch state off the disk: every state-store commit writes delta
+    // files under the checkpoint, and on a harness running stateful
+    // queries back-to-back that IO is the dominant (and noisiest) part
+    // of micro-batch time. The checkpoint is torn down below, so tmpfs
+    // loses nothing a disk would have kept.
+    val checkpoint = scratchDir(s"graft-stream-$name")
+    // A bounded drain in complete mode re-emits the ENTIRE sink from
+    // state on the watermark-advance no-data batch — a full state scan
+    // plus session re-sort that produces exactly the rows the data batch
+    // already produced. Complete-mode output never depends on watermark
+    // advancement, so skip it; restored after the run because append
+    // paths elsewhere (sensorIngest consumers) do need no-data batches.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.getOption(noDataKey)
+    spark.conf.set(noDataKey, "false")
     val q = agg.writeStream
       .outputMode(outputMode)
       .format("memory")
@@ -130,7 +144,13 @@ object Streaming {
     val setupNs = pendingSetupNs.getAndSet(0L) + (System.nanoTime() - setup0)
     val stream0 = System.nanoTime()
     try q.processAllAvailable()
-    finally q.stop()
+    finally {
+      q.stop()
+      prevNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None => spark.conf.unset(noDataKey)
+      }
+    }
     lastPhaseRef.set((
       math.rint(setupNs / 1e5) / 1e4,
       math.rint((System.nanoTime() - stream0) / 1e5) / 1e4))
@@ -147,6 +167,18 @@ object Streaming {
     org.apache.spark.sql.GraftColumnBridge.unloadStateStores()
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Scratch directory for DISPOSABLE stream state (harness checkpoints,
+    * symlink source dirs): tmpfs when the host has one, so state-store
+    * commit IO never touches the disk, falling back to the regular temp
+    * root. Durable checkpoints (sensorIngest) take a caller-provided
+    * path — never this. */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix)
+    else Files.createTempDirectory(prefix)
   }
 
   /** Best-effort recursive delete for scratch stream dirs. */
