@@ -190,7 +190,20 @@ object ScaleBench {
         "vec_id", "embedding", k = 5)),
       "ann_bucketed" -> (dir => Similarity.bucketedTopK(
         emb(dir), emb(dir).filter(col("vec_id") < 100),
-        "vec_id", "embedding", k = 3)))
+        "vec_id", "embedding", k = 3)),
+      // Semantic dedup WITH the skew guard armed, on deliberately
+      // adversarial data: the replicas are 100 identical copies of each
+      // base vector (offset ids), so every k-means cell is ~100x
+      // oversized AND each distinct vector's copies share one sign
+      // pattern — both guard tiers (sign sub-bucket, then id-hash salt)
+      // must fire or the pair join quadratics out at ~(100|c|)^2 per
+      // cell. With the guard, candidate pairs are hard-bounded at
+      // ~N*maxCellSize/2 (SimilaritySpec pins the bound at unit scale).
+      "semantic_dedup_guarded" -> (dir => Similarity.semanticDedup(
+        emb(dir), "vec_id", "embedding", k = 8, iters = 1,
+        threshold = 0.95, maxCellSize = 256)
+        .groupBy(col("centroid_id"), col("dropped"))
+        .agg(count(lit(1)).as("n"))))
 
     def releaseAll(): Unit = {
       spark.catalog.clearCache()

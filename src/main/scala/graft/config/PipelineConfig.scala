@@ -43,6 +43,16 @@ final case class TransformConfig(
       * the whole table in one aggregation buffer; the approx sketch is
       * bounded and mergeable. Per-sensor medians stay exact either way. */
     exactGlobalMedian: Boolean = true,
+    /** Guardrail on the exact path: even with `exactGlobalMedian=true`,
+      * inputs whose plan-estimated size exceeds this many bytes take
+      * the approx sketch — BY DEFAULT the pipeline never builds an
+      * aggregation buffer holding a whole 100 TB table just because
+      * nobody flipped a flag. The default (4 GiB of plan-estimated
+      * input, i.e. the battery column's share is far smaller) is
+      * orders of magnitude below where the exact buffer would hurt and
+      * orders above any parity-checked SF. Raise to Long.MaxValue to
+      * force exactness regardless of size. */
+    exactGlobalMedianMaxBytes: Long = TransformConfig.DefaultExactGlobalMedianMaxBytes,
     /** When > 0, the rolling average runs in the bucketed two-pass form
       * (Transforms.rollingAvgBucketed) with this coarse bucket width:
       * no task ever sorts a key's full history, at the cost of one
@@ -52,6 +62,11 @@ final case class TransformConfig(
   /** Trailing row-count frame: 7 days x 24 obs/day = 168 rows
     * (reference transformation.py:262-264 — row-count, not time-range). */
   def rollingWindowRows: Int = rollingWindowDays * readingsPerDay
+}
+
+object TransformConfig {
+  /** See [[TransformConfig.exactGlobalMedianMaxBytes]]. */
+  val DefaultExactGlobalMedianMaxBytes: Long = 4L << 30
 }
 
 /** Validation thresholds. Reference: config/default.yaml:62-66. */
@@ -191,6 +206,7 @@ object PipelineConfig {
       Option(n.get("rolling_window_days")).foreach(x => t = t.copy(rollingWindowDays = x.asInt))
       Option(n.get("outlier_handling")).foreach(x => t = t.copy(outlierHandling = x.asText))
       Option(n.get("exact_global_median")).foreach(x => t = t.copy(exactGlobalMedian = x.asBoolean))
+      Option(n.get("exact_global_median_max_bytes")).foreach(x => t = t.copy(exactGlobalMedianMaxBytes = x.asLong))
       Option(n.get("rolling_bucket_seconds")).foreach(x => t = t.copy(rollingBucketSeconds = x.asLong))
       cfg = cfg.copy(transformation = t)
     }
@@ -284,6 +300,7 @@ object PipelineConfig {
       num(t, "rolling_window_days").foreach(v => tc = tc.copy(rollingWindowDays = v.toInt))
       str(t, "outlier_handling").foreach(v => tc = tc.copy(outlierHandling = v))
       str(t, "exact_global_median").foreach(v => tc = tc.copy(exactGlobalMedian = v.toBoolean))
+      str(t, "exact_global_median_max_bytes").foreach(v => tc = tc.copy(exactGlobalMedianMaxBytes = v.toLong))
       num(t, "rolling_bucket_seconds").foreach(v => tc = tc.copy(rollingBucketSeconds = v.toLong))
       cfg = cfg.copy(transformation = tc)
     }

@@ -182,9 +182,18 @@ object Similarity {
     * the pairwise stage is an equi-join on the cluster id, so candidate
     * pairs are Σ_c |c|² instead of N² — the clustering pass (linear,
     * broadcast centroids) buys a quadratic-term cap, exactly the
-    * SemDeDup argument. Skewed/huge clusters are the known failure
-    * mode; raise k (smaller cells) or sub-bucket by sign pattern
-    * (Dedup.embeddingNearDup) before the pair join.
+    * SemDeDup argument.
+    *
+    * Skewed/huge clusters are the known failure mode: one cell of size
+    * n still pays n²/2 pairs. `maxCellSize` arms a two-tier guard
+    * (see [[cellAssignments]]): cells over the cap are refined by a
+    * sign-pattern sub-bucket (recall-preserving — near-duplicates share
+    * orthants with high probability), and any sub-bucket STILL over the
+    * cap — the degenerate case where a huge cell shares one sign
+    * pattern — is split by a deterministic id-hash salt, which hard-
+    * bounds candidate pairs at ~N·maxCellSize/2 total at the documented
+    * recall cost of missing cross-salt pairs. Default = no guard:
+    * exact cell semantics (the oracle-checked configuration).
     *
     * Returns (vid, centroid_id, dropped). */
   def semanticDedup(
@@ -193,20 +202,85 @@ object Similarity {
       vecCol: String,
       k: Int = 8,
       iters: Int = 2,
-      threshold: Double = 0.3): DataFrame = {
-    val assign = lloydIterations(df, idCol, vecCol, k, iters)
-      .select(col("vid"), col("centroid_id"))
-    // Raw float vectors: the pair stage scores through the native
-    // float-array cosine (FloatVecCosine), same as bruteForceTopK.
-    val v = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
-    val av = assign.join(v, "vid")
+      threshold: Double = 0.3,
+      maxCellSize: Int = Int.MaxValue): DataFrame = {
+    val av = cellAssignments(df, idCol, vecCol, k, iters, maxCellSize)
     val dropped = av.as("a").join(av.as("b"),
       col("a.centroid_id") === col("b.centroid_id") &&
+        col("a.sub_sign") === col("b.sub_sign") &&
+        col("a.sub_salt") === col("b.sub_salt") &&
         col("a.vid") < col("b.vid"))
       .filter(embeddings.cosine(col("a.v"), col("b.v")) > threshold)
       .select(col("b.vid").as("vid")).distinct()
     av.join(dropped.withColumn("dropped", lit(true)), Seq("vid"), "left")
       .select(col("vid"), col("centroid_id"),
         coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
+  /** Cluster assignment for [[semanticDedup]]'s pair stage, with the
+    * skew guard applied when `maxCellSize` is set. Returns
+    * (vid, centroid_id, sub_sign, sub_salt, v) — the pair join
+    * equi-joins on (centroid_id, sub_sign, sub_salt).
+    *
+    * Guard mechanics (per cell of size n > maxCellSize):
+    *  1. sub_sign: the low `ceil(log2(n / maxCellSize))` bits (≤16) of
+    *     the 16-bit sign-pattern bucket — the minimal orthant split
+    *     that brings the EXPECTED sub-bucket under the cap. Recall-
+    *     preserving for near-duplicates, which agree on signs.
+    *  2. sub_salt: sub-buckets still over the cap (all rows share a
+    *     sign pattern — near-identical vectors, which an upstream
+    *     exact/normalized dedup pass collapses in a real pipeline) get
+    *     `pmod(xxhash64(vid), ceil(n_sb / maxCellSize))` — a lossy hard
+    *     bound: within each salt the search is complete, cross-salt
+    *     pairs are sacrificed, and candidate pairs are capped at
+    *     ~n_sb·maxCellSize/2 instead of n_sb²/2.
+    *
+    * Skew-safety of the guard itself: group sizes come from groupBy
+    * aggregations (map-side combined; the per-cell table is k rows and
+    * broadcast, the per-sub-bucket table is ≤ N/maxCellSize rows and
+    * left to AQE) — never from a window over the cell, which would sort
+    * the whole skewed cell into a single task, recreating the problem
+    * the guard exists to solve. */
+  def cellAssignments(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      maxCellSize: Int): DataFrame = {
+    val assign = lloydIterations(df, idCol, vecCol, k, iters)
+      .select(col("vid"), col("centroid_id"))
+    // Raw float vectors: the pair stage scores through the native
+    // float-array cosine (FloatVecCosine), same as bruteForceTopK.
+    val v = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val av0 = assign.join(v, "vid")
+    if (maxCellSize == Int.MaxValue)
+      av0.select(col("vid"), col("centroid_id"),
+        lit(0L).as("sub_sign"), lit(0L).as("sub_salt"), col("v"))
+    else {
+      val cellSizes = av0.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("cell_n")) // exactly k rows
+      val withSign = av0.join(broadcast(cellSizes), "centroid_id")
+        .withColumn("sub_bits", greatest(lit(0),
+          least(lit(16.0),
+            ceil(log(2.0, col("cell_n").cast("double") / maxCellSize)))
+            .cast("int")))
+        // Masking the low b bits of the 16-bit bucket == signBucket
+        // with b bits (bit i = sign of dimension i), so one bucket
+        // computation serves every cell's adaptive split width.
+        .withColumn("sub_sign",
+          embeddings.signBucket(col("v"), 16)
+            .bitwiseAND(expr("shiftleft(1L, sub_bits) - 1L")))
+        .drop("cell_n", "sub_bits")
+      val sbSizes = withSign
+        .groupBy(col("centroid_id"), col("sub_sign"))
+        .agg(count(lit(1)).as("sb_n"))
+      withSign.join(sbSizes, Seq("centroid_id", "sub_sign"))
+        .withColumn("sub_salt",
+          pmod(xxhash64(col("vid")), greatest(lit(1L),
+            ceil(col("sb_n").cast("double") / maxCellSize).cast("long"))))
+        .select(col("vid"), col("centroid_id"),
+          col("sub_sign"), col("sub_salt"), col("v"))
+    }
   }
 }

@@ -36,18 +36,30 @@ object Transforms {
     * Scale note: Spark's exact percentile buffers every value of its
     * group. Per sensor that is bounded by one sensor's history, but the
     * GLOBAL fallback is one group holding the whole table — at 100 TB
-    * that single aggregation buffer is the job's OOM. Setting
-    * `exactGlobalMedian=false` (TransformConfig) switches just the
-    * global fallback to `percentile_approx` (mergeable bounded sketch,
-    * accuracy 1e-5 relative rank); per-sensor medians stay exact. */
+    * that single aggregation buffer is the job's OOM. Two ways off the
+    * exact path, both switching ONLY the global fallback to
+    * `percentile_approx` (mergeable bounded sketch, accuracy 1e-5
+    * relative rank; per-sensor medians stay exact either way):
+    *  - `exactGlobalMedian=false` — explicit opt-out;
+    *  - the `exactGlobalMaxBytes` guardrail — ON BY DEFAULT: when the
+    *    input's plan-estimated size (Catalyst `LogicalPlan.stats`,
+    *    derived from file sizes — no job runs) exceeds the threshold,
+    *    the exact buffer is refused automatically. Parity-checked SFs
+    *    sit far below the default 4 GiB, so the oracle surface stays on
+    *    the exact path without configuration. */
   def imputeBattery(
       cols: ReadingCols = ReadingCols.sensor,
-      exactGlobalMedian: Boolean = true)(df: DataFrame): DataFrame = {
+      exactGlobalMedian: Boolean = true,
+      exactGlobalMaxBytes: Long =
+        graft.config.TransformConfig.DefaultExactGlobalMedianMaxBytes)(
+      df: DataFrame): DataFrame = {
     val bySensor = Window.partitionBy(col(cols.id))
+    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val exact = exactGlobalMedian && planBytes <= BigInt(exactGlobalMaxBytes)
     // global median as a broadcast 1-row aggregate — an empty-partition
     // window would funnel the whole table through one reducer at scale
     val globalExpr =
-      if (exactGlobalMedian) s"percentile(${cols.battery}, 0.5)"
+      if (exact) s"percentile(${cols.battery}, 0.5)"
       else s"percentile_approx(${cols.battery}, 0.5, 100000)"
     val globalMed = df.agg(expr(globalExpr).cast("double").as("__global_med"))
     df.crossJoin(broadcast(globalMed))
@@ -274,7 +286,8 @@ object Transforms {
     val c = cfg.cols
     df.transform(dedupExact)
       .transform(dropNullCritical(Seq(c.id, c.ts, c.typ, c.value)))
-      .transform(imputeBattery(c, cfg.transformation.exactGlobalMedian))
+      .transform(imputeBattery(c, cfg.transformation.exactGlobalMedian,
+        cfg.transformation.exactGlobalMedianMaxBytes))
       .transform(calibrate(cfg.calibration, c))
       .transform(shiftToLocal(cfg.timezoneOffsetMinutes, c))
       .transform(deriveDate(c))

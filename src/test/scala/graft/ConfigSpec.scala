@@ -124,6 +124,7 @@ class ConfigSpec extends AnyFunSuite {
         |transformation:
         |  z_score_threshold: 2.5
         |  outlier_handling: remove
+        |  exact_global_median_max_bytes: 1048576
         |ranges:
         |  temperature:
         |    min: 5
@@ -133,6 +134,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.transformation.zScoreThreshold === 2.5)
     assert(cfg.transformation.outlierHandling === "remove")
     assert(cfg.transformation.rollingWindowDays === 7) // untouched
+    assert(cfg.transformation.exactGlobalMedianMaxBytes === 1048576L)
     assert(cfg.ranges === Map("temperature" -> ValueRange(5.0, 45.0)))
     assert(cfg.write === WriteConfig()) // whole section omitted
     assert(cfg.validation === ValidationConfig())

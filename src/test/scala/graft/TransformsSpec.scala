@@ -72,6 +72,30 @@ class TransformsSpec extends SparkSpec {
     assert(out.toSeq === Seq(10.0, 20.0, 30.0, 20.0))
   }
 
+  test("P3 size guardrail: oversized input auto-switches the global fallback to approx") {
+    val df = readings(
+      ("s1", "2023-06-01 10:00:00", "temperature", 1.0, 10.0),
+      ("s1", "2023-06-01 11:00:00", "temperature", 1.0, 20.0),
+      ("s1", "2023-06-01 12:00:00", "temperature", 1.0, 30.0),
+      ("s2", "2023-06-01 10:00:00", "temperature", 1.0, null))
+    // Any real input's plan-estimated size exceeds 1 byte, so a 1-byte
+    // threshold simulates "table bigger than the exact buffer may hold"
+    // without materializing a big table.
+    val guarded = Transforms.imputeBattery(c,
+      exactGlobalMedian = true, exactGlobalMaxBytes = 1L)(df)
+    val plan = guarded.queryExecution.optimizedPlan.toString
+    assert(plan.contains("percentile_approx"))
+    val out = guarded.orderBy("sensor_id", "timestamp")
+      .select("battery_level").as[Double].collect()
+    assert(out.toSeq === Seq(10.0, 20.0, 30.0, 20.0))
+    // Default threshold (4 GiB) keeps small inputs on the exact path —
+    // the oracle-parity configuration needs no explicit opt-in.
+    val default = Transforms.imputeBattery(c)(df)
+    val dPlan = default.queryExecution.optimizedPlan.toString
+    assert(!dPlan.contains("percentile_approx"))
+    assert(dPlan.contains("percentile"))
+  }
+
   test("P4 calibration applies per-type multiplier/offset, leaves unknown types") {
     val cal = Map(
       "temperature" -> Calibration(2.0, 1.0),
