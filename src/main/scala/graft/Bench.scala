@@ -362,7 +362,17 @@ object Bench {
               prevTimes.get(name).exists(p =>
                 p > 0 && first > 2 * p && first - p > 0.5) =>
           val (s2, m2, t2) = once()
+          val err2 = lastErr
           val (s3, m3, t3) = once()
+          val err3 = lastErr
+          // A re-run that THROWS must fail the query, not contribute its
+          // time-to-failure as a fast sample: a transient error in run 2
+          // would otherwise publish as a clean 'speedup' (median of the
+          // broken runs), leave the errors map empty, and exit 0.
+          (err2 orElse err3).foreach { m =>
+            errors.getOrElseUpdate(name, m)
+            progress(s"""{"query":"$name","sec":$first,"err":"${esc(m)}"}""")
+          }
           val runs = Seq((first, firstM), (s2, m2), (s3, m3)).sortBy(_._1)
           val med = runs(1)._1
           // runs_task_ms is per-run summed executor time, SAME ORDER as

@@ -43,7 +43,10 @@ object CurationPipeline {
       nAfterNearDup: Long,
       nAfterSemantic: Long)
 
-  /** Library entry — composable without the main's IO. */
+  /** Library entry — composable without the main's IO. The returned
+    * corpus is persisted (each stage's survivor count forced it);
+    * callers embedding this in a longer-lived session should unpersist
+    * it when done. */
   def curate(
       docs: DataFrame,
       embeddings: Option[DataFrame],
@@ -85,8 +88,15 @@ object CurationPipeline {
     // skew guard armed: a production corpus has no k tuned to its
     // cluster structure, so the cap is what keeps a popular-topic cell
     // from going quadratic. Docs without an embedding pass through.
+    // The embeddings are semi-joined to the CURRENT survivors first —
+    // running over the full table would let an already-removed (or
+    // never-present) document's vector knock out the last surviving
+    // copy of its content, and would pay k-means + the pair join for
+    // vectors whose documents are gone.
     val (afterSem, nAfterSem) = embeddings match {
-      case Some(emb) =>
+      case Some(embAll) =>
+        val emb = embAll.join(
+          afterNear.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi")
         val dropped = Similarity.semanticDedup(
           emb, "vec_id", "embedding",
           k = 16, iters = 2, threshold = semanticThreshold,

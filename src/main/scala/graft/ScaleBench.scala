@@ -128,23 +128,35 @@ object ScaleBench {
     val dirEN = s"$work/ev_x$eventsCopies"
     val dirM1 = s"$work/emb_x1"
     val dirMN = s"$work/emb_x$embCopies"
-    // SPARK_GRAFT_SCALE_REUSE=1 skips re-replicating a dest whose
-    // _SUCCESS marker exists — replication (especially the 100M-row
-    // events decade) dominates wall time when iterating on shapes, and
-    // the replicas are a pure function of (base SF dir, copies), so a
-    // completed write never needs repeating within one testdata round.
+    // SPARK_GRAFT_SCALE_REUSE=1 skips re-replicating a dest that was
+    // completely written FROM THE SAME INPUTS — replication (especially
+    // the 100M-row events decade) dominates wall time when iterating on
+    // shapes. Replicas are a pure function of (base SF dir, copies), so
+    // the provenance marker records exactly that pair: a reuse run
+    // against a different SPARK_GRAFT_SF_DIR (or copy count) rebuilds
+    // instead of silently benchmarking stale data.
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1")
-    def complete(dest: String, table: String): Boolean =
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$dest/$table.parquet/_SUCCESS"))
-    def build(dest: String, tables: Seq[String])(write: => Unit): Unit =
-      if (!(reuse && tables.forall(complete(dest, _)))) write
-    build(dir1, Seq("lineitem", "documents"))(replicate(1, dir1))
-    build(dirN, Seq("lineitem", "documents"))(replicate(copies, dirN))
-    build(dirE1, Seq("events"))(replicateEvents(1, dirE1))
-    build(dirEN, Seq("events"))(replicateEvents(eventsCopies, dirEN))
-    build(dirM1, Seq("embeddings"))(replicateEmb(1, dirM1))
-    build(dirMN, Seq("embeddings"))(replicateEmb(embCopies, dirMN))
+    def marker(dest: String) = java.nio.file.Paths.get(s"$dest/_GRAFT_REPLICA")
+    def complete(dest: String, tables: Seq[String], prov: String): Boolean =
+      tables.forall(t => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dest/$t.parquet/_SUCCESS"))) &&
+        java.nio.file.Files.exists(marker(dest)) &&
+        java.nio.file.Files.readString(marker(dest)) == prov
+    def build(dest: String, tables: Seq[String], n: Int)(write: => Unit): Unit = {
+      val prov = s"base=$base copies=$n"
+      if (!(reuse && complete(dest, tables, prov))) {
+        java.nio.file.Files.deleteIfExists(marker(dest))
+        write
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
+        java.nio.file.Files.writeString(marker(dest), prov)
+      }
+    }
+    build(dir1, Seq("lineitem", "documents"), 1)(replicate(1, dir1))
+    build(dirN, Seq("lineitem", "documents"), copies)(replicate(copies, dirN))
+    build(dirE1, Seq("events"), 1)(replicateEvents(1, dirE1))
+    build(dirEN, Seq("events"), eventsCopies)(replicateEvents(eventsCopies, dirEN))
+    build(dirM1, Seq("embeddings"), 1)(replicateEmb(1, dirM1))
+    build(dirMN, Seq("embeddings"), embCopies)(replicateEmb(embCopies, dirMN))
 
     // ---- the shapes: same operators the oracle-checked queries call,
     // with id bounds rewritten per-copy (doc_id % docOff, part % pkOff)

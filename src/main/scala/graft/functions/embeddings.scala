@@ -53,10 +53,14 @@ object embeddings {
     * deterministic coarse quantizer for IVF-style partitioned ANN:
     * vectors can only be near neighbors if they land in the same
     * orthant bucket (approximate; recall traded for a bucket-local
-    * search that avoids the all-pairs shuffle at scale). */
+    * search that avoids the all-pairs shuffle at scale). Dimensions
+    * past the vector's length contribute 0 bits (`get` returns null
+    * out of bounds), so `bits` larger than the embedding width degrades
+    * to a coarser split instead of an ANSI index error — the skew
+    * guard probes 16 bits without knowing the width. */
   def signBucket(v: Column, bits: Int = 8): Column =
     (0 until bits).map(i =>
-      when(element_at(toDouble(v), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      when(get(toDouble(v), lit(i)) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** Per-vector absmax int8 quantization: q_i = floor(127 x_i / s + 0.5)

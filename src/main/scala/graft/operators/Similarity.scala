@@ -195,6 +195,12 @@ object Similarity {
     * recall cost of missing cross-salt pairs. Default = no guard:
     * exact cell semantics (the oracle-checked configuration).
     *
+    * Lazily composed, like [[lloydIterations]]: the assignment subtree
+    * is referenced by both pair-join sides and the merge-back, and
+    * runtime exchange reuse collapses the repeats. Callers looping or
+    * chaining over the result at scale should persist
+    * [[cellAssignments]] once and build the pair join themselves.
+    *
     * Returns (vid, centroid_id, dropped). */
   def semanticDedup(
       df: DataFrame,
@@ -248,6 +254,9 @@ object Similarity {
       k: Int,
       iters: Int,
       maxCellSize: Int): DataFrame = {
+    // 0 or negative would make the salt divisor ceil(n/cap) NULL/zero
+    // downstream and silently empty the pair join — fail loudly instead.
+    require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
     val assign = lloydIterations(df, idCol, vecCol, k, iters)
       .select(col("vid"), col("centroid_id"))
     // Raw float vectors: the pair stage scores through the native

@@ -37,7 +37,12 @@ object Streaming {
     * size, so on a harness running dozens of streaming queries over the
     * same path they dominate measured latency (r9: q141's 2x driver-run
     * medians tracked exactly this setup, not micro-batch throughput).
-    * One probe per path per JVM; the scratch dir is reused until exit. */
+    * One probe per path per JVM; the scratch dir is reused until exit.
+    * Known limit of the per-JVM cache: rewriting a probed path IN PLACE
+    * with a different ts physical encoding is not picked up (the stale
+    * type would mis-convert event times). Testdata paths are immutable
+    * within a round; anything that rewrites encodings mid-JVM must use
+    * a fresh path or a fresh session. */
   private val sourceCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, DataType)]()
 
@@ -135,38 +140,45 @@ object Streaming {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNoData = spark.conf.getOption(noDataKey)
     spark.conf.set(noDataKey, "false")
-    val q = agg.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", checkpoint.toString)
-      .start()
-    val setupNs = pendingSetupNs.getAndSet(0L) + (System.nanoTime() - setup0)
-    val stream0 = System.nanoTime()
-    try q.processAllAvailable()
-    finally {
-      q.stop()
+    // Conf restore and scratch/sink cleanup live in the OUTER finally:
+    // if start/processAllAvailable/stop throws, the session-wide conf
+    // must still come back (append-mode consumers elsewhere NEED
+    // no-data batches — leaving it off silently suppresses their
+    // watermark-close emissions) and the tmpfs checkpoint + memory-sink
+    // view must not accumulate across failed runs.
+    try {
+      val q = agg.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint.toString)
+        .start()
+      val setupNs = pendingSetupNs.getAndSet(0L) + (System.nanoTime() - setup0)
+      val stream0 = System.nanoTime()
+      try q.processAllAvailable()
+      finally q.stop()
+      lastPhaseRef.set((
+        math.rint(setupNs / 1e5) / 1e4,
+        math.rint((System.nanoTime() - stream0) / 1e5) / 1e4))
+      val sink = spark.table(name)
+      val (schema, rows) = (sink.schema, sink.collect().toSeq)
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, schema)
+    } finally {
       prevNoData match {
         case Some(v) => spark.conf.set(noDataKey, v)
         case None => spark.conf.unset(noDataKey)
       }
+      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      deleteRecursively(checkpoint)
+      // Unload this run's state-store providers. A stopped query's
+      // providers otherwise stay registered (each holding its operator's
+      // full keyed state in memory) until the maintenance task gets to
+      // them — on a harness running many short stateful queries in one
+      // JVM they accumulate into exactly the kind of ambient heap drag
+      // that made r9's driver-run streaming medians unreproducible.
+      org.apache.spark.sql.GraftColumnBridge.unloadStateStores()
     }
-    lastPhaseRef.set((
-      math.rint(setupNs / 1e5) / 1e4,
-      math.rint((System.nanoTime() - stream0) / 1e5) / 1e4))
-    val sink = spark.table(name)
-    val (schema, rows) = (sink.schema, sink.collect().toSeq)
-    spark.catalog.dropTempView(name)
-    deleteRecursively(checkpoint)
-    // Unload this run's state-store providers. A stopped query's
-    // providers otherwise stay registered (each holding its operator's
-    // full keyed state in memory) until the maintenance task gets to
-    // them — on a harness running many short stateful queries in one
-    // JVM they accumulate into exactly the kind of ambient heap drag
-    // that made r9's driver-run streaming medians unreproducible.
-    org.apache.spark.sql.GraftColumnBridge.unloadStateStores()
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** Scratch directory for DISPOSABLE stream state (harness checkpoints,

@@ -54,8 +54,13 @@ object Transforms {
         graft.config.TransformConfig.DefaultExactGlobalMedianMaxBytes)(
       df: DataFrame): DataFrame = {
     val bySensor = Window.partitionBy(col(cols.id))
-    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val exact = exactGlobalMedian && planBytes <= BigInt(exactGlobalMaxBytes)
+    // Stats only when the exact path is even a candidate: the lookup is
+    // a driver-side analyze+optimize of the upstream plan, and on the
+    // streaming foreachBatch path it would be paid per micro-batch for
+    // a value the opted-out branch never reads.
+    val exact = exactGlobalMedian &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(exactGlobalMaxBytes)
     // global median as a broadcast 1-row aggregate — an empty-partition
     // window would funnel the whole table through one reducer at scale
     val globalExpr =
