@@ -62,6 +62,25 @@ object CoreQueries {
     }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 
+  /** Decouple per-row compute parallelism from source layout. A corpus
+    * that lands as a few large row groups scans as a few tasks — and a
+    * tokenize/shingle/hash-heavy projection then runs on a handful of
+    * cores while the rest idle (measured: q172 spent its whole 3.4 s in
+    * ONE scan task at sf0.1, the file being a single 0.6 MB row group;
+    * parquet scans cannot split below row-group granularity). When the
+    * scan yields fewer partitions than half the cores, inject one
+    * round-robin exchange to fan the compute out; on a real multi-TB
+    * corpus the scan already yields thousands of splits and this is a
+    * no-op — the guard is what keeps "bodies never shuffle" true at
+    * scale while small-layout inputs still use the whole machine.
+    * Apply it BEFORE the expensive projection (on the source-shaped
+    * rows), never to a widened/derived row. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1-flavor flagship: grouped aggregation with exact sums (lineitem

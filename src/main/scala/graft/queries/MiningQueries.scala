@@ -78,7 +78,8 @@ object MiningQueries {
 
     // Source-pair shingle containment matrix.
     "q103_source_overlap" -> ((s, dir) => {
-      Mining.sourceOverlap(t(s, dir, "documents"), "source", "text", n = 5)
+      Mining.sourceOverlap(CoreQueries.spread(t(s, dir, "documents")),
+        "source", "text", n = 5)
     }),
 
     // Quality-gate funnel: survivors of each successive curation gate
@@ -166,7 +167,7 @@ object MiningQueries {
     // shuffles are the DF count and the (a,b) pair count. At 100 TB the
     // n_ab*N*10000 product moves to DECIMAL(38,0); plan shape unchanged.
     "q137_cooc_lift" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
+      val toks = CoreQueries.spread(t(s, dir, "documents"))
         .select(col("doc_id"), array_distinct(text.tokens(col("text"))).as("ts"))
       val ex = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
       val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -26,7 +26,8 @@ object RankingQueries {
 
     // BM25 (rational, integer-exact variant) over the documents corpus.
     "q126_bm25" -> ((s, dir) => {
-      Ranking.bm25(t(s, dir, "documents"), "doc_id", "text", bm25Terms)
+      Ranking.bm25(CoreQueries.spread(t(s, dir, "documents")),
+        "doc_id", "text", bm25Terms)
         .withColumnRenamed("id", "doc_id")
     }),
 
@@ -59,7 +60,8 @@ object RankingQueries {
 
     // Bigram language-model fluency score in integer millionths.
     "q130_bigram_lm" -> ((s, dir) => {
-      Ranking.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+      Ranking.bigramLmScore(CoreQueries.spread(t(s, dir, "documents")),
+        "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
     }),
 

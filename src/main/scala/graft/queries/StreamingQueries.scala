@@ -34,6 +34,62 @@ object StreamingQueries {
       val agg = Streaming.sessionCounts(stream)
       Streaming.runToCompletion(s, agg,
         s"stream_sessions_${runId.incrementAndGet()}")
+    }),
+
+    // Watermarked streaming dedup == batch DISTINCT: the ingest-time
+    // dedup shape (drop repeats of a key as the feed lands, state
+    // evicted once the watermark passes the key's horizon — bounded on
+    // an unbounded stream, unlike a plain dropDuplicates whose state
+    // grows forever). Output projects the KEY only: which physical row
+    // wins inside a micro-batch is order-dependent, but the emitted key
+    // set is exactly the distinct set, so the oracle compares the
+    // deterministic part and nothing else.
+    "q184_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val stream = Streaming.eventsStream(s, s"$dir/events.parquet")
+      val deduped = stream
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      Streaming.runToCompletion(s, deduped,
+        s"stream_dedup_${runId.incrementAndGet()}", outputMode = "append")
+    }),
+
+    // Stream-stream interval join == batch range join: click->purchase
+    // attribution within 30 minutes, both sides unbounded feeds. The
+    // time-range condition is what bounds join state (each side holds
+    // only rows newer than watermark - delay); an equality-only
+    // stream-stream join would buffer both streams forever. Inner join
+    // emits on match, so the pair set equals the batch join exactly.
+    "q185_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      def typed(t: String) = Streaming
+        .eventsStream(s, s"$dir/events.parquet")
+        .filter(col("event_type") === t)
+      val joined = Streaming.intervalJoin(
+        typed("click"), typed("purchase"), "user_id", "ts", "30 minutes")
+        .select(
+          col("l_event_id").as("click_id"),
+          col("r_event_id").as("purchase_id"),
+          col("l_user_id").as("user_id"))
+      Streaming.runToCompletion(s, joined,
+        s"stream_join_${runId.incrementAndGet()}", outputMode = "append")
+    }),
+
+    // flatMapGroupsWithState running totals == batch GROUP BY: custom
+    // keyed state (count + integer-exact micro-unit sum) updated per
+    // micro-batch. A static source drains in one batch, so the single
+    // update per user IS the final total — verified against the plain
+    // aggregate in DuckDB down to the last micro-unit.
+    "q186_stream_totals" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val stream = Streaming.eventsStream(s, s"$dir/events.parquet")
+      Streaming.runToCompletion(
+        s, Streaming.runningUserTotals(s, stream),
+        s"stream_totals_${runId.incrementAndGet()}", outputMode = "append")
+        .select(
+          col("userId").as("user_id"),
+          col("nEvents").as("n_events"),
+          col("sumValueMicros").as("sum_value_micros"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -61,5 +117,22 @@ object StreamingQueries {
         |  FROM o)
         |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  user_id, count(*) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin)
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q184_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q185_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |  a.user_id AS user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    "q186_stream_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) * 1000000 AS BIGINT)
+        |    AS sum_value_micros
+        |FROM events GROUP BY user_id""".stripMargin)
 }

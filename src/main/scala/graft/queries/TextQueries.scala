@@ -40,6 +40,8 @@ object TextQueries {
     s"($h * $a + $b) % ${text.minhashPrime}"
   }
 
+  import CoreQueries.spread
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup via content hash (hash-groupBy; SURVEY extension).
@@ -398,7 +400,7 @@ object TextQueries {
     // over the shingle stream plus a 5-row conditional rollup, instead
     // of 5 separate count-distinct passes over growing prefixes.
     "q172_vocab_growth" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
       val ns = array(Seq(100, 200, 300, 400, 500).map(n => lit(n)): _*)
       val firstSeen = docs.select(col("doc_id"),
         explode(array_distinct(text.shingles(col("text"), 3))).as("sv"))

@@ -217,27 +217,38 @@ object Streaming {
     * totals emitted on every micro-batch update. The state (count + sum
     * + last seen event time) is the engine-managed store shape —
     * checkpointed, recovered, and bounded by watermark/timeout at
-    * scale. */
-  final case class UserRunning(nEvents: Long, sumValue: Double, lastTs: Long)
-  final case class UserUpdate(userId: Long, nEvents: Long, sumValue: Double)
+    * scale. The value sum is carried as exact DECIMAL(20,6) micro-units
+    * in a Long — order-independent integer addition, so the running
+    * total is deterministic under any partitioning / batch split AND
+    * bit-comparable against a batch GROUP BY in another engine (the
+    * same integer-exact trick as q178/q181; a Double accumulator would
+    * drift with reduction order). */
+  final case class UserRunning(nEvents: Long, sumMicros: Long, lastTs: Long)
+  final case class UserUpdate(userId: Long, nEvents: Long, sumValueMicros: Long)
 
   def runningUserTotals(
       spark: SparkSession,
       events: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // value -> exact micro-units through Spark's own double->decimal
+    // cast (the cast DuckDB mirrors bit-for-bit; q44's sum rides it).
     val typed = events
-      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"))
-      .as[(Long, Double, Long)]
+      .select(
+        col("user_id"),
+        (col("value").cast(DecimalType(20, 6)) * lit(1000000L))
+          .cast(LongType).as("value_us"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
     typed
       .groupByKey(_._1)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (userId: Long, rows: Iterator[(Long, Double, Long)],
+        (userId: Long, rows: Iterator[(Long, Long, Long)],
          state: GroupState[UserRunning]) => {
-          val prev = state.getOption.getOrElse(UserRunning(0L, 0.0, Long.MinValue))
+          val prev = state.getOption.getOrElse(UserRunning(0L, 0L, Long.MinValue))
           var n = prev.nEvents
-          var s = prev.sumValue
+          var s = prev.sumMicros
           var last = prev.lastTs
           rows.foreach { case (_, v, t) =>
             n += 1; s += v; last = math.max(last, t)

@@ -404,6 +404,41 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(out === batch)
   }
 
+  test("streaming: dropDuplicatesWithinWatermark emits exactly the distinct key set") {
+    val stream = Streaming.eventsStream(spark, "/root/testdata/sf0.001/events.parquet")
+    val deduped = stream
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select($"user_id", $"event_type")
+    val out = Streaming.runToCompletion(
+      spark, deduped, "spec_wm_dedup", outputMode = "append")
+      .as[(Long, String)].collect()
+    val batch = graft.queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"event_type").distinct()
+      .as[(Long, String)].collect()
+    // every key emitted exactly once (no duplicate survived, none lost)
+    assert(out.length === out.toSet.size)
+    assert(out.toSet === batch.toSet)
+  }
+
+  test("streaming: running totals micro-unit sums equal the batch decimal sum") {
+    val stream = Streaming.eventsStream(spark, "/root/testdata/sf0.001/events.parquet")
+    val updates = Streaming.runToCompletion(
+      spark, Streaming.runningUserTotals(spark, stream), "spec_micros",
+      outputMode = "append")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"userId").orderBy($"nEvents".desc)
+    val finals = updates
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"userId".as("user_id"), $"sumValueMicros")
+    val batch = graft.queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "events")
+      .groupBy($"user_id")
+      .agg((sum($"value".cast("decimal(20,6)")) * lit(1000000L))
+        .cast("long").as("exact_us"))
+    val mismatch = finals.join(batch, "user_id")
+      .filter($"sumValueMicros" =!= $"exact_us").count()
+    assert(mismatch === 0)
+  }
+
   test("streaming: session windows bound per-user activity") {
     val stream = Streaming.eventsStream(spark, "/root/testdata/sf0.001/events.parquet")
     val sessions = Streaming.runToCompletion(
