@@ -62,14 +62,15 @@ object CurationQueries {
     // shingles that occur in >= 3 documents (basis points).
     "q63_boilerplate" -> ((s, dir) => {
       Curation.boilerplateProfile(
-        t(s, dir, "documents"), "doc_id", "text", n = 5, minDf = 3)
+        CoreQueries.spread(t(s, dir, "documents")),
+        "doc_id", "text", n = 5, minDf = 3)
     }),
 
     // Benchmark-contamination check: docs (id >= 20) sharing >= 3
     // distinct 5-gram shingles with the benchmark set (id < 20).
     "q64_contamination" -> ((s, dir) => {
       Curation.contamination(
-        t(s, dir, "documents"), "doc_id", "text",
+        CoreQueries.spread(t(s, dir, "documents")), "doc_id", "text",
         isBenchmark = col("doc_id") < 20, n = 5, minShared = 3)
     }),
 
@@ -186,7 +187,7 @@ object CurationQueries {
     // repetition signals): duplicate-token and duplicate-bigram rates
     // plus the top-token frequency share, in integer basis points.
     "q72_repetition" -> ((s, dir) => {
-      val tok = t(s, dir, "documents")
+      val tok = CoreQueries.spread(t(s, dir, "documents"))
         .select(col("doc_id"), text.tokens(col("text")).as("t"))
       val uni = tok.select(col("doc_id"), explode(col("t")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("f"))
@@ -360,7 +361,7 @@ object CurationQueries {
     // slices leak benchmark n-grams, and how badly — the per-dataset
     // report a decontamination pass actually acts on.
     "q81_contam_by_source" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = CoreQueries.spread(t(s, dir, "documents"))
       Curation.contamination(docs, "doc_id", "text",
         isBenchmark = col("doc_id") < 20, n = 5, minShared = 3)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")

@@ -64,7 +64,7 @@ object MiningQueries {
     // most likely successor — deterministic order (volume desc, prefix
     // asc), ties on successor count break by token.
     "q101_bigram_next" -> ((s, dir) => {
-      Mining.bigramNext(t(s, dir, "documents"), "text")
+      Mining.bigramNext(CoreQueries.spread(t(s, dir, "documents")), "text")
         .orderBy(col("prefix_n").desc, col("w1"))
         .limit(20)
     }),
@@ -72,7 +72,8 @@ object MiningQueries {
     // Truncation-duplicate families: same 50-char prefix, more than one
     // distinct full text — what exact dedup misses.
     "q102_prefix_dup" -> ((s, dir) => {
-      Mining.prefixDupGroups(t(s, dir, "documents"), "doc_id", "text", 50)
+      Mining.prefixDupGroups(CoreQueries.spread(t(s, dir, "documents")),
+        "doc_id", "text", 50)
         .filter(col("n_distinct_full") >= 2)
     }),
 
@@ -153,7 +154,8 @@ object MiningQueries {
 
     // Per-document shingle novelty in doc_id order.
     "q108_shingle_novelty" -> ((s, dir) => {
-      Mining.shingleNovelty(t(s, dir, "documents"), "doc_id", "text", n = 5)
+      Mining.shingleNovelty(CoreQueries.spread(t(s, dir, "documents")),
+        "doc_id", "text", n = 5)
         .withColumnRenamed("id", "doc_id")
     }),
 

@@ -85,7 +85,7 @@ object TextQueries {
 
     // Language-ID heuristic: per-language marker-stopword counts, argmax.
     "q33_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(text.langId(col("text")).as("predicted_lang"))
         .groupBy(col("predicted_lang"))
         .agg(count(lit(1)).as("n_docs"))
@@ -165,7 +165,7 @@ object TextQueries {
     // language ID -> per-(lang, quality) corpus stats. The end-to-end
     // shape a training-data curation job runs, as ONE lazy plan.
     "q51_text_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       val deduped = docs.withColumn("__h", md5(col("text")))
         .withColumn("__rn", org.apache.spark.sql.expressions.Window
           .partitionBy(col("__h")).orderBy(col("doc_id")) match {
@@ -189,7 +189,7 @@ object TextQueries {
     // by inverse document frequency (integer-safe score: tf/df double
     // division, no transcendental functions -> engine-identical).
     "q56_tf_rarity" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       val terms = docs.select(col("doc_id"),
         explode(text.tokens(col("text"))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term"))
@@ -252,7 +252,7 @@ object TextQueries {
     // struct(score, -pos, lang) in text.langIdNgram) — each score is
     // computed exactly once per row regardless of projection collapse.
     "q61_langid_ngram" -> ((s, dir) => {
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(text.langIdNgram(col("text")).as("predicted_lang"))
         .groupBy(col("predicted_lang"))
         .agg(count(lit(1)).as("n_docs"))
