@@ -49,6 +49,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** JVM JIT compiler bean (None when compile-time monitoring is
+    * unsupported). Cumulative ms spent in compiler threads — per-run
+    * deltas are recorded in details as runs_jit_ms. */
+  private val jitBean =
+    Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+
   /** Sums task-level executor metrics between reset() and snapshot().
     * Queries run one at a time, so everything the listener sees between
     * the two calls belongs to the in-flight query. Registered once;
@@ -308,8 +315,17 @@ object Bench {
     val details = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var lastErr: Option[String] = None
-      def once(): (Double, String, Long) = {
+      def once(): (Double, String, Long, Long) = {
         metrics.reset()
+        // JIT compile-time delta per run: on a 32-thread local box the
+        // C2 compiler threads COMPETE with task threads for cores, so a
+        // compilation storm (first execution of a query's generated
+        // code, or re-profiling after it goes hot) inflates task time
+        // with zero GC and zero spill — exactly the signature that made
+        // r9/r10 repeat-run medians hard to adjudicate (isolated q123:
+        // task_ms [5.7k, 20.6k, 10.6k] on an identical plan). Recording
+        // the delta lets a slow sample self-identify as compile-bound.
+        val jit0 = jitBean.map(_.getTotalCompilationTime).getOrElse(0L)
         val t0 = System.nanoTime()
         lastErr =
           try {
@@ -341,10 +357,11 @@ object Bench {
         val merged =
           if (phase.isEmpty) m else m.dropRight(1) + phase + "}"
         val taskMs = metrics.taskTimeMs()
+        val jitMs = jitBean.map(_.getTotalCompilationTime).getOrElse(0L) - jit0
         releaseAll()
-        (sec, merged, taskMs)
+        (sec, merged, taskMs, jitMs)
       }
-      val (first, firstM, firstT) = once()
+      val (first, firstM, firstT, firstJ) = once()
       val sec = lastErr match {
         case Some(m) =>
           errors += name -> m
@@ -361,9 +378,9 @@ object Bench {
               // q167 0.73→1.60, neither reproducible).
               prevTimes.get(name).exists(p =>
                 p > 0 && first > 2 * p && first - p > 0.5) =>
-          val (s2, m2, t2) = once()
+          val (s2, m2, t2, j2) = once()
           val err2 = lastErr
-          val (s3, m3, t3) = once()
+          val (s3, m3, t3, j3) = once()
           val err3 = lastErr
           // A re-run that THROWS must fail the query, not contribute its
           // time-to-failure as a fast sample: a transient error in run 2
@@ -378,9 +395,12 @@ object Bench {
           // runs_task_ms is per-run summed executor time, SAME ORDER as
           // runs: a cold first sample with inflated task time is
           // JIT/codegen warming inside tasks; inflated wall with flat
-          // task time is driver/ambient. The artifact self-adjudicates.
+          // task time is driver/ambient. runs_jit_ms is the JVM's
+          // compile-time delta per run — a slow sample with a large
+          // delta is compiler threads stealing cores, not the plan.
+          // The artifact self-adjudicates.
           val detail =
-            s""""runs":[$first,$s2,$s3],"runs_task_ms":[$firstT,$t2,$t3],"median":$med,"min":${runs.head._1},"metrics":${runs(1)._2}"""
+            s""""runs":[$first,$s2,$s3],"runs_task_ms":[$firstT,$t2,$t3],"runs_jit_ms":[$firstJ,$j2,$j3],"median":$med,"min":${runs.head._1},"metrics":${runs(1)._2}"""
           details += name -> detail
           progress(s"""{"query":"$name","sec":$med,$detail${prevTag(name)}}""")
           med
