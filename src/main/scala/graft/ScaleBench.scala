@@ -196,7 +196,21 @@ object ScaleBench {
       "cdc_apply" ->
         (dir => SparkEntry.queries("q173_cdc_apply")(spark, dir)),
       "time_weighted" ->
-        (dir => SparkEntry.queries("q152_time_weighted")(spark, dir)))
+        (dir => SparkEntry.queries("q152_time_weighted")(spark, dir)),
+      // Streaming shapes at 100x: what should amortize (micro-batch
+      // row work) vs what must stay fixed (driver-side setup — probe,
+      // checkpoint, query start; reported via setup_sec in metrics).
+      // Output stays collect-safe at both scales: hourly agg is
+      // hours x types (~3.6k rows), dedup keys are users x types
+      // (~500k at 100x). The stream-stream join is deliberately NOT
+      // run here: a drain-everything replay of a month of history in
+      // one batch holds BOTH sides' full row sets in join state, which
+      // measures the replay artifact, not the deployment shape (state
+      // there is bounded by watermark x arrival rate).
+      "stream_hourly" ->
+        (dir => SparkEntry.queries("q44_stream_hourly")(spark, dir)),
+      "stream_dedup" ->
+        (dir => SparkEntry.queries("q184_stream_dedup")(spark, dir)))
 
     // Similarity shapes: a FIXED 100-query set against the replicated
     // corpus — query work constant, corpus work xN. Brute force is the
@@ -245,7 +259,14 @@ object ScaleBench {
         val t0 = System.nanoTime()
         rows = fn(dir).count()
         val sec = r4((System.nanoTime() - t0) / 1e9)
-        val m = metrics.json()
+        // Streaming shapes: splice the setup/micro-batch split into the
+        // run's metrics (same contract as Bench) — the x1 vs xN compare
+        // is only meaningful on stream_sec, since setup is fixed cost.
+        val phase = streaming.Streaming.lastPhaseTimings()
+          .map { case (su, st) => s""","setup_sec":$su,"stream_sec":$st""" }
+          .getOrElse("")
+        val m0 = metrics.json()
+        val m = if (phase.isEmpty) m0 else m0.dropRight(1) + phase + "}"
         releaseAll()
         (sec, m)
       }
@@ -255,8 +276,14 @@ object ScaleBench {
       (best._1, Seq(s1, s2), best._2, rows)
     }
 
-    // warmup: reader + codegen init off the clock
+    // warmup: reader + codegen init off the clock, and the streaming
+    // machinery too — the FIRST streaming query in a JVM pays ~10 s of
+    // one-time cost (state-store providers, micro-batch planner,
+    // streaming codegen/JIT) that would otherwise land in whichever
+    // streaming shape runs first and invert its exponent (observed:
+    // stream_hourly x1 12.6 s cold vs 2.0 s at x100 warm).
     li(dir1).count(); docs(dir1).count()
+    SparkEntry.queries("q44_stream_hourly")(spark, dirE1).count()
 
     def runShapes(
         pairs: Seq[(String, String => DataFrame)],

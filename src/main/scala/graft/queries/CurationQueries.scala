@@ -74,6 +74,38 @@ object CurationQueries {
         isBenchmark = col("doc_id") < 20, n = 5, minShared = 3)
     }),
 
+    // Mixture PLANNING — the step before q68's rate application: given
+    // a global token budget (half the corpus) and a target mixture
+    // (uniform across observed sources), derive each source's sampling
+    // rate and the token count the plan will actually deliver. Pure
+    // integer arithmetic (div + basis points), so the plan is
+    // deterministic and engine-exact; under-budget sources (rate capped
+    // at 10000 bp) surface a deficit_tokens column — the signal that
+    // the target mixture is infeasible without upsampling. One corpus
+    // aggregate + a broadcast 1-row totals join; nothing text-sized
+    // shuffles (token counts reduce map-side).
+    "q188_mixture_plan" -> ((s, dir) => {
+      val per = CoreQueries.spread(t(s, dir, "documents"))
+        .select(col("source"),
+          text.tokenCount(col("text")).cast(LongType).as("tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      val tot = per.agg(
+        sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("target_tokens",
+          expr("total_tokens div 2 div n_sources"))
+        .withColumn("rate_bp",
+          least(lit(10000L), expr("target_tokens * 10000 div n_tokens")))
+        .withColumn("planned_tokens",
+          expr("n_tokens * rate_bp div 10000"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("target_tokens"), col("rate_bp"), col("planned_tokens"),
+          greatest(lit(0L), col("target_tokens") - col("planned_tokens"))
+            .as("deficit_tokens"))
+    }),
+
     // Stratified deterministic sample: 10 docs per lang, ordered by
     // content md5 (reproducible "random" with no RNG state).
     "q65_stratified_sample" -> ((s, dir) => {
@@ -462,6 +494,26 @@ object CurationQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    "q188_mixture_plan" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len($dTok)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |               count(*) AS n_sources FROM per),
+         |p AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    total_tokens // 2 // n_sources AS target_tokens,
+         |    least(10000, (total_tokens // 2 // n_sources) * 10000
+         |      // n_tokens) AS rate_bp
+         |  FROM per CROSS JOIN tot)
+         |SELECT source, n_docs, n_tokens, target_tokens,
+         |  CAST(rate_bp AS BIGINT) AS rate_bp,
+         |  CAST(n_tokens * rate_bp // 10000 AS BIGINT) AS planned_tokens,
+         |  CAST(greatest(0, target_tokens - n_tokens * rate_bp // 10000)
+         |    AS BIGINT) AS deficit_tokens
+         |FROM p""".stripMargin,
 
     "q62_sessionize" ->
       """WITH s AS (

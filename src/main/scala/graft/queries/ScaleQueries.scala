@@ -502,6 +502,37 @@ object ScaleQueries {
           col("last.value").as("final_value"), col("n_changes"))
     }),
 
+    // SCD2 dimension versioning from the same changelog q173 compacts:
+    // collapse runs of consecutive IDENTICAL values per key into
+    // versions, each carrying its validity interval [valid_from,
+    // valid_to) and a current flag — the warehouse shape that turns an
+    // event stream into a point-in-time-joinable dimension table. The
+    // run-length collapse (null-safe: keep a change only when its value
+    // IS DISTINCT FROM the previous one) happens BEFORE interval
+    // construction, so no-op updates never mint versions. Plan shape:
+    // the collapse lag() and the interval lead() share ONE
+    // (key → ts, event_id) partitioning — the filter between them
+    // preserves both the hash partitioning and the sort order, so
+    // EnsureRequirements inserts NO second exchange and NO second sort
+    // (the q86 single-Exchange window discipline, verified in the
+    // explain). (ts, event_id) is a total order (event_id unique), so
+    // version boundaries are deterministic on any partitioning.
+    "q187_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"), col("value"))
+        .withColumn("__prev", lag(col("value"), 1).over(w))
+        .filter(!(col("__prev") <=> col("value")))
+        .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+        .select(col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+    }),
+
     // Bounded k-core peel (3 rounds): iteratively drop nodes with
     // degree < k and restrict edges to survivors — the density-core
     // extraction a graph pipeline runs before expensive per-node work.
@@ -1201,6 +1232,24 @@ object ScaleQueries {
         |SELECT user_id, event_type, value AS final_value,
         |  CAST(n_changes AS BIGINT) AS n_changes
         |FROM ranked WHERE rn = 1 AND NOT is_delete""".stripMargin,
+
+    "q187_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS prev_v
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, event_type, ts, event_id, value
+        |  FROM c WHERE value IS DISTINCT FROM prev_v)
+        |SELECT user_id, event_type, value,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts, event_id) AS valid_to_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts, event_id) IS NULL
+        |    AS is_current
+        |FROM v""".stripMargin,
 
     "q171_kcore_peel" ->
       """WITH e0 AS (

@@ -71,8 +71,14 @@ object Streaming {
     val t0 = System.nanoTime()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (dir, tsType) = sourceCache.computeIfAbsent(path, { p =>
+      // A ".parquet" path can be a single FILE (testdata ships tables
+      // that way; FileStreamSource needs a directory, so symlink it
+      // into a scratch dir) or a DIRECTORY of part files (any
+      // Spark-written table, e.g. the scale replicas) — dispatch on
+      // what is actually on disk, not on the suffix.
       val d =
-        if (p.endsWith(".parquet")) {
+        if (p.endsWith(".parquet") &&
+            !Files.isDirectory(java.nio.file.Paths.get(p))) {
           val sd = scratchDir("graft-stream-src")
           Files.createSymbolicLink(
             sd.resolve("part-0.parquet"), java.nio.file.Paths.get(p))
