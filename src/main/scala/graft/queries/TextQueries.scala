@@ -188,8 +188,12 @@ object TextQueries {
     // TF-rarity ranking: top-3 terms per doc by term frequency weighted
     // by inverse document frequency (integer-safe score: tf/df double
     // division, no transcendental functions -> engine-identical).
+    // (No spread here: the token stream feeds BOTH the tf and df
+    // branches, so the extra exchange runs twice while the per-doc
+    // window + vocab join dominate — measured 1.12 s plain vs 1.58 s
+    // spread at sf0.1.)
     "q56_tf_rarity" -> ((s, dir) => {
-      val docs = spread(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val terms = docs.select(col("doc_id"),
         explode(text.tokens(col("text"))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term"))
