@@ -85,5 +85,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((id, info, builder))
     }
     ext.injectOptimizerRule(_ => FuseFloatVecDot)
+    // Whole-operator extension: the native as-of join's planner
+    // strategy (AsOfJoinPlan -> AsOfJoinExec).
+    ext.injectPlannerStrategy(_ => AsOfNative.AsOfJoinStrategy)
   }
 }

@@ -392,6 +392,30 @@ object CoreQueries {
             .as("gap_us"))
     }),
 
+    // The NATIVE as-of join — same query as q48, planned through the
+    // custom operator ladder's (c)-tier (plans.AsOfNative: LogicalPlan
+    // + SparkStrategy + AsOfJoinExec via SparkSessionExtensions)
+    // instead of the (a)-tier union+window composition. Same DuckDB
+    // ASOF JOIN oracle as q48, so one hash pins THREE independent
+    // formulations of the semantics to each other: the native merge,
+    // the compositional window, and DuckDB's own ASOF JOIN.
+    "q189_asof_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+          col("event_id").as("r_event_id"), col("value").as("r_value"))
+      graft.plans.AsOfNative.asofJoinLeft(clicks, purchases,
+        "user_id", "r_user_id", "ts", "r_ts", rightTie = "r_event_id")
+        .select(
+          col("event_id"),
+          col("r_event_id").as("purchase_event_id"),
+          col("r_value").as("purchase_value"),
+          (unix_micros(col("ts")) - unix_micros(col("r_ts")))
+            .as("gap_us"))
+    }),
+
     // W4 — hour-of-day pivot via conditional aggregation.
     "q18_hourly_pivot" -> ((s, dir) => {
       t(s, dir, "events")
@@ -730,6 +754,23 @@ object CoreQueries {
         |FROM events GROUP BY user_id""".stripMargin,
 
     "q48_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, max(event_id) AS pid,
+        |    arg_max(value, event_id) AS pval
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT c.event_id,
+        |  p.pid AS purchase_event_id,
+        |  p.pval AS purchase_value,
+        |  epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    // Same oracle as q48: the native operator must produce the
+    // identical hash through a different physical plan.
+    "q189_asof_native" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |purch AS (

@@ -17,6 +17,15 @@ object GraftColumnBridge {
   def unloadStateStores(): Unit =
     execution.streaming.state.StateStore.unloadAll()
 
+  /** Build a DataFrame from a (resolved) logical plan — the Dataset
+    * constructor is private[sql]. Used by the native operator surface
+    * (graft.plans.AsOfNative) to hand custom LogicalPlans to the
+    * session. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** True when the shared cache manager holds no cached plans — the
     * bench harness asserts this between queries so leaked cache entries
     * surface as a counted artifact instead of ambient slowdown. */

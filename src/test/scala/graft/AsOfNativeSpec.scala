@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOf
+import graft.plans.AsOfNative
+
+/** Native as-of join (custom LogicalPlan + Strategy + SparkPlan):
+  * semantics pinned against hand-computed edges AND against the
+  * compositional union+window operator on real data — two independent
+  * formulations, one answer. */
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof native: hand-computed matches, ties, and no-match rows") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 12:00:00"), "l2"),
+      (2L, ts("2024-01-01 09:00:00"), "l3"), // before any right row
+      (3L, ts("2024-01-01 10:00:00"), "l4")  // key with no right rows
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "r1"),  // same instant as l1
+      (1L, ts("2024-01-01 10:00:00"), 2L, "r2"),  // tie: higher tie wins
+      (1L, ts("2024-01-01 11:00:00"), 3L, "r3"),
+      (2L, ts("2024-01-01 09:30:00"), 4L, "r4")
+    ).toDF("rk", "rt", "tie", "rv")
+
+    val out = AsOfNative.asofJoinLeft(left, right,
+      "k", "rk", "t", "rt", rightTie = "tie")
+      .select($"lv", $"rv").as[(String, Option[String])]
+      .collect().toMap
+    assert(out("l1") === Some("r2")) // same-instant matches; max tie wins
+    assert(out("l2") === Some("r3")) // latest at-or-before
+    assert(out("l3") === None)       // right row is later -> no match
+    assert(out("l4") === None)       // key absent from right
+
+    // tolerance: l2 is 60 min after r3; a 30-min tolerance drops it
+    val tol = AsOfNative.asofJoinLeft(left, right,
+      "k", "rk", "t", "rt", rightTie = "tie",
+      toleranceUs = Some(30L * 60 * 1000000))
+      .select($"lv", $"rv").as[(String, Option[String])]
+      .collect().toMap
+    assert(tol("l1") === Some("r2")) // 0 staleness, kept
+    assert(tol("l2") === None)       // 60 min stale > 30 min tolerance
+  }
+
+  test("asof native: equals the compositional union+window operator") {
+    val ev = queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+
+    val native = AsOfNative.asofJoinLeft(
+      clicks,
+      purchases.select($"user_id".as("r_user_id"), $"ts".as("r_ts"),
+        $"event_id".as("r_event_id"), $"value".as("r_value")),
+      "user_id", "r_user_id", "ts", "r_ts", rightTie = "r_event_id")
+      .select($"event_id", $"r_event_id", $"r_value")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+
+    val composed = AsOf.asofLeft(clicks, purchases,
+      key = "user_id", ts = "ts", rightTie = "event_id")
+      .select($"event_id",
+        $"asof_match.event_id".as("m_id"), $"asof_match.value".as("m_v"))
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+
+    assert(native.nonEmpty)
+    assert(native === composed)
+
+    // and with tolerance (6h), the q99 shape
+    val tolUs = 6L * 3600 * 1000000
+    val nativeTol = AsOfNative.asofJoinLeft(
+      clicks,
+      purchases.select($"user_id".as("r_user_id"), $"ts".as("r_ts"),
+        $"event_id".as("r_event_id"), $"value".as("r_value")),
+      "user_id", "r_user_id", "ts", "r_ts", rightTie = "r_event_id",
+      toleranceUs = Some(tolUs))
+      .select($"event_id", $"r_event_id")
+      .as[(Long, Option[Long])].collect().toSet
+    val composedTol = AsOf.asofLeft(clicks, purchases,
+      key = "user_id", ts = "ts", rightTie = "event_id",
+      toleranceUs = Some(tolUs))
+      .select($"event_id", $"asof_match.event_id".as("m_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(nativeTol === composedTol)
+    // the tolerance actually drops some matches (else it tests nothing)
+    assert(nativeTol.count(_._2.isEmpty) > native.count(_._2.isEmpty))
+  }
+
+  test("asof native: plans as AsOfJoinExec with co-partitioned exchanges") {
+    val ev = queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "events")
+    val l = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val r = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("rk"), $"ts".as("rt"), $"event_id".as("rid"))
+    val df = AsOfNative.asofJoinLeft(l, r, "user_id", "rk", "ts", "rt", "rid")
+    df.count() // force planning through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinExec") || plan.contains("AsOfJoin"))
+    // both sides exchange on their key — the SMJ-subset requirement
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 2 ||
+      plan.contains("Exchange"))
+  }
+
+  test("asof native: null keys never match and never crash the merge") {
+    val left = Seq(
+      (Some(1L), ts("2024-01-01 10:00:00"), "a"),
+      (None, ts("2024-01-01 10:00:00"), "b")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (Some(1L), ts("2024-01-01 09:00:00"), 1L, "r1"),
+      (None, ts("2024-01-01 09:00:00"), 2L, "rnull")
+    ).toDF("rk", "rt", "tie", "rv")
+    val out = AsOfNative.asofJoinLeft(left, right,
+      "k", "rk", "t", "rt", "tie")
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(out("a") === Some("r1"))
+    assert(out("b") === None) // null key matches nothing
+  }
+}

@@ -11,6 +11,10 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // The deploy-path extension registration (functions + fuse rule +
+      // native as-of strategy) — every suite runs with the extensions
+      // active, so the injection path itself is continuously tested.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
