@@ -211,7 +211,29 @@ object ScaleBench {
       "stream_hourly" ->
         (dir => SparkEntry.queries("q44_stream_hourly")(spark, dir)),
       "stream_dedup" ->
-        (dir => SparkEntry.queries("q184_stream_dedup")(spark, dir)))
+        (dir => SparkEntry.queries("q184_stream_dedup")(spark, dir)),
+      // The as-of pair: identical semantics, two physical strategies —
+      // the union+window composition (q48) vs the native merge operator
+      // (q189). Same scale, same data, so the xN delta is the direct
+      // cost of the union row inflation + struct padding + window
+      // buffering the native exec eliminates. The harness counts rows,
+      // and Catalyst is aggressive about work that cannot affect a
+      // count: a bare count() over the join prunes the unused window
+      // column, and count() over a global aggregate folds to the
+      // constant 1 without running it. The filter on the aggregate
+      // output makes the count DEPEND on the matched values, so both
+      // measurements complete the same work (verified: both return
+      // n_matched=1842800 with identical gap sums at x100).
+      "asof_window" ->
+        (dir => SparkEntry.queries("q48_asof_join")(spark, dir)
+          .agg(count(col("purchase_event_id")).as("n_matched"),
+            sum(col("gap_us")).as("total_gap_us"))
+          .where(col("n_matched") >= 0)),
+      "asof_native" ->
+        (dir => SparkEntry.queries("q189_asof_native")(spark, dir)
+          .agg(count(col("purchase_event_id")).as("n_matched"),
+            sum(col("gap_us")).as("total_gap_us"))
+          .where(col("n_matched") >= 0)))
 
     // Similarity shapes: a FIXED 100-query set against the replicated
     // corpus — query work constant, corpus work xN. Brute force is the
