@@ -22,6 +22,16 @@ import org.apache.spark.sql.SparkSession
   *     way — consumers gating on exit status see a broken build as
   *     broken, consumers parsing the JSON read the errors map.
   *
+  * Forcing policy (round 10): every query materializes through the
+  * `noop` DSv2 sink, not count(). A count() lets the optimizer —
+  * correctly — skip work that cannot change cardinality: unused window
+  * columns, projection-only expression chains, whole global aggregates
+  * (folded to their constant 1-row shape). Under count() the bench was
+  * silently measuring scans for projection-shaped queries; the noop
+  * write evaluates every output column with no sink IO, so a query's
+  * number is its work. This re-based all per-query times once; the
+  * medians before/after are not comparable across that boundary.
+  *
   * Measurement policy: single-shot wall-time cannot adjudicate noise vs
   * regression for persist/broadcast/spill-heavy queries (r7: the driver
   * measured q158 at 40.7 s where the identical build measured ~11 s —
@@ -336,8 +346,20 @@ object Bench {
             // releaseAll() keeps the ContextCleaner from collecting
             // them (observed: 2 broadcast blocks surviving the
             // barrier on exactly the queries measured last).
+            //
+            // Forced through the noop sink, NOT count(): Catalyst is
+            // (correctly) aggressive about work that cannot affect a
+            // count — unused window columns are pruned, projection-only
+            // expression chains collapse to the scan, and
+            // count-over-global-aggregate folds to a constant. Under
+            // count() a projection query like zorder or simhash was
+            // measuring little more than its scan (discovered via the
+            // as-of pair: the window form "ran" 25x faster than its
+            // actual work). The noop write materializes EVERY output
+            // column with no sink cost, so the artifact measures the
+            // query, not the optimizer's ability to skip it.
             var df = fn(spark, sfDir)
-            df.count()
+            df.write.mode("overwrite").format("noop").save()
             df = null
             None
           }
@@ -425,17 +447,29 @@ object Bench {
       ranges = queries.CoreQueries.eventRanges,
       calibration = queries.CoreQueries.eventCalibration)
     // Headline number vs the reference baseline — always best-of-2.
+    // Same noop-sink forcing as the queries: under count() the
+    // pipeline's projection stages (calibration, tz shift, anomaly
+    // flags) were eliminated and only the cardinality-affecting
+    // backbone (dedup window, null drops) was timed. Records = input
+    // rows (the reference's records/s is also input-relative).
     var nRecords = 0L
     def pipeOnce(): Double = {
+      val input = queries.CoreQueries.t(spark, sfDir, "events")
+      nRecords = input.count()
       val t0 = System.nanoTime()
-      nRecords = queries.CoreQueries.t(spark, sfDir, "events")
-        .transform(transform.Transforms.pipeline(cfg)).count()
+      input.transform(transform.Transforms.pipeline(cfg))
+        .write.mode("overwrite").format("noop").save()
       val sec = r4((System.nanoTime() - t0) / 1e9)
       releaseAll()
       sec
     }
+    // Best-of-3 for the two headline throughput numbers: they are
+    // single figures compared across rounds (not median-of-3 detailed
+    // like the queries), and a best-of-2 still landed a 2.2x ambient
+    // sample as the round's records/s (observed between two identical
+    // noop-forced runs).
     def guarded(name: String, run: () => Double): Double =
-      try math.min(run(), run())
+      try Seq(run(), run(), run()).min
       catch {
         case e: Throwable =>
           val m = e.getClass.getSimpleName + ": " +
@@ -466,8 +500,12 @@ object Bench {
         .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          streamAcc.add(
-            batch.transform(transform.Transforms.pipeline(cfg)).count())
+          // Input-row accounting (cheap re-scan of the batch's files),
+          // then the full transform through the noop sink — same
+          // no-eliminated-work policy as the batch pipeline.
+          streamAcc.add(batch.count())
+          batch.transform(transform.Transforms.pipeline(cfg))
+            .write.mode("overwrite").format("noop").save()
         }
         .start()
       sq.awaitTermination()

@@ -93,7 +93,7 @@ object TextQueries {
 
     // Document fingerprinting: min-md5 over word trigram shingles.
     "q34_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents").select(
+      spread(t(s, dir, "documents")).select(
         col("doc_id"),
         text.fingerprint(col("text"), 3).as("fingerprint"))
     }),
@@ -101,7 +101,7 @@ object TextQueries {
     // MinHash signatures (k=8, word unigrams) as explicit columns.
     "q35_minhash_sig" -> ((s, dir) => {
       val sig = text.minhash(col("text"), 8, 1)
-      t(s, dir, "documents").select(
+      spread(t(s, dir, "documents")).select(
         col("doc_id") +:
           (0 until 8).map(i => element_at(sig, i + 1).as(s"mh$i")): _*)
     }),
@@ -126,7 +126,7 @@ object TextQueries {
 
     // 60-bit SimHash per document.
     "q38_simhash" -> ((s, dir) => {
-      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhash(spread(t(s, dir, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
     }),
 
@@ -412,8 +412,14 @@ object TextQueries {
       val vocab = firstSeen.select(explode(ns).as("n"), col("fd"))
         .groupBy(col("n"))
         .agg(count(when(col("fd") < col("n"), 1)).as("vocab"))
+      // size(shingles(text, 3)) == max(1, tokens - 2) by the shingle
+      // definition (len < n -> one joined shingle, else len - n + 1):
+      // the totals branch needs only the COUNT, so it never builds the
+      // shingle array at all — the corpus is shingled once (vocab
+      // branch), tokenized-and-counted once (this branch).
       val totals = docs.select(col("doc_id"),
-        size(text.shingles(col("text"), 3)).cast(LongType).as("c"))
+        greatest(lit(1L),
+          (text.tokenCount(col("text")) - lit(2)).cast(LongType)).as("c"))
         .select(explode(ns).as("n"), col("doc_id"), col("c"))
         .groupBy(col("n"))
         .agg(sum(when(col("doc_id") < col("n"), col("c")))
