@@ -307,6 +307,11 @@ object ScaleBench {
     // stream_hourly x1 12.6 s cold vs 2.0 s at x100 warm).
     li(dir1).count(); docs(dir1).count()
     SparkEntry.queries("q44_stream_hourly")(spark, dirE1).count()
+    // Drain the warmup's streaming phase timings — lastPhaseTimings is
+    // a read-clears ref, and an undrained warmup entry would splice
+    // setup_sec/stream_sec into the FIRST measured (non-streaming)
+    // shape's metrics (same leak Bench drains after its warmup).
+    streaming.Streaming.lastPhaseTimings()
 
     def runShapes(
         pairs: Seq[(String, String => DataFrame)],

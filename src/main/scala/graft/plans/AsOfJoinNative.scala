@@ -147,18 +147,23 @@ object AsOfNative {
           while (nextRow == null && rIter.hasNext) {
             val r = rIter.next()
             val k = rKey.eval(r)
-            if (k != null) { // null keys never match anything
+            val t = rTs.eval(r)
+            // Null keys and null timestamps never match anything (SQL
+            // semantics: ts >= NULL is never true) — skip them here so
+            // the merge state only ever holds matchable rows.
+            if (k != null && t != null) {
               nextRow = r
               nextKey = k
-              nextTs = rTs.eval(r).asInstanceOf[Long]
+              nextTs = t.asInstanceOf[Long]
             }
           }
         }
         advanceLookahead()
         lIter.map { lRow =>
           val k = lKey.eval(lRow)
-          val ts = lTs.eval(lRow).asInstanceOf[Long]
-          if (k != null) {
+          val tsV = lTs.eval(lRow)
+          if (k != null && tsV != null) {
+            val ts = tsV.asInstanceOf[Long]
             // Consume right rows while they are for an earlier key, or
             // for this key at-or-before the left timestamp. The last
             // consumed row for THIS key is the as-of candidate.
@@ -167,15 +172,21 @@ object AsOfNative {
               val c = keyOrdering.compare(nextKey, k)
               if (c < 0 || (c == 0 && nextTs <= ts)) {
                 bufRow = nextRow.copy()
-                bufKey = nextKey
-                bufTs = nextTs
+                // Re-derive key/ts FROM THE COPY: nextKey may be a view
+                // (UTF8String) into the child iterator's reused/spilled
+                // row buffer, which the advanceLookahead() below
+                // overwrites — a stale view would corrupt the buffered
+                // key and match the wrong key's row.
+                bufKey = rKey.eval(bufRow)
+                bufTs = rTs.eval(bufRow).asInstanceOf[Long]
                 advanceLookahead()
               } else advancing = false
             }
           }
-          val matched = k != null && bufRow != null &&
-            keyOrdering.compare(bufKey, k) == 0 && bufTs <= ts &&
-            tol.forall(t => ts - bufTs <= t)
+          val matched = k != null && tsV != null && bufRow != null &&
+            keyOrdering.compare(bufKey, k) == 0 &&
+            bufTs <= tsV.asInstanceOf[Long] &&
+            tol.forall(t => tsV.asInstanceOf[Long] - bufTs <= t)
           project(joined(lRow, if (matched) bufRow else nullRight))
         }
       }
@@ -205,10 +216,17 @@ object AsOfNative {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lts, rts) = (attr(lPlan, leftTs), attr(rPlan, rightTs))
+    // Fail fast on type mismatches: differently-typed keys hash to
+    // different partitions (Int vs Long Murmur3) and the interpreted
+    // ordering throws mid-task — neither failure names the cause.
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lts.dataType == rts.dataType,
+      s"as-of timestamp types differ: ${lts.dataType} vs ${rts.dataType}")
     val node = AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTs), attr(rPlan, rightTs),
-      attr(rPlan, rightTie), toleranceUs)
+      lk, rk, lts, rts, attr(rPlan, rightTie), toleranceUs)
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, node)
   }
 

@@ -416,10 +416,13 @@ object TextQueries {
       // definition (len < n -> one joined shingle, else len - n + 1):
       // the totals branch needs only the COUNT, so it never builds the
       // shingle array at all — the corpus is shingled once (vocab
-      // branch), tokenized-and-counted once (this branch).
+      // branch), tokenized-and-counted once (this branch). The isNotNull
+      // gate preserves the identity for null text too (greatest SKIPS
+      // nulls, so ungated it would turn a null doc's NULL into 1).
       val totals = docs.select(col("doc_id"),
-        greatest(lit(1L),
-          (text.tokenCount(col("text")) - lit(2)).cast(LongType)).as("c"))
+        when(col("text").isNotNull,
+          greatest(lit(1L),
+            (text.tokenCount(col("text")) - lit(2)).cast(LongType))).as("c"))
         .select(explode(ns).as("n"), col("doc_id"), col("c"))
         .groupBy(col("n"))
         .agg(sum(when(col("doc_id") < col("n"), col("c")))

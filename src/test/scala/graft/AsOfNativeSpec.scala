@@ -109,6 +109,53 @@ class AsOfNativeSpec extends SparkSpec {
       plan.contains("Exchange"))
   }
 
+  test("asof native: string keys merge correctly (buffer-backed key type)") {
+    // Keys that are views into reused row buffers (UTF8String) — the
+    // buffered candidate's key must be re-derived from the COPIED row,
+    // not kept as a view that the lookahead overwrites.
+    val left = Seq(
+      ("a", ts("2024-01-01 12:00:00"), "la"),
+      ("b", ts("2024-01-01 09:30:00"), "lb1"), // before b's only right row
+      ("b", ts("2024-01-01 12:00:00"), "lb2"),
+      ("c", ts("2024-01-01 12:00:00"), "lc")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1L, "ra"),
+      ("b", ts("2024-01-01 10:00:00"), 2L, "rb"),
+      ("d", ts("2024-01-01 10:00:00"), 3L, "rd")
+    ).toDF("rk", "rt", "tie", "rv")
+    val out = AsOfNative.asofJoinLeft(left, right, "k", "rk", "t", "rt", "tie")
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(out("la") === Some("ra"))
+    assert(out("lb1") === None)       // right row is later
+    assert(out("lb2") === Some("rb")) // and NOT 'ra' — stale-key check
+    assert(out("lc") === None)        // no right rows for key c
+  }
+
+  test("asof native: null timestamps never match (SQL ts >= NULL semantics)") {
+    val left = Seq(
+      (1L, Some(ts("2024-01-01 12:00:00")), "lt"),
+      (1L, None, "lnull") // null left ts -> no match
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, Some(ts("2024-01-01 10:00:00")), 1L, "r1"),
+      (1L, None, 2L, "rnull") // null right ts -> never a candidate
+    ).toDF("rk", "rt", "tie", "rv")
+    val out = AsOfNative.asofJoinLeft(left, right, "k", "rk", "t", "rt", "tie")
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(out("lt") === Some("r1")) // matches the non-null right row
+    assert(out("lnull") === None)
+  }
+
+  test("asof native: mismatched key or ts types fail fast at the API") {
+    val l = Seq((1, ts("2024-01-01 10:00:00"))).toDF("k", "t") // Int key
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 1L)).toDF("rk", "rt", "tie")
+    val e = intercept[IllegalArgumentException] {
+      AsOfNative.asofJoinLeft(l, r, "k", "rk", "t", "rt", "tie")
+    }
+    assert(e.getMessage.contains("key types differ"))
+  }
+
   test("asof native: null keys never match and never crash the merge") {
     val left = Seq(
       (Some(1L), ts("2024-01-01 10:00:00"), "a"),
