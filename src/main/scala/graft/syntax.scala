@@ -105,6 +105,20 @@ object syntax {
         contentCol: String,
         thresholdBp: Int = 6000): DataFrame =
       Dedup.prefixFilterPairs(df, idCol, contentCol, thresholdBp)
+
+    /** Native as-of (point-in-time) left join — the custom merge
+      * operator, see [[graft.plans.AsOfNative.asofJoinLeft]]. Right
+      * columns must not collide with the left's (alias them first). */
+    def asofJoin(
+        right: DataFrame,
+        leftKey: String,
+        rightKey: String,
+        leftTs: String,
+        rightTs: String,
+        rightTie: String,
+        toleranceUs: Option[Long] = None): DataFrame =
+      graft.plans.AsOfNative.asofJoinLeft(
+        df, right, leftKey, rightKey, leftTs, rightTs, rightTie, toleranceUs)
   }
 
   implicit class EmbeddingOps(private val corpus: DataFrame) extends AnyVal {

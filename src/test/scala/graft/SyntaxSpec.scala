@@ -44,6 +44,16 @@ class SyntaxSpec extends SparkSpec {
       Curation.contamination(docs, "doc_id", "text", col("doc_id") === 1L))
     samePlan(docs.similarPairs("doc_id", "text"),
       Dedup.prefixFilterPairs(docs, "doc_id", "text"))
+    locally {
+      val right = docs.select($"doc_id".as("rid"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("rt"))
+      val left = docs.select($"doc_id",
+        lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")).as("t"))
+      samePlan(
+        left.asofJoin(right, "doc_id", "rid", "t", "rt", "rid"),
+        graft.plans.AsOfNative.asofJoinLeft(
+          left, right, "doc_id", "rid", "t", "rt", "rid"))
+    }
   }
 
   test("embedding ops delegate to the operator objects") {
