@@ -286,10 +286,14 @@ object ScaleBench {
         // run's metrics (same contract as Bench) — the x1 vs xN compare
         // is only meaningful on stream_sec, since setup is fixed cost.
         val phase = streaming.Streaming.lastPhaseTimings()
-          .map { case (su, st) => s""","setup_sec":$su,"stream_sec":$st""" }
-          .getOrElse("")
+          .map("," + _).getOrElse("")
+        val phases = util.PhaseProf.drainJson() match {
+          case "" => ""
+          case p => "," + p
+        }
         val m0 = metrics.json()
-        val m = if (phase.isEmpty) m0 else m0.dropRight(1) + phase + "}"
+        val extra = phase + phases
+        val m = if (extra.isEmpty) m0 else m0.dropRight(1) + extra + "}"
         releaseAll()
         (sec, m)
       }

@@ -119,7 +119,7 @@ object Graph {
         when(fwd, col("v")).otherwise(col("u")).as("dst"),
         when(fwd, col("dv")).otherwise(col("du")).as("dd"))
       .persist(lvl)
-    val nEdges = oriented.count()
+    val nEdges = graft.util.PhaseProf.timed("orient")(oriented.count())
     edges.unpersist(blocking = false)
     // Close triangles by ADJACENCY INTERSECTION, not wedge
     // materialization: per oriented source, collect the sorted
@@ -223,12 +223,15 @@ object Graph {
       owned.release(e)
       (nxt, edgeN, coreN)
     }
+    // Per-round wall times feed the bench details (PhaseProf): an
+    // iterative operator's regression must arrive attributed to the
+    // round (or the edge build) that moved, not as one opaque number.
     val e0 = edgesIn.persist(lvl)
-    val nEdges = e0.count()
+    val nEdges = graft.util.PhaseProf.timed("edge_build")(e0.count())
     val (eLast, neLast, cores) =
       (1 to rounds).foldLeft((e0, 0L, Vector.empty[Long])) {
-        case ((e, _, cs), _) =>
-          val (nxt, ne, c) = round(e)
+        case ((e, _, cs), i) =>
+          val (nxt, ne, c) = graft.util.PhaseProf.timed(s"peel_r$i")(round(e))
           (nxt, ne, cs :+ c)
       }
     owned.release(eLast)

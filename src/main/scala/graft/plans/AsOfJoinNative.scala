@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, HashPartitioning, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Native as-of (point-in-time) join — the (c)-tier of the custom
   * operator ladder: a whole-operator `LogicalPlan` + `SparkStrategy` +
@@ -28,27 +29,30 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * At cluster scale the shape degrades exactly like a sort-merge join
   * (its requirements are a subset of SMJ's): both sides exchange on
-  * the key, AQE coalesces the two shuffles as one group, and the merge
-  * itself is O(|left| + |right|) per partition with O(1) state — one
-  * buffered right row. Skewed keys behave like SMJ skew (one task owns
-  * the key's rows); the merge state stays O(1) regardless.
+  * the keys, AQE coalesces the two shuffles as one group, and the
+  * merge itself is O(|left| + |right|) per partition with O(1) state —
+  * one buffered right row. Skewed keys behave like SMJ skew (one task
+  * owns the key's rows); the merge state stays O(1) regardless.
   *
   * Semantics (DuckDB ASOF JOIN LEFT, pandas merge_asof): each left row
-  * matches the latest right row with the same key and right.ts <=
-  * left.ts; among right rows tied on (key, ts) the greatest tie-break
-  * value wins; unmatched left rows keep null right columns. Optional
-  * tolerance drops matches staler than `toleranceUs` microseconds.
+  * matches the latest right row with the same key tuple and right.ts
+  * <= left.ts; among right rows tied on (keys, ts) the greatest
+  * tie-break value wins; unmatched left rows keep null right columns.
+  * Optional tolerance drops matches staler than `toleranceUs`
+  * microseconds. Keys are COMPOSITE (DuckDB ASOF takes any number of
+  * equality conditions alongside the one inequality; same here): the
+  * single-key form is the one-element case.
   */
 object AsOfNative {
 
   /** Logical node. Children must have DISJOINT output attribute ids
     * (rename one side before joining — enforced in [[asofJoinLeft]]);
-    * key/ts/tie are resolved attributes of the respective child. */
+    * keys/ts/tie are resolved attributes of the respective child. */
   final case class AsOfJoinPlan(
       left: LogicalPlan,
       right: LogicalPlan,
-      leftKey: Attribute,
-      rightKey: Attribute,
+      leftKeys: Seq[Attribute],
+      rightKeys: Seq[Attribute],
       leftTs: Attribute,
       rightTs: Attribute,
       rightTie: Attribute,
@@ -64,8 +68,8 @@ object AsOfNative {
     * later (standard strategy contract). */
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie, tol) =>
-        AsOfJoinExec(lk, rk, lts, rts, tie, tol,
+      case AsOfJoinPlan(l, r, lks, rks, lts, rts, tie, tol) =>
+        AsOfJoinExec(lks, rks, lts, rts, tie, tol,
           planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
@@ -74,19 +78,19 @@ object AsOfNative {
   /** Physical as-of merge join.
     *
     * Declares the SAME child requirements as a sort-merge join
-    * restricted to one equi-key plus a time ordering: clustered
-    * distribution on the key for both children (EnsureRequirements
+    * restricted to equi-keys plus a time ordering: clustered
+    * distribution on the keys for both children (EnsureRequirements
     * inserts co-partitioned hash exchanges; AQE coalesces them as one
-    * group) and per-child sort orders (key, ts) / (key, ts, tie). The
-    * merge keeps exactly ONE buffered right row — the latest one at or
-    * before the current left timestamp for the current key — so the
-    * tie rule (max tie-break among equal ts) falls out of the sort
-    * order for free: later rows in (key, ts, tie) order overwrite the
+    * group) and per-child sort orders (keys…, ts) / (keys…, ts, tie).
+    * The merge keeps exactly ONE buffered right row — the latest one
+    * at or before the current left timestamp for the current key — so
+    * the tie rule (max tie-break among equal ts) falls out of the sort
+    * order for free: later rows in (keys, ts, tie) order overwrite the
     * buffer while still <= the left timestamp.
     */
   final case class AsOfJoinExec(
-      leftKey: Expression,
-      rightKey: Expression,
+      leftKeys: Seq[Expression],
+      rightKeys: Seq[Expression],
       leftTs: Expression,
       rightTs: Expression,
       rightTie: Expression,
@@ -98,55 +102,111 @@ object AsOfNative {
       left.output ++ right.output.map(_.withNullability(true))
 
     override def requiredChildDistribution: Seq[Distribution] =
-      ClusteredDistribution(leftKey :: Nil) ::
-        ClusteredDistribution(rightKey :: Nil) :: Nil
+      ClusteredDistribution(leftKeys) ::
+        ClusteredDistribution(rightKeys) :: Nil
 
     override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
-        SortOrder(rightTie, Ascending)))
+      leftKeys.map(SortOrder(_, Ascending)) :+
+        SortOrder(leftTs, Ascending),
+      rightKeys.map(SortOrder(_, Ascending)) ++
+        Seq(SortOrder(rightTs, Ascending), SortOrder(rightTie, Ascending)))
 
     override def outputPartitioning: Partitioning = left.outputPartitioning
-    override def outputOrdering: Seq[SortOrder] = Seq(
-      SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+    override def outputOrdering: Seq[SortOrder] =
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending)
 
     override protected def withNewChildrenInternal(
         newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
       copy(left = newLeft, right = newRight)
 
     override protected def doExecute(): RDD[InternalRow] = {
-      val keyOrdering =
-        TypeUtils.getInterpretedOrdering(leftKey.dataType)
-      val lKey = BindReferences.bindReference(leftKey, left.output)
+      val keyOrderings =
+        leftKeys.map(k => TypeUtils.getInterpretedOrdering(k.dataType))
+      val lKeyB = leftKeys.map(BindReferences.bindReference(_, left.output))
       val lTs = BindReferences.bindReference(leftTs, left.output)
-      val rKey = BindReferences.bindReference(rightKey, right.output)
+      val rKeyB = rightKeys.map(BindReferences.bindReference(_, right.output))
       val rTs = BindReferences.bindReference(rightTs, right.output)
+      val nKeys = leftKeys.length
       val tol = toleranceUs
       val rightSchema = right.output
       val outputAttrs = output
+      // Co-partitioning contract: EnsureRequirements satisfied both
+      // ClusteredDistributions above with the SAME shuffle-spec
+      // compatibility check it applies to sort-merge joins, so by
+      // construction the two children hash the i-th key with the same
+      // partitioner into the same number of partitions, and AQE's
+      // coalescing treats sibling shuffles of one stage as a single
+      // group (AsOfNativeSpec pins this with AQE + skew + deliberately
+      // unequal input partitioning). The requires below are therefore
+      // BACKSTOPS against a planner change, not the mechanism: verify
+      // equal partition counts, and — when both sides expose hash
+      // partitionings — that they cluster on the as-of keys in the
+      // same positions, so a same-count/different-partitioner pairing
+      // cannot zip silently.
+      (left.outputPartitioning, right.outputPartitioning) match {
+        case (lh: HashPartitioning, rh: HashPartitioning) =>
+          val lPos = lh.expressions.map(e =>
+            leftKeys.indexWhere(_.semanticEquals(e)))
+          val rPos = rh.expressions.map(e =>
+            rightKeys.indexWhere(_.semanticEquals(e)))
+          require(lPos == rPos && !lPos.contains(-1),
+            "as-of join children are hash-partitioned on different key " +
+              s"positions (left ${lh.expressions} vs right ${rh.expressions} " +
+              s"over keys $leftKeys / $rightKeys) — EnsureRequirements " +
+              "should have co-partitioned them")
+        case _ => () // single partition / unknown: count check below
+      }
       val lRdd = left.execute()
       val rRdd = right.execute()
       require(lRdd.getNumPartitions == rRdd.getNumPartitions,
         s"as-of join children must be co-partitioned " +
-          s"(${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions})")
+          s"(${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions}); " +
+          "EnsureRequirements guarantees this for both exchanges of one " +
+          "stage, and AQE coalesces them as one group")
       lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
         val nullRight = new GenericInternalRow(rightSchema.length)
         val joined = new JoinedRow
         val project = UnsafeProjection.create(outputAttrs, outputAttrs)
+        // Compares two fully-evaluated key tuples component-wise in key
+        // order — consistent with the requiredChildOrdering above, so
+        // the merge's monotonic advance agrees with the sort.
+        def compareKeys(a: Array[Any], b: Array[Any]): Int = {
+          var i = 0
+          while (i < nKeys) {
+            val c = keyOrderings(i).compare(a(i), b(i))
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
+        // Evaluates a side's key exprs into a fresh tuple, or null when
+        // ANY component is null (SQL equality: a null key never equals
+        // anything, so such rows can never match).
+        def evalKeys(exprs: Seq[Expression], row: InternalRow): Array[Any] = {
+          val out = new Array[Any](nKeys)
+          var i = 0
+          while (i < nKeys) {
+            val v = exprs(i).eval(row)
+            if (v == null) return null
+            out(i) = v
+            i += 1
+          }
+          out
+        }
         // One-row right-side state: the latest right row (copied — the
         // child iterator reuses its UnsafeRow) at or before the left
         // cursor, plus a lookahead.
         var bufRow: InternalRow = null
-        var bufKey: Any = null
+        var bufKey: Array[Any] = null
         var bufTs: Long = 0L
         var nextRow: InternalRow = null
-        var nextKey: Any = null
+        var nextKey: Array[Any] = null
         var nextTs: Long = 0L
         def advanceLookahead(): Unit = {
           nextRow = null
           while (nextRow == null && rIter.hasNext) {
             val r = rIter.next()
-            val k = rKey.eval(r)
+            val k = evalKeys(rKeyB, r)
             val t = rTs.eval(r)
             // Null keys and null timestamps never match anything (SQL
             // semantics: ts >= NULL is never true) — skip them here so
@@ -160,7 +220,7 @@ object AsOfNative {
         }
         advanceLookahead()
         lIter.map { lRow =>
-          val k = lKey.eval(lRow)
+          val k = evalKeys(lKeyB, lRow)
           val tsV = lTs.eval(lRow)
           if (k != null && tsV != null) {
             val ts = tsV.asInstanceOf[Long]
@@ -169,22 +229,22 @@ object AsOfNative {
             // consumed row for THIS key is the as-of candidate.
             var advancing = true
             while (advancing && nextRow != null) {
-              val c = keyOrdering.compare(nextKey, k)
+              val c = compareKeys(nextKey, k)
               if (c < 0 || (c == 0 && nextTs <= ts)) {
                 bufRow = nextRow.copy()
-                // Re-derive key/ts FROM THE COPY: nextKey may be a view
-                // (UTF8String) into the child iterator's reused/spilled
-                // row buffer, which the advanceLookahead() below
-                // overwrites — a stale view would corrupt the buffered
-                // key and match the wrong key's row.
-                bufKey = rKey.eval(bufRow)
+                // Re-derive key/ts FROM THE COPY: nextKey components may
+                // be views (UTF8String) into the child iterator's
+                // reused/spilled row buffer, which the advanceLookahead()
+                // below overwrites — a stale view would corrupt the
+                // buffered key and match the wrong key's row.
+                bufKey = evalKeys(rKeyB, bufRow)
                 bufTs = rTs.eval(bufRow).asInstanceOf[Long]
                 advanceLookahead()
               } else advancing = false
             }
           }
           val matched = k != null && tsV != null && bufRow != null &&
-            keyOrdering.compare(bufKey, k) == 0 &&
+            compareKeys(bufKey, k) == 0 &&
             bufTs <= tsV.asInstanceOf[Long] &&
             tol.forall(t => tsV.asInstanceOf[Long] - bufTs <= t)
           project(joined(lRow, if (matched) bufRow else nullRight))
@@ -193,18 +253,34 @@ object AsOfNative {
     }
   }
 
-  /** Left as-of join through the native operator. Right-side columns
-    * must not collide with the left's (rename first) — enforced here
-    * because the logical node carries both outputs verbatim. */
-  def asofJoinLeft(
+  /** Timestamp types the merge can order as a primitive long without a
+    * per-row branch: TIMESTAMP / TIMESTAMP_NTZ store micros-since-epoch
+    * as Long internally; integral types cover pre-extracted epoch
+    * columns. Anything else (DateType's Int days, DecimalType, …) must
+    * be cast by the caller — checked at the API so an unsupported type
+    * fails fast with its name instead of an executor-side
+    * ClassCastException mid-task. */
+  private def isLongBackedTs(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | LongType => true
+    case _ => false
+  }
+
+  /** Left as-of join through the native operator, composite-key form.
+    * Right-side columns must not collide with the left's (rename
+    * first) — enforced here because the logical node carries both
+    * outputs verbatim. */
+  def asofJoinLeftMulti(
       left: DataFrame,
       right: DataFrame,
-      leftKey: String,
-      rightKey: String,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
       leftTs: String,
       rightTs: String,
       rightTie: String,
       toleranceUs: Option[Long] = None): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      s"as-of key lists must be non-empty and same length " +
+        s"($leftKeys vs $rightKeys)")
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -216,31 +292,62 @@ object AsOfNative {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
-    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val lks = leftKeys.map(attr(lPlan, _))
+    val rks = rightKeys.map(attr(rPlan, _))
     val (lts, rts) = (attr(lPlan, leftTs), attr(rPlan, rightTs))
-    // Fail fast on type mismatches: differently-typed keys hash to
-    // different partitions (Int vs Long Murmur3) and the interpreted
-    // ordering throws mid-task — neither failure names the cause.
-    require(lk.dataType == rk.dataType,
-      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    val tie = attr(rPlan, rightTie)
+    // Fail fast on type problems: differently-typed keys hash to
+    // different partitions (Int vs Long Murmur3), a non-orderable key
+    // breaks the merge's interpreted ordering, and a non-Long-backed
+    // timestamp dies in the merge's primitive extraction — none of
+    // those executor-side failures names its cause.
+    lks.zip(rks).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"as-of key types differ: ${lk.name}: ${lk.dataType} vs " +
+          s"${rk.name}: ${rk.dataType}")
+      require(RowOrdering.isOrderable(lk.dataType),
+        s"as-of key ${lk.name} has non-orderable type ${lk.dataType}")
+    }
     require(lts.dataType == rts.dataType,
       s"as-of timestamp types differ: ${lts.dataType} vs ${rts.dataType}")
-    val node = AsOfJoinPlan(lPlan, rPlan,
-      lk, rk, lts, rts, attr(rPlan, rightTie), toleranceUs)
+    require(isLongBackedTs(lts.dataType),
+      s"as-of timestamps must be TIMESTAMP, TIMESTAMP_NTZ or BIGINT " +
+        s"(got ${lts.dataType}); cast DATE/other types explicitly")
+    require(RowOrdering.isOrderable(tie.dataType),
+      s"as-of tie-break ${tie.name} has non-orderable type ${tie.dataType}")
+    val node = AsOfJoinPlan(lPlan, rPlan, lks, rks, lts, rts, tie, toleranceUs)
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, node)
   }
+
+  /** Single-key form (the common case; see [[asofJoinLeftMulti]]). */
+  def asofJoinLeft(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      rightTie: String,
+      toleranceUs: Option[Long] = None): DataFrame =
+    asofJoinLeftMulti(left, right, Seq(leftKey), Seq(rightKey),
+      leftTs, rightTs, rightTie, toleranceUs)
 
   /** Idempotent runtime registration for sessions built without the
     * `spark.sql.extensions=graft.plans.GraftExtensions` config (the
     * deploy path). Uses the sanctioned `experimental.extraStrategies`
-    * hook; a strategy registered twice is harmless (it pattern-matches
-    * or returns Nil) but avoided anyway. */
+    * hook. The read-modify-write is synchronized on the session's
+    * experimental-methods holder: two threads registering concurrently
+    * would otherwise race the Seq swap, and while a DUPLICATE strategy
+    * is harmless (it pattern-matches or returns Nil), a lost update
+    * dropping some OTHER caller's concurrently-added strategy is not. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!cs.experimental.extraStrategies.exists(_ eq AsOfJoinStrategy) &&
-        !cs.sessionState.planner.strategies.exists(_ eq AsOfJoinStrategy)) {
-      cs.experimental.extraStrategies =
-        AsOfJoinStrategy +: cs.experimental.extraStrategies
+    cs.experimental.synchronized {
+      if (!cs.experimental.extraStrategies.exists(_ eq AsOfJoinStrategy) &&
+          !cs.sessionState.planner.strategies.exists(_ eq AsOfJoinStrategy)) {
+        cs.experimental.extraStrategies =
+          AsOfJoinStrategy +: cs.experimental.extraStrategies
+      }
     }
   }
 }

@@ -416,6 +416,37 @@ object CoreQueries {
             .as("gap_us"))
     }),
 
+    // Composite-key native as-of: same point-in-time semantics as
+    // q189, but the equality part of the condition is a KEY TUPLE
+    // (user_id, value-band) — DuckDB's ASOF JOIN accepts any number of
+    // equality conditions beside the one inequality, and the native
+    // operator now mirrors that (r10 verdict stretch task). The band is
+    // a deterministic derivation both engines compute identically in
+    // pure integer arithmetic (((floor(value) % 3) + 3) % 3 == pmod).
+    // Same scale shape as q189: one co-partitioned exchange per side on
+    // the full key tuple, one sort each, O(1)-state merge.
+    "q190_asof_multikey" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def band(c: org.apache.spark.sql.Column) =
+        pmod(floor(c), lit(3L)).cast(LongType)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          band(col("value")).as("band"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user_id"),
+          band(col("value")).as("r_band"), col("ts").as("r_ts"),
+          col("event_id").as("r_event_id"), col("value").as("r_value"))
+      graft.plans.AsOfNative.asofJoinLeftMulti(clicks, purchases,
+        Seq("user_id", "band"), Seq("r_user_id", "r_band"),
+        "ts", "r_ts", rightTie = "r_event_id")
+        .select(
+          col("event_id"), col("band"),
+          col("r_event_id").as("purchase_event_id"),
+          col("r_value").as("purchase_value"),
+          (unix_micros(col("ts")) - unix_micros(col("r_ts")))
+            .as("gap_us"))
+    }),
+
     // W4 — hour-of-day pivot via conditional aggregation.
     "q18_hourly_pivot" -> ((s, dir) => {
       t(s, dir, "events")
@@ -784,6 +815,29 @@ object CoreQueries {
         |  epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    // Composite-key ASOF: DuckDB takes the extra band equality beside
+    // the ts inequality; the right side pre-aggregates (keys, ts)
+    // duplicates with the same arg_max tie rule the native operator
+    // applies, so both engines resolve ties identically.
+    "q190_asof_multikey" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id,
+        |    ((CAST(floor(value) AS BIGINT) % 3) + 3) % 3 AS band, ts
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id,
+        |    ((CAST(floor(value) AS BIGINT) % 3) + 3) % 3 AS band, ts,
+        |    max(event_id) AS pid, arg_max(value, event_id) AS pval
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2, 3)
+        |SELECT c.event_id, c.band,
+        |  p.pid AS purchase_event_id,
+        |  p.pval AS purchase_value,
+        |  epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.band = p.band
+        |  AND c.ts >= p.ts""".stripMargin,
 
     "q18_hourly_pivot" ->
       """SELECT hour(ts) AS hour_of_day,

@@ -51,7 +51,11 @@ object StreamingQueries {
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
       Streaming.runToCompletion(s, deduped,
-        s"stream_dedup_${runId.incrementAndGet()}", outputMode = "append")
+        s"stream_dedup_${runId.incrementAndGet()}", outputMode = "append",
+        // == batch DISTINCT only because the replay drains in ONE
+        // micro-batch: split across batches, a key recurring past the
+        // 2h watermark would re-emit. Fail loudly if that ever changes.
+        requireSingleBatch = true)
     }),
 
     // Stream-stream interval join == batch range join: click->purchase
@@ -72,7 +76,10 @@ object StreamingQueries {
           col("r_event_id").as("purchase_id"),
           col("l_user_id").as("user_id"))
       Streaming.runToCompletion(s, joined,
-        s"stream_join_${runId.incrementAndGet()}", outputMode = "append")
+        s"stream_join_${runId.incrementAndGet()}", outputMode = "append",
+        // == the batch range join only while the replay is one data
+        // batch (state eviction across batches could drop late pairs).
+        requireSingleBatch = true)
     }),
 
     // flatMapGroupsWithState running totals == batch GROUP BY: custom

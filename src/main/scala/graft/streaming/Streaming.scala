@@ -44,20 +44,45 @@ object Streaming {
     * within a round; anything that rewrites encodings mid-JVM must use
     * a fresh path or a fresh session. */
   private val sourceCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataType)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataType, Long)]()
+
+  /** Total source bytes of the streams built since the last
+    * runToCompletion (max across sources — a join's two legs read the
+    * same table), used there to size STATE partitions by data volume
+    * rather than core count. */
+  private val pendingSourceBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Recursive byte size of a source dir (driver-side, once per path
+    * per JVM — cached alongside the ts-type probe). Symlinked single
+    * files resolve to the target's size. */
+  private def dirBytes(dir: String): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .map(p => try Files.size(p) catch { case _: Exception => 0L })
+        .sum
+    } catch { case _: Exception => 0L }
 
   /** Driver-side setup nanos accrued by eventsStream since the last
     * runToCompletion — drained into that run's setup_sec so the bench
     * can report setup separately from micro-batch execution. */
   private val pendingSetupNs = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lastPhaseRef =
-    new java.util.concurrent.atomic.AtomicReference[(Double, Double)](null)
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
-  /** (setup_sec, stream_sec) of the most recent runToCompletion, once —
-    * the read clears it, so a non-streaming query never inherits stale
-    * timings. Setup = source resolution + checkpoint dir + query start
-    * (planning, state-store init); stream = micro-batch execution. */
-  def lastPhaseTimings(): Option[(Double, Double)] =
+  /** JSON fragment describing the most recent runToCompletion's phases
+    * — read once, the read clears it, so a non-streaming query never
+    * inherits stale timings. Carries `setup_sec` (source resolution +
+    * checkpoint dir + query start: planning, state-store init) vs
+    * `stream_sec` (micro-batch execution), plus per-batch accounting:
+    * `n_batches` (triggers that ran, no-data ticks included),
+    * `n_data_batches` (triggers that consumed rows) and `batch_ms`
+    * (per-trigger wall, execution order). A slow streaming sample then
+    * self-identifies as "more batches" vs "slower batches" instead of
+    * needing a re-run to adjudicate (r10: q185's 76 s of task time for
+    * 0.58 MB of shuffle was unattributable without this). */
+  def lastPhaseTimings(): Option[String] =
     Option(lastPhaseRef.getAndSet(null))
 
   /** Streaming DataFrame over an events path (directory, or a single
@@ -70,7 +95,7 @@ object Streaming {
       watermark: String = "2 hours"): DataFrame = {
     val t0 = System.nanoTime()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val (dir, tsType) = sourceCache.computeIfAbsent(path, { p =>
+    val (dir, tsType, srcBytes) = sourceCache.computeIfAbsent(path, { p =>
       // A ".parquet" path can be a single FILE (testdata ships tables
       // that way; FileStreamSource needs a directory, so symlink it
       // into a scratch dir) or a DIRECTORY of part files (any
@@ -84,8 +109,9 @@ object Streaming {
             sd.resolve("part-0.parquet"), java.nio.file.Paths.get(p))
           sd.toString
         } else p
-      (d, spark.read.parquet(d).schema("ts").dataType)
+      (d, spark.read.parquet(d).schema("ts").dataType, dirBytes(d))
     })
+    pendingSourceBytes.updateAndGet(b => math.max(b, srcBytes))
     val raw = spark.readStream
       .schema(eventsRawSchema(tsType))
       .parquet(dir)
@@ -129,7 +155,8 @@ object Streaming {
       spark: SparkSession,
       agg: DataFrame,
       name: String,
-      outputMode: String = "complete"): DataFrame = {
+      outputMode: String = "complete",
+      requireSingleBatch: Boolean = false): DataFrame = {
     val setup0 = System.nanoTime()
     // Scratch state off the disk: every state-store commit writes delta
     // files under the checkpoint, and on a harness running stateful
@@ -146,6 +173,30 @@ object Streaming {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNoData = spark.conf.getOption(noDataKey)
     spark.conf.set(noDataKey, "false")
+    // STATE partitions sized by source volume, not core count. Every
+    // stateful task pays a fixed per-store cost (provider registration
+    // is a coarse JVM-wide lock; load + commit serialize behind it), so
+    // a stream-stream join at the session's core-derived 32 partitions
+    // opens 32x4 stores per trigger and the lock queue IS the batch
+    // time for bounded replays (measured at sf0.1: q185 batch 3.7 s /
+    // 80 s task time at 32 partitions vs 1.75 s / 5.4 s at 8 — the
+    // data is 0.6 MB). Scale policy: one state partition per ~32 MB of
+    // per-trigger source, floor 8 so skew has room, ceiling at the
+    // session setting so a genuinely large replay (the x1000 scale
+    // harness: multi-GB) keeps full parallelism. The conf is set for
+    // the duration of this run only (restored below) and affects only
+    // this query's fresh checkpoint — production streams (sensorIngest,
+    // caller-managed checkpoints) are untouched.
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.getOption(shufKey)
+    val sessionShuf =
+      prevShuf.flatMap(_.toIntOption).getOrElse(200)
+    val srcB = pendingSourceBytes.getAndSet(0L)
+    val statePartitions =
+      if (srcB <= 0) sessionShuf
+      else math.max(1, math.min(sessionShuf,
+        math.max(8, (srcB / (32L << 20)).toInt)))
+    spark.conf.set(shufKey, statePartitions.toString)
     // Conf restore and scratch/sink cleanup live in the OUTER finally:
     // if start/processAllAvailable/stop throws, the session-wide conf
     // must still come back (append-mode consumers elsewhere NEED
@@ -163,9 +214,32 @@ object Streaming {
       val stream0 = System.nanoTime()
       try q.processAllAvailable()
       finally q.stop()
-      lastPhaseRef.set((
-        math.rint(setupNs / 1e5) / 1e4,
-        math.rint((System.nanoTime() - stream0) / 1e5) / 1e4))
+      // Per-trigger accounting from the query's own progress history
+      // (kept by the engine; default retention 100 trailing progresses
+      // — far above anything a bounded drain produces).
+      val progs = q.recentProgress.toSeq
+      val nData = progs.count(_.numInputRows > 0)
+      val batchMs = progs.map(p =>
+        Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L))
+      lastPhaseRef.set(
+        s""""setup_sec":${math.rint(setupNs / 1e5) / 1e4}""" +
+          s""","stream_sec":${math.rint((System.nanoTime() - stream0) / 1e5) / 1e4}""" +
+          s""","n_batches":${progs.size},"n_data_batches":$nData""" +
+          s""","batch_ms":${batchMs.mkString("[", ",", "]")}""" +
+          s""","state_partitions":$statePartitions""")
+      // Oracle shapes whose batch answer only equals the streaming one
+      // when the whole static replay drains in ONE micro-batch (e.g.
+      // stream dedup == DISTINCT: a key recurring beyond the watermark
+      // across batches would legitimately re-emit) pin the invariant
+      // here — a future trigger/maxFilesPerTrigger change then fails
+      // loudly at the source instead of as an opaque oracle hash
+      // mismatch.
+      if (requireSingleBatch && nData != 1)
+        throw new IllegalStateException(
+          s"$name: expected the static source to drain in exactly one " +
+            s"data micro-batch (batch==oracle equivalence depends on " +
+            s"it) but observed $nData")
       val sink = spark.table(name)
       val (schema, rows) = (sink.schema, sink.collect().toSeq)
       import scala.jdk.CollectionConverters._
@@ -174,6 +248,10 @@ object Streaming {
       prevNoData match {
         case Some(v) => spark.conf.set(noDataKey, v)
         case None => spark.conf.unset(noDataKey)
+      }
+      prevShuf match {
+        case Some(v) => spark.conf.set(shufKey, v)
+        case None => spark.conf.unset(shufKey)
       }
       try spark.catalog.dropTempView(name) catch { case _: Exception => () }
       deleteRecursively(checkpoint)

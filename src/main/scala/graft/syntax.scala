@@ -119,6 +119,20 @@ object syntax {
         toleranceUs: Option[Long] = None): DataFrame =
       graft.plans.AsOfNative.asofJoinLeft(
         df, right, leftKey, rightKey, leftTs, rightTs, rightTie, toleranceUs)
+
+    /** Composite-key native as-of join (DuckDB ASOF with multiple
+      * equality conditions) — see
+      * [[graft.plans.AsOfNative.asofJoinLeftMulti]]. */
+    def asofJoinMulti(
+        right: DataFrame,
+        leftKeys: Seq[String],
+        rightKeys: Seq[String],
+        leftTs: String,
+        rightTs: String,
+        rightTie: String,
+        toleranceUs: Option[Long] = None): DataFrame =
+      graft.plans.AsOfNative.asofJoinLeftMulti(
+        df, right, leftKeys, rightKeys, leftTs, rightTs, rightTie, toleranceUs)
   }
 
   implicit class EmbeddingOps(private val corpus: DataFrame) extends AnyVal {

@@ -156,6 +156,90 @@ class AsOfNativeSpec extends SparkSpec {
     assert(e.getMessage.contains("key types differ"))
   }
 
+  test("asof native: AQE + skewed key + unequal input partitioning " +
+    "stays co-partitioned") {
+    // r10 verdict task: the exec's equal-partition-count require was
+    // asserted, never exercised under the conditions that could break
+    // it. Force them all at once: AQE on with aggressive partition
+    // coalescing (tiny advisory size so the coalesced counts are data-
+    // dependent), one heavily skewed key (90% of left rows), and
+    // children arriving with DIFFERENT input partitionings (7 vs 3).
+    // EnsureRequirements must still emit co-partitioned exchanges and
+    // AQE must coalesce both sides of the stage as ONE group — if it
+    // ever didn't, the doExecute require fires and this test fails.
+    val prev = spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    try {
+      val left = spark.range(20000L).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 7L ELSE id % 50 END AS k",
+        "timestamp_micros(1700000000000000 + id * 1000000) AS t",
+        "id AS lid").repartition(7)
+      val right = spark.range(2000L).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 7L ELSE id % 50 END AS rk",
+        "timestamp_micros(1700000000000000 + id * 9000000) AS rt",
+        "id AS tie").repartition(3)
+      val out = AsOfNative.asofJoinLeft(left, right,
+        "k", "rk", "t", "rt", "tie")
+      val n = out.count() // executes the merge; a partition-count or
+                          // partitioner mismatch would throw here
+      assert(n === 20000L) // left join preserves every left row
+      // Spot-check correctness under skew: matched rows' staleness is
+      // never negative (right ts <= left ts always).
+      val bad = out.filter($"rt".isNotNull && $"rt" > $"t").count()
+      assert(bad === 0L)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
+    }
+  }
+
+  test("asof native: composite keys (multi-key form)") {
+    val left = Seq(
+      (1L, "a", ts("2024-01-01 12:00:00"), "l1"),
+      (1L, "b", ts("2024-01-01 12:00:00"), "l2"), // same id, other segment
+      (2L, "a", ts("2024-01-01 12:00:00"), "l3")  // pair absent on right
+    ).toDF("k1", "k2", "t", "lv")
+    val right = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L, "ra"),
+      (1L, "a", ts("2024-01-01 11:00:00"), 2L, "ra2"),
+      (1L, "b", ts("2024-01-01 09:00:00"), 3L, "rb"),
+      (2L, "b", ts("2024-01-01 09:00:00"), 4L, "r2b")
+    ).toDF("rk1", "rk2", "rt", "tie", "rv")
+    val out = AsOfNative.asofJoinLeftMulti(left, right,
+      Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt", "tie")
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(out("l1") === Some("ra2")) // latest for (1,a), not (1,b)'s row
+    assert(out("l2") === Some("rb"))
+    assert(out("l3") === None)        // (2,a) never matches (2,b)
+    // composite == single-key over a fused key column (independent path)
+    val fusedL = left.selectExpr("concat(k1, '|', k2) AS fk", "t", "lv")
+    val fusedR = right.selectExpr(
+      "concat(rk1, '|', rk2) AS frk", "rt", "tie", "rv")
+    val fused = AsOfNative.asofJoinLeft(fusedL, fusedR,
+      "fk", "frk", "t", "rt", "tie")
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(out === fused)
+  }
+
+  test("asof native: non-long-backed timestamp fails fast at the API") {
+    // A DateType ts used to pass validation (types matched each other)
+    // and die executor-side with an opaque ClassCastException (DateType
+    // is Int-backed); now the API names the problem.
+    val l = Seq((1L, java.sql.Date.valueOf("2024-01-01"))).toDF("k", "t")
+    val r = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1L))
+      .toDF("rk", "rt", "tie")
+    val e = intercept[IllegalArgumentException] {
+      AsOfNative.asofJoinLeft(l, r, "k", "rk", "t", "rt", "tie")
+    }
+    assert(e.getMessage.contains("timestamps must be"))
+  }
+
   test("asof native: null keys never match and never crash the merge") {
     val left = Seq(
       (Some(1L), ts("2024-01-01 10:00:00"), "a"),
