@@ -119,15 +119,36 @@ object Bench {
       .config("spark.sql.ui.retainedExecutions", "8")
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
-      // collect_list/collect_set aggregations (q137's per-doc vocab
-      // lists, boilerplate spans) fall back to sort-based object
-      // aggregation after only 128 in-memory groups by default —
-      // millions of tiny groups then pay a sort for no memory benefit.
-      // 4096 groups of bounded lists is still small per task; measured
-      // A/B at sf0.1: q137 2.94→2.47 s, q103 2.41→2.03, q36 1.59→1.16,
-      // q63 1.75→1.36.
+      // collect_list/collect_set and packed-buffer aggregations (q137's
+      // per-doc vocab lists, q173's 26-byte CDC winner states) fall
+      // back to sort-based object aggregation after only 128 in-memory
+      // groups by default — millions of tiny groups then pay a sort
+      // (and at x1000, gigabytes of sorter spill) for no memory
+      // benefit. 262144 bounded buffers is tens of MB per task at the
+      // sizes our aggs buffer; measured A/B at 4096 vs default at
+      // sf0.1: q137 2.94→2.47 s, q103 2.41→2.03, q36 1.59→1.16, q63
+      // 1.75→1.36; raised further in r11 because multi-replica scale
+      // partitions carry one key-set per replica file (~225k local
+      // keys at x1000) and any lower cap demoted cdc_apply to
+      // sort-based aggregation with gigabytes of sorter spill.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "4096")
+        "262144")
+      // Let AQE re-plan partitioning UNDER cached plans (off by
+      // default upstream because a cache consumer that relied on the
+      // cached partitioning may see an extra exchange). The iterative
+      // graph operators persist/localCheckpoint node- and edge-sized
+      // frames every round, and with this off each cached frame FREEZES
+      // the pre-AQE 32-partition shuffle layout — every subsequent
+      // round then fans 32+ tiny tasks per job over a 5 MB frame and
+      // pays scheduler/launch overhead as wall time. With AQE sizing
+      // cached output by bytes (the same advisory-size policy as
+      // everywhere else), measured at sf0.1: q171 3.5→1.4 s (summed
+      // task time 37 s→0.7 s), q158 4.9→3.7 s, q175 2.1→1.2 s; no
+      // query regressed in the full-suite A/B. At 100 TB the advisory
+      // size keeps partition counts proportional to data, which is the
+      // scale-correct layout for cached intermediates too.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("GRAFT_CACHE_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new MetricsListener

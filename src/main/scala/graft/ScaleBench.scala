@@ -43,6 +43,19 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "8")
+      // Same object-hash-aggregate headroom as Bench/Verify, and it
+      // matters MORE here: a multi-replica input partition holds one
+      // key-set per replica file, so the partial aggregate sees
+      // thousands of local groups — at the default 128-group fallback
+      // the x1000 cdc_apply shape demoted to sort-based aggregation
+      // and spilled 3.5 GB for the packed-buffer merge. 262144 covers
+      // the ~225k local keys a x1000 partition actually carries
+      // (~30 replica files x 7.5k keys) at tens of MB per task.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "262144")
+      // Same cached-plan AQE policy as Bench (see the comment there).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("GRAFT_CACHE_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new Bench.MetricsListener
@@ -326,8 +339,26 @@ object ScaleBench {
           val (tN, runsN, metN, rowsN) = measure(fn, hi)
           val ratio = r4(tN / t1)
           val exponent = r4(math.log(tN / t1) / math.log(n.toDouble))
-          System.err.println(s"""{"shape":"$name","x1":$t1,"x$n":$tN,"ratio":$ratio,"exponent":$exponent}""")
-          s""""$name":{"x1":{"min":$t1,"runs":[${runs1.mkString(",")}],"rows":$rows1,"metrics":$met1},"x$n":{"min":$tN,"runs":[${runsN.mkString(",")}],"rows":$rowsN,"metrics":$metN},"copies":$n,"ratio":$ratio,"exponent":$exponent}"""
+          // Streaming shapes additionally report the exponent over
+          // stream_sec (micro-batch execution only). The WALL exponent
+          // includes the oracle-harness drain — the memory sink
+          // materializes the full output on the driver twice (sink +
+          // collect), and for a shape whose output grows with scale
+          // (stream_dedup: 750k distinct keys at x1000) that driver
+          // materialization dominates wall while the distributed batch
+          // is seconds (r11: wall 59.7 s vs batch 8.4 s). Both numbers
+          // are committed; production streams (foreachBatch sinks)
+          // never pay the drain.
+          def streamSec(met: String): Option[Double] =
+            """"stream_sec":([0-9.eE+-]+)""".r.findFirstMatchIn(met)
+              .map(_.group(1).toDouble)
+          val streamFrag = (for {
+            s1 <- streamSec(met1); sN <- streamSec(metN)
+            if s1 > 0
+          } yield s""","stream_exponent":${r4(math.log(sN / s1) / math.log(n.toDouble))}""")
+            .getOrElse("")
+          System.err.println(s"""{"shape":"$name","x1":$t1,"x$n":$tN,"ratio":$ratio,"exponent":$exponent$streamFrag}""")
+          s""""$name":{"x1":{"min":$t1,"runs":[${runs1.mkString(",")}],"rows":$rows1,"metrics":$met1},"x$n":{"min":$tN,"runs":[${runsN.mkString(",")}],"rows":$rowsN,"metrics":$metN},"copies":$n,"ratio":$ratio,"exponent":$exponent$streamFrag}"""
         } catch {
           case e: Throwable =>
             val m = e.getClass.getSimpleName + ": " +
@@ -340,7 +371,7 @@ object ScaleBench {
       runShapes(eventShapes, dirE1, dirEN, eventsCopies) ++
       runShapes(embShapes, dirM1, dirMN, embCopies)
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"cpus":$cpus,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; exponent=ln(tN/t1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"cpus":$cpus,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; exponent=ln(tN/t1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff; streaming shapes also carry stream_exponent over micro-batch execution only (wall includes the oracle harness's driver-side memory-sink drain, which scales with OUTPUT size and is not part of the operator)"}"""
     println(out)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (out + "\n").getBytes("UTF-8"))

@@ -105,15 +105,34 @@ object Graph {
   def trianglesProfile(
       edgesIn: DataFrame,
       maxBroadcastEdges: Long = 10000000L): DataFrame = {
+    // Forced separately so the bench phases split "build the edge list"
+    // (whatever upstream produced it — e.g. q158's full-lineitem
+    // self-join + distinct) from the orientation pass proper; r10 could
+    // not tell which of the two a slow sample paid for.
     val edges = edgesIn.persist(lvl)
+    graft.util.PhaseProf.timed("edges")(edges.count())
+    // Persisted + counted so (a) the two orientation joins don't
+    // recompute the aggregate and (b) the node count gates an EXPLICIT
+    // broadcast. Catalyst's size estimate for an aggregate derives from
+    // its child, so the node-sized degree table (16 B/row) inherits an
+    // edges-sized estimate and NEVER auto-broadcasts — the orientation
+    // then plans as two full sort-merge joins of the edge list against
+    // a 20k-row table (measured at sf0.1: 2.7 s wall / 64 s summed task
+    // time vs 0.16 s / 0.5 s broadcast). Same 10M gate as the adjacency
+    // broadcast below; past it the shuffle-hash hint keeps the build on
+    // the node-sized side with no wedge-sized sort.
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .persist(lvl)
+    val nNodes = graft.util.PhaseProf.timed("degrees")(deg.count())
+    def degSide(d: DataFrame): DataFrame =
+      if (nNodes <= maxBroadcastEdges) broadcast(d) else d.hint("shuffle_hash")
     val du = deg.select(col("n").as("u"), col("d").as("du"))
     val dv = deg.select(col("n").as("v"), col("d").as("dv"))
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = edges.join(du, "u").join(dv, "v")
+    val oriented = edges.join(degSide(du), "u").join(degSide(dv), "v")
       .select(
         when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"),
@@ -121,6 +140,7 @@ object Graph {
       .persist(lvl)
     val nEdges = graft.util.PhaseProf.timed("orient")(oriented.count())
     edges.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     // Close triangles by ADJACENCY INTERSECTION, not wedge
     // materialization: per oriented source, collect the sorted
     // out-neighbor array (bounded by the orientation at ~sqrt(m)
@@ -258,7 +278,11 @@ object Graph {
     * for the same reason as kcorePeel's rounds: the reached-set plan
     * otherwise grows a join+distinct per hop and AQE's driver-side
     * re-planning of the deepening tree dominates hop wall-time. */
-  def bfsReach(edgesIn: DataFrame, seedPred: Column, hops: Int = 3): DataFrame = {
+  def bfsReach(
+      edgesIn: DataFrame,
+      seedPred: Column,
+      hops: Int = 3,
+      maxBroadcastReached: Long = 10000000L): DataFrame = {
     require(hops >= 1, "hops must be >= 1")
     val owned = new Owned
     val sym = edgesIn.select(col("u").as("sn"), col("v").as("dn"))
@@ -267,9 +291,20 @@ object Graph {
     val r0 = owned.checkpoint(
       sym.filter(seedPred).select(col("sn").as("n")).distinct())
     val c0 = r0.count()
-    def expand(r: DataFrame): (DataFrame, Long) = {
+    // The reached set is a checkpointed LogicalRDD, whose size ESTIMATE
+    // is the catalog default (effectively infinite) — it never
+    // auto-broadcasts, and every hop was silently planning a full
+    // sort-merge join of the symmetric edge list against a node-sized
+    // frame. Each hop's forced count is already in hand, so gate an
+    // explicit broadcast on it; past the gate the shuffle-hash hint
+    // builds on the reached side (node-sized) and streams edges.
+    def expand(r: DataFrame, rCount: Long): (DataFrame, Long) = {
+      val probe = r.select(col("n").as("sn"))
+      val side =
+        if (rCount <= maxBroadcastReached) broadcast(probe)
+        else probe.hint("shuffle_hash")
       val nxt = owned.checkpoint(r.unionByName(
-        sym.join(r.select(col("n").as("sn")), Seq("sn"))
+        sym.join(side, Seq("sn"))
           .select(col("dn").as("n")))
         .distinct())
       val c = nxt.count()
@@ -278,7 +313,7 @@ object Graph {
     }
     val (rLast, counts) = (1 to hops).foldLeft((r0, Vector(c0))) {
       case ((r, cs), _) =>
-        val (nxt, c) = expand(r)
+        val (nxt, c) = expand(r, cs.last)
         (nxt, cs :+ c)
     }
     sym.unpersist(blocking = false)

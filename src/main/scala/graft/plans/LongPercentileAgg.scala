@@ -1,0 +1,207 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Exact percentile over a BIGINT column via a PRIMITIVE long→long
+  * count histogram — same result, to the bit, as Spark's
+  * `percentile(col, p)` (linear interpolation over the sorted
+  * multiset), without the per-row boxing that makes the built-in the
+  * GC driver of every exact-quantile shape at scale.
+  *
+  * Spark's Percentile buffers an `OpenHashMap[AnyRef, Long]`: every
+  * input row allocates a boxed key and hashes through AnyRef equality
+  * (x1000 artifact: mad_outliers = two grouped exact percentiles over
+  * a 100M-row changelog, 731 s summed task time and 12 s GC, nearly
+  * all of it in the update path). This buffer is two parallel long
+  * arrays with linear probing — zero allocation per row, zero boxing
+  * — and serializes as plain (value, count) pairs. Memory is
+  * ~16 B x distinct values per group either way; the 100 TB guidance
+  * is unchanged (per-group exact percentile buffers the group's
+  * distinct values — swap in percentile_approx past that, same knob
+  * as imputeBattery.exactGlobalMedian).
+  *
+  * Interpolation replicates Percentile.getPercentile exactly:
+  * rank = p * (n - 1) over the 0-indexed sorted multiset;
+  * result = (ceil(rank) - rank) * v[floor] + (rank - floor(rank)) *
+  * v[ceil], computed in Double — so existing oracles (and the 2x/4x
+  * integer-exact tricks built on them) hash identically. Nulls are
+  * ignored; an all-null / empty group yields null.
+  */
+case class LongPercentileAgg(
+    child: Expression,
+    percentage: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[LongPercentileAgg.Hist] {
+
+  import LongPercentileAgg.Hist
+
+  require(percentage >= 0.0 && percentage <= 1.0,
+    s"percentage must be in [0, 1], got $percentage")
+
+  override def createAggregationBuffer(): Hist = new Hist
+
+  override def update(buf: Hist, input: InternalRow): Hist = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long], 1L)
+    buf
+  }
+
+  override def merge(b1: Hist, b2: Hist): Hist = {
+    b2.foreach((v, c) => b1.add(v, c))
+    b1
+  }
+
+  override def eval(buf: Hist): Any = {
+    val n = buf.totalCount
+    if (n == 0L) null
+    else {
+      val (values, counts) = buf.sortedPairs()
+      val rank = percentage * (n - 1)
+      val lo = math.floor(rank).toLong
+      val hi = math.ceil(rank).toLong
+      // walk the cumulative histogram once for both bracketing values
+      var i = 0
+      var cum = 0L
+      var loVal = 0L
+      var hiVal = 0L
+      var needLo = true
+      while (needLo || cum <= hi) {
+        cum += counts(i)
+        if (needLo && cum > lo) { loVal = values(i); needLo = false }
+        if (cum > hi) { hiVal = values(i) }
+        i += 1
+      }
+      if (lo == hi) loVal.toDouble
+      else (hi - rank) * loVal.toDouble + (rank - lo) * hiVal.toDouble
+    }
+  }
+
+  override def serialize(buf: Hist): Array[Byte] = {
+    val n = buf.distinctCount
+    val bb = ByteBuffer.allocate(4 + 16 * n)
+    bb.putInt(n)
+    buf.foreach((v, c) => { bb.putLong(v); bb.putLong(c) })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Hist = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Hist
+    var i = 0
+    while (i < n) { buf.add(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"long_percentile requires a bigint column, got ${t.catalogString}")
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): LongPercentileAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): LongPercentileAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LongPercentileAgg =
+    copy(child = newChildren.head)
+}
+
+object LongPercentileAgg {
+
+  /** Open-addressing long→long count map (linear probing, power-of-2
+    * capacity, 0.5 max load). Key 0 is handled out of band (0 is both
+    * a valid value and the empty-slot sentinel). All primitive — one
+    * allocation per GROW, none per row. */
+  final class Hist {
+    private var cap = 1 << 10
+    private var keys = new Array[Long](cap)
+    private var counts = new Array[Long](cap)
+    private var used = 0
+    private var zeroCount = 0L
+    var totalCount = 0L
+
+    def distinctCount: Int = used + (if (zeroCount > 0) 1 else 0)
+
+    def add(v: Long, c: Long): Unit = {
+      totalCount += c
+      if (v == 0L) { zeroCount += c; return }
+      if (used * 2 >= cap) grow()
+      var i = java.lang.Long.hashCode(v * -7046029254386353131L) & (cap - 1)
+      while (true) {
+        val k = keys(i)
+        if (k == v) { counts(i) += c; return }
+        if (k == 0L) { keys(i) = v; counts(i) = c; used += 1; return }
+        i = (i + 1) & (cap - 1)
+      }
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val oc = counts; val on = cap
+      cap <<= 1
+      keys = new Array[Long](cap)
+      counts = new Array[Long](cap)
+      used = 0
+      val savedTotal = totalCount // add() below re-counts
+      var i = 0
+      while (i < on) {
+        if (ok(i) != 0L) add(ok(i), oc(i))
+        i += 1
+      }
+      totalCount = savedTotal
+    }
+
+    def foreach(f: (Long, Long) => Unit): Unit = {
+      if (zeroCount > 0) f(0L, zeroCount)
+      var i = 0
+      while (i < cap) {
+        if (keys(i) != 0L) f(keys(i), counts(i))
+        i += 1
+      }
+    }
+
+    /** (values ascending, matching counts) — for the eval walk. */
+    def sortedPairs(): (Array[Long], Array[Long]) = {
+      val n = distinctCount
+      val vs = new Array[Long](n)
+      val cs = new Array[Long](n)
+      var j = 0
+      foreach((v, _) => { vs(j) = v; j += 1 })
+      java.util.Arrays.sort(vs)
+      var i = 0
+      while (i < n) { cs(i) = countOf(vs(i)); i += 1 }
+      (vs, cs)
+    }
+
+    private def countOf(v: Long): Long = {
+      if (v == 0L) return zeroCount
+      var i = java.lang.Long.hashCode(v * -7046029254386353131L) & (cap - 1)
+      while (true) {
+        if (keys(i) == v) return counts(i)
+        if (keys(i) == 0L) return 0L
+        i = (i + 1) & (cap - 1)
+      }
+      0L
+    }
+  }
+
+  /** Column API: exact percentile of a BIGINT column, bit-identical to
+    * Spark's percentile(col, p). */
+  def longPercentile(c: Column, p: Double): Column =
+    GraftColumnBridge.column(LongPercentileAgg(
+      GraftColumnBridge.expression(c), p).toAggregateExpression())
+}

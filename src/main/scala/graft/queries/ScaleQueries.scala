@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Scale-technique operators: the machinery a 100 TB pipeline leans on
   * around its joins and samples, expressed as oracle-checkable queries.
@@ -478,15 +479,18 @@ object ScaleQueries {
     // stream as a change log per (user_id, event_type) key — a
     // deterministic 10% of changes are deletes — and materialize the
     // final table state: the chronologically last change wins; a final
-    // delete removes the key. ONE aggregate does the whole merge:
-    // max_by over the (ts, event_id) change order picks the winning
-    // change and count tallies the log depth. The struct buffer plans
-    // as SortAggregate, but the PARTIAL phase is what matters at scale:
-    // each partition collapses to one change per key map-side, so the
-    // exchange moves ~|keys| states where the earlier row_number window
-    // form shuffled the whole 10M-row changelog and sorted it per key.
-    // The (ts, event_id) struct order is total — event_id is unique —
-    // so the winner is deterministic on any partitioning.
+    // delete removes the key. ONE aggregate does the whole merge: the
+    // native ArgMaxPackedAgg picks the winning change over the
+    // (ts, event_id) order and count tallies the log depth. The earlier
+    // max_by(struct, struct) form was semantically identical but its
+    // struct buffer demoted the aggregate to SortAggregate — the whole
+    // changelog sorted map-side plus two struct allocations per row
+    // (x1000 artifact: 711 s task time, 24.6 s GC). The packed native
+    // aggregate keeps ObjectHashAggregate: each map task collapses its
+    // slice to one 26-byte primitive buffer per local key, the exchange
+    // moves ~|keys| states, no sort ever runs. The (ts, event_id) order
+    // is total — event_id is unique — so the winner is deterministic on
+    // any partitioning.
     "q173_cdc_apply" -> ((s, dir) => {
       val log = t(s, dir, "events").select(
         col("user_id"), col("event_type"), col("ts"), col("event_id"),
@@ -494,10 +498,11 @@ object ScaleQueries {
         (h32(col("event_id").cast("string")) % 10 === 0).as("is_delete"))
       log.groupBy(col("user_id"), col("event_type"))
         .agg(
-          max_by(struct(col("value"), col("is_delete")),
-            struct(col("ts"), col("event_id"))).as("last"),
+          graft.plans.ArgMaxPackedAgg.argMaxPacked(
+            col("value"), col("is_delete"),
+            unix_micros(col("ts")), col("event_id")).as("last"),
           count(lit(1)).as("n_changes"))
-        .filter(!col("last.is_delete"))
+        .filter(!col("last.flag"))
         .select(col("user_id"), col("event_type"),
           col("last.value").as("final_value"), col("n_changes"))
     }),
@@ -621,12 +626,18 @@ object ScaleQueries {
       val ev = t(s, dir, "events").select(col("event_type"),
         expr("CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT)")
           .as("vu"))
+      // Native primitive-histogram percentile (plans.LongPercentileAgg)
+      // — bit-identical to percentile() but no per-row boxing; the
+      // built-in's OpenHashMap[AnyRef, _] update path was the GC/task
+      // driver of this shape at x1000 (731 s summed task time).
       val med = ev.groupBy(col("event_type"))
-        .agg(expr("CAST(2 * percentile(vu, 0.5D) AS BIGINT)").as("med2x"))
+        .agg((lit(2) * graft.plans.LongPercentileAgg
+          .longPercentile(col("vu"), 0.5)).cast(LongType).as("med2x"))
       val dev = ev.join(broadcast(med), Seq("event_type"))
         .withColumn("dev2x", abs(lit(2L) * col("vu") - col("med2x")))
       val mad = dev.groupBy(col("event_type"))
-        .agg(expr("CAST(2 * percentile(dev2x, 0.5D) AS BIGINT)").as("mad4x"))
+        .agg((lit(2) * graft.plans.LongPercentileAgg
+          .longPercentile(col("dev2x"), 0.5)).cast(LongType).as("mad4x"))
       dev.join(broadcast(mad), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -707,7 +718,9 @@ object ScaleQueries {
       ev.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
           graft.plans.BottomKAgg.bottomK(col("pack"), k).as("sk"),
-          expr("CAST(2 * percentile(vu, 0.5D) AS BIGINT)").as("exact_med2x"))
+          (lit(2) * graft.plans.LongPercentileAgg
+            .longPercentile(col("vu"), 0.5)).cast(LongType)
+            .as("exact_med2x"))
         .withColumn("vals",
           sort_array(expr("transform(sk, x -> x % 4294967296)")))
         .withColumn("sample_n", size(col("vals")).cast("long"))

@@ -47,7 +47,14 @@ object StreamingQueries {
     "q184_stream_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val stream = Streaming.eventsStream(s, s"$dir/events.parquet")
+      // Project BEFORE the stateful dedup: the operator shuffles and
+      // stores whole rows, and the downstream key-only projection does
+      // not reliably prune through it — without this the fat props
+      // string rides the exchange and the state store for nothing
+      // (at x1000 that is most of the shuffled bytes). The watermark
+      // tag survives projection, so event-time eviction is unchanged.
       val deduped = stream
+        .select(col("user_id"), col("event_type"), col("ts"))
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
       Streaming.runToCompletion(s, deduped,
@@ -66,9 +73,13 @@ object StreamingQueries {
     // emits on match, so the pair set equals the batch join exactly.
     "q185_stream_join" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
+      // Same pre-state projection discipline as q184: the symmetric
+      // join buffers BOTH sides' rows in per-key state — only the
+      // columns the join and output need should enter it.
       def typed(t: String) = Streaming
         .eventsStream(s, s"$dir/events.parquet")
         .filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("ts"))
       val joined = Streaming.intervalJoin(
         typed("click"), typed("purchase"), "user_id", "ts", "30 minutes")
         .select(

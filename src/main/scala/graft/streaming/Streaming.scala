@@ -240,10 +240,17 @@ object Streaming {
           s"$name: expected the static source to drain in exactly one " +
             s"data micro-batch (batch==oracle equivalence depends on " +
             s"it) but observed $nData")
-      val sink = spark.table(name)
-      val (schema, rows) = (sink.schema, sink.collect().toSeq)
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(rows.asJava, schema)
+      // Detach the result from the memory sink via an EAGER
+      // localCheckpoint: one pass moves the sink's rows into block-
+      // manager storage and the temp view can drop. The previous
+      // collect()+createDataFrame drain made a second driver-side copy
+      // as external Rows and then RE-ENCODED all of them on the driver
+      // on EVERY downstream action — for an output that grows with
+      // scale (stream dedup at x1000: 750k keys) that repeated driver
+      // encode, not the micro-batch, dominated measured wall time. The
+      // checkpoint blocks release with the harnesses' standard
+      // unpersist sweeps (persistent-RDD cleanup between queries).
+      spark.table(name).localCheckpoint(true)
     } finally {
       prevNoData match {
         case Some(v) => spark.conf.set(noDataKey, v)

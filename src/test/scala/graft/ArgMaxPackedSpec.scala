@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.ArgMaxPackedAgg.argMaxPacked
+
+/** Native packed argmax (the CDC latest-wins winner picker): semantics
+  * pinned against Spark's own max_by(struct, struct) on randomized
+  * data, null-ordering rules, and the plan shape that motivates it
+  * (ObjectHashAggregate, not SortAggregate). */
+class ArgMaxPackedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("argMaxPacked == max_by(struct, struct) on randomized changelog") {
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 5000).map { i =>
+      (rng.nextInt(40).toLong, // key
+        rng.nextInt(1000).toLong, // ord1 (many ties)
+        i.toLong, // ord2 unique
+        rng.nextDouble() * 100,
+        rng.nextInt(10) == 0)
+    }
+    val df = rows.toDF("k", "o1", "o2", "v", "del")
+    val native = df.groupBy($"k")
+      .agg(argMaxPacked($"v", $"del", $"o1", $"o2").as("last"))
+      .select($"k", $"last.value", $"last.flag")
+      .as[(Long, Double, Boolean)].collect().toSet
+    val reference = df.groupBy($"k")
+      .agg(max_by(struct($"v", $"del"), struct($"o1", $"o2")).as("last"))
+      .select($"k", $"last.v", $"last.del")
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(native === reference)
+  }
+
+  test("argMaxPacked ignores null-ordered rows; empty group yields null") {
+    val df = Seq(
+      (1L, Some(5L), Some(1L), 10.0, false),
+      (1L, None, Some(9L), 99.0, true), // null ord1: never wins
+      (1L, Some(9L), None, 98.0, true), // null ord2: never wins
+      (2L, None, None, 1.0, false) // all null-ordered: group -> null
+    ).toDF("k", "o1", "o2", "v", "del")
+    val out = df.groupBy($"k")
+      .agg(argMaxPacked($"v", $"del", $"o1", $"o2").as("last"))
+      .select($"k", $"last.value")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(out(1L) === Some(10.0))
+    assert(out(2L) === None)
+  }
+
+  test("argMaxPacked plans hash-based (the point of the packed buffer)") {
+    val df = spark.range(1000L).select(
+      (col("id") % 10).as("k"), col("id").as("o2"),
+      (col("id") % 7).as("o1"), col("id").cast("double").as("v"),
+      (col("id") % 3 === 0).as("del"))
+    val agg = df.groupBy($"k")
+      .agg(argMaxPacked($"v", $"del", $"o1", $"o2").as("last"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate, got:\n$plan")
+    assert(!plan.contains("SortAggregate"))
+  }
+
+  test("argMaxPacked type-checks its inputs at analysis") {
+    val df = Seq((1L, 1, 2L, 1.0, false)).toDF("k", "o1", "o2", "v", "del")
+    val e = intercept[Exception] {
+      df.groupBy($"k")
+        .agg(argMaxPacked($"v", $"del", $"o1", $"o2")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("arg_max_packed") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.LongPercentileAgg.longPercentile
+
+/** Native primitive-histogram exact percentile: must replicate Spark's
+  * own percentile() — including interpolation — on arbitrary long
+  * multisets, because existing DuckDB oracles hash against Spark's
+  * result. Dyadic percentiles (0.5/0.25/0.75 — every production call
+  * site, via the 2x/4x integer-exact tricks) must match EXACTLY. */
+class LongPercentileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def compare(rows: Seq[(Long, Long)], p: Double,
+      exact: Boolean): Unit = {
+    val df = rows.toDF("k", "v")
+    val native = df.groupBy($"k")
+      .agg(longPercentile($"v", p).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val builtin = df.groupBy($"k")
+      .agg(expr(s"percentile(v, ${p}D)").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native.keySet === builtin.keySet)
+    native.foreach { case (k, nv) =>
+      val bv = builtin(k)
+      if (exact) assert(nv === bv, s"key $k: $nv vs $bv (p=$p)")
+      else assert(math.abs(nv - bv) <= 1e-9 * math.max(1.0, math.abs(bv)),
+        s"key $k: $nv vs $bv (p=$p)")
+    }
+  }
+
+  test("long_percentile == percentile on randomized multisets (dyadic p)") {
+    val rng = new scala.util.Random(7)
+    // duplicates, negatives, zeros, odd AND even group sizes
+    val rows = (1 to 4000).map { _ =>
+      (rng.nextInt(20).toLong,
+        (rng.nextInt(200) - 100).toLong * (if (rng.nextBoolean()) 1 else 1000000))
+    } ++ Seq((100L, 5L)) // singleton group
+    Seq(0.5, 0.25, 0.75, 0.0, 1.0).foreach(p =>
+      compare(rows, p, exact = true))
+  }
+
+  test("long_percentile tracks percentile on non-dyadic p") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 2000).map(_ =>
+      (rng.nextInt(8).toLong, rng.nextLong() % 100000))
+    Seq(0.3, 0.9, 0.123).foreach(p => compare(rows, p, exact = false))
+  }
+
+  test("long_percentile ignores nulls; all-null group is null") {
+    val df = Seq(
+      (1L, Some(10L)), (1L, None), (1L, Some(20L)),
+      (2L, None)
+    ).toDF("k", "v")
+    val out = df.groupBy($"k").agg(longPercentile($"v", 0.5).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) === Some(15.0))
+    assert(out(2L) === None)
+  }
+
+  test("long_percentile plans hash-based and survives a histogram grow") {
+    // >1024 distinct values forces at least one buffer grow; the
+    // half-sum check (2*median integer) pins the dyadic exactness the
+    // production call sites rely on.
+    val df = spark.range(100000L).select(
+      (col("id") % 4).as("k"), (col("id") * 7 % 99991).as("v"))
+    val agg = df.groupBy($"k")
+      .agg((longPercentile($"v", 0.5) * 2).cast("long").as("m2x"))
+    val builtin = df.groupBy($"k")
+      .agg(expr("CAST(2 * percentile(v, 0.5D) AS BIGINT)").as("m2x"))
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      builtin.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+  }
+
+  test("long_percentile rejects non-bigint input at analysis") {
+    val df = Seq((1L, 1.5)).toDF("k", "v")
+    val e = intercept[Exception] {
+      df.groupBy($"k").agg(longPercentile($"v", 0.5)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("long_percentile") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+}
