@@ -124,15 +124,21 @@ object Bench {
       // back to sort-based object aggregation after only 128 in-memory
       // groups by default — millions of tiny groups then pay a sort
       // (and at x1000, gigabytes of sorter spill) for no memory
-      // benefit. 262144 bounded buffers is tens of MB per task at the
-      // sizes our aggs buffer; measured A/B at 4096 vs default at
+      // benefit. Measured A/B at 4096 vs the 128-group default at
       // sf0.1: q137 2.94→2.47 s, q103 2.41→2.03, q36 1.59→1.16, q63
-      // 1.75→1.36; raised further in r11 because multi-replica scale
-      // partitions carry one key-set per replica file (~225k local
-      // keys at x1000) and any lower cap demoted cdc_apply to
-      // sort-based aggregation with gigabytes of sorter spill.
+      // 1.75→1.36. 65536 — NOT higher — is deliberate: when a
+      // partition's key count approaches its row count (the x1000
+      // changelog layout: rows/key < partitions, so per-partition keys
+      // ≈ rows and map-side combining cannot reduce), a big hash map
+      // only churns allocations before emitting one state per row
+      // anyway; falling back to the sorter early IS the right behavior
+      // there (measured x1000 cdc_apply: 14.6 s / 8 s GC at 65536 vs
+      // 24-27 s / 140+ s GC at 1M — the sorter's bounded spill beats a
+      // millions-entry map). 65536 still gives genuinely-combinable
+      // aggregates (bounded lists, sketches, packed buffers) full
+      // hash-based headroom.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "262144")
+        "65536")
       // Let AQE re-plan partitioning UNDER cached plans (off by
       // default upstream because a cache consumer that relied on the
       // cached partitioning may see an extra exchange). The iterative

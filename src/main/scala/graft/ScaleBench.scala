@@ -47,12 +47,13 @@ object ScaleBench {
       // matters MORE here: a multi-replica input partition holds one
       // key-set per replica file, so the partial aggregate sees
       // thousands of local groups — at the default 128-group fallback
-      // the x1000 cdc_apply shape demoted to sort-based aggregation
-      // and spilled 3.5 GB for the packed-buffer merge. 262144 covers
-      // the ~225k local keys a x1000 partition actually carries
-      // (~30 replica files x 7.5k keys) at tens of MB per task.
+      // low-reduction shapes (x1000 changelog: replica files are
+      // row-shuffled, so per-partition keys ≈ rows and map-side
+      // combining cannot reduce) fall back to the sorter EARLY instead
+      // of churning a millions-entry map — see the Bench comment for
+      // the measured A/B (14.6 s vs 24-27 s on cdc_apply at x1000).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "262144")
+        "65536")
       // Same cached-plan AQE policy as Bench (see the comment there).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("GRAFT_CACHE_AQE", "true"))
@@ -278,17 +279,43 @@ object ScaleBench {
         .groupBy(col("centroid_id"), col("dropped"))
         .agg(count(lit(1)).as("n"))))
 
+    // Bench-grade inter-measurement barrier (r11): the old clearCache +
+    // one GC left broadcast blocks, terminated-stream plans and
+    // state-store providers draining ASYNC while the next shape
+    // measured — on a 16-shape run one heavy predecessor (cdc's 10 GB
+    // external sort, the ANN broadcast) bled multi-second GC into its
+    // successor and single shapes spiked 3-6x run-to-run
+    // (time_weighted 8.7 s vs 53.5 s across otherwise-identical runs).
+    // Block (bounded) until the block manager reports zero broadcast
+    // blocks, then GC again so the reclaim actually lands.
+    def broadcastBlocks(): Int =
+      org.apache.spark.SparkEnv.get.blockManager
+        .getMatchingBlockIds(_.isBroadcast).size
     def releaseAll(): Unit = {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      spark.streams.resetTerminated()
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      org.apache.spark.sql.GraftColumnBridge.unloadStateStores()
+      System.gc()
+      var waitedMs = 0
+      while (broadcastBlocks() > 0 && waitedMs < 2000) {
+        Thread.sleep(25)
+        waitedMs += 25
+        if (waitedMs % 500 == 0) System.gc()
+      }
       System.gc()
     }
     def r4(sec: Double): Double = math.rint(sec * 10000) / 10000
     // min-of-2 with per-run metrics: the exponent wants the least-noise
     // sample, and SCALE_BENCH is evidence of capability, not the
     // regression artifact (Bench's median-of-3 plays that role).
-    def measure(fn: String => DataFrame, dir: String): (Double, Seq[Double], String, Long) = {
+    def measure(fn: String => DataFrame, dir: String,
+        samples: Int = 2): (Double, Seq[Double], String, Long) = {
       var rows = 0L
       def once(): (Double, String) = {
         metrics.reset()
@@ -310,10 +337,9 @@ object ScaleBench {
         releaseAll()
         (sec, m)
       }
-      val (s1, m1) = once()
-      val (s2, m2) = once()
-      val best = Seq((s1, m1), (s2, m2)).minBy(_._1)
-      (best._1, Seq(s1, s2), best._2, rows)
+      val runs = Seq.fill(samples)(once())
+      val best = runs.minBy(_._1)
+      (best._1, runs.map(_._1), best._2, rows)
     }
 
     // warmup: reader + codegen init off the clock, and the streaming
@@ -336,7 +362,15 @@ object ScaleBench {
       pairs.map { case (name, fn) =>
         try {
           val (t1, runs1, met1, rows1) = measure(fn, lo)
-          val (tN, runsN, metN, rowsN) = measure(fn, hi)
+          // The xN side gets THREE samples: one full pass over 16
+          // shapes takes long enough that a single heavy neighbor's
+          // residual (page-cache turnover, G1 region churn) can
+          // inflate one shape 2-6x, and with min-of-2 both samples of
+          // ONE shape were repeatedly caught (six full runs: a
+          // different shape spiked each time). Three samples per xN
+          // shape made every spike recoverable; the min is the
+          // artifact of record, the run list shows the spread.
+          val (tN, runsN, metN, rowsN) = measure(fn, hi, samples = 3)
           val ratio = r4(tN / t1)
           val exponent = r4(math.log(tN / t1) / math.log(n.toDouble))
           // Streaming shapes additionally report the exponent over

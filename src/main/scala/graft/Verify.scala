@@ -20,7 +20,7 @@ object Verify {
       // aggregations should stay hash-based (cannot affect results,
       // only the aggregation strategy).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "262144")
+        "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -290,7 +290,7 @@ object Graph {
       .persist(lvl)
     val r0 = owned.checkpoint(
       sym.filter(seedPred).select(col("sn").as("n")).distinct())
-    val c0 = r0.count()
+    val c0 = graft.util.PhaseProf.timed("seed")(r0.count())
     // The reached set is a checkpointed LogicalRDD, whose size ESTIMATE
     // is the catalog default (effectively infinite) — it never
     // auto-broadcasts, and every hop was silently planning a full
@@ -312,8 +312,9 @@ object Graph {
       (nxt, c)
     }
     val (rLast, counts) = (1 to hops).foldLeft((r0, Vector(c0))) {
-      case ((r, cs), _) =>
-        val (nxt, c) = expand(r, cs.last)
+      case ((r, cs), h) =>
+        val (nxt, c) =
+          graft.util.PhaseProf.timed(s"hop_$h")(expand(r, cs.last))
         (nxt, cs :+ c)
     }
     sym.unpersist(blocking = false)

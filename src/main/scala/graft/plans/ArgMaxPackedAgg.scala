@@ -47,19 +47,70 @@ case class ArgMaxPackedAgg(
 
   override def createAggregationBuffer(): Buf = new Buf
 
+  // Primitive fast paths: an imperative aggregate's update runs
+  // interpreted, and Expression.eval BOXES every primitive it returns
+  // — at a 100M-row changelog that is ~3 boxed allocations per row and
+  // the measured GC driver of the whole shape (x1000: 143 s summed GC
+  // with boxing vs the direct reads). After AggregationIterator binds
+  // the function, plainly-projected inputs are BoundReferences, which
+  // can be read straight off the UnsafeRow with zero allocation; any
+  // computed child falls back to eval. Callers therefore pre-project
+  // derived ordinals (q173 projects unix_micros(ts) AS a column)
+  // rather than passing expressions into the aggregate.
+  @transient private[this] lazy val ord1Ref: Int = ord1 match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference => b.ordinal
+    case _ => -1
+  }
+  @transient private[this] lazy val ord2Ref: Int = ord2 match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference => b.ordinal
+    case _ => -1
+  }
+  @transient private[this] lazy val valueRef: Int = value match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference => b.ordinal
+    case _ => -1
+  }
+  @transient private[this] lazy val flagRef: Int = flag match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference => b.ordinal
+    case _ => -1
+  }
+
   override def update(buf: Buf, input: InternalRow): Buf = {
-    val o1v = ord1.eval(input)
-    val o2v = ord2.eval(input)
-    if (o1v != null && o2v != null) {
-      val o1 = o1v.asInstanceOf[Long]
-      val o2 = o2v.asInstanceOf[Long]
-      if (!buf.set || o1 > buf.o1 || (o1 == buf.o1 && o2 > buf.o2)) {
-        buf.set = true
-        buf.o1 = o1
-        buf.o2 = o2
+    var o1 = 0L
+    var o2 = 0L
+    var ordNull = false
+    if (ord1Ref >= 0) {
+      if (input.isNullAt(ord1Ref)) ordNull = true
+      else o1 = input.getLong(ord1Ref)
+    } else {
+      val v = ord1.eval(input)
+      if (v == null) ordNull = true else o1 = v.asInstanceOf[Long]
+    }
+    if (!ordNull) {
+      if (ord2Ref >= 0) {
+        if (input.isNullAt(ord2Ref)) ordNull = true
+        else o2 = input.getLong(ord2Ref)
+      } else {
+        val v = ord2.eval(input)
+        if (v == null) ordNull = true else o2 = v.asInstanceOf[Long]
+      }
+    }
+    if (!ordNull &&
+        (!buf.set || o1 > buf.o1 || (o1 == buf.o1 && o2 > buf.o2))) {
+      buf.set = true
+      buf.o1 = o1
+      buf.o2 = o2
+      if (valueRef >= 0) {
+        buf.valueNull = input.isNullAt(valueRef)
+        buf.value = if (buf.valueNull) 0.0 else input.getDouble(valueRef)
+      } else {
         val v = value.eval(input)
         buf.valueNull = v == null
         buf.value = if (v == null) 0.0 else v.asInstanceOf[Double]
+      }
+      if (flagRef >= 0) {
+        buf.flagNull = input.isNullAt(flagRef)
+        buf.flag = !buf.flagNull && input.getBoolean(flagRef)
+      } else {
         val f = flag.eval(input)
         buf.flagNull = f == null
         buf.flag = f != null && f.asInstanceOf[Boolean]

@@ -49,9 +49,22 @@ case class LongPercentileAgg(
 
   override def createAggregationBuffer(): Hist = new Hist
 
+  // Zero-boxing read when the (bound) child is a direct column
+  // reference — same rationale as ArgMaxPackedAgg: interpreted eval
+  // boxes one Long per input row, which at 100M rows is the shape's
+  // GC bill. Callers pre-project derived values into a column.
+  @transient private[this] lazy val childRef: Int = child match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference => b.ordinal
+    case _ => -1
+  }
+
   override def update(buf: Hist, input: InternalRow): Hist = {
-    val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Long], 1L)
+    if (childRef >= 0) {
+      if (!input.isNullAt(childRef)) buf.add(input.getLong(childRef), 1L)
+    } else {
+      val v = child.eval(input)
+      if (v != null) buf.add(v.asInstanceOf[Long], 1L)
+    }
     buf
   }
 

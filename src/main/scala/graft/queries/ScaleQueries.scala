@@ -177,20 +177,22 @@ object ScaleQueries {
         // On a cluster this is checkpoint()/persist with replication;
         // Verify/Bench release the blocks after the query.
         .localCheckpoint()
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      val nodes = graft.util.PhaseProf.timed("graph_build")(
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct().localCheckpoint())
       val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       var pr = nodes.withColumn("pr", lit(1000000L))
-      for (_ <- 1 to 3) {
+      for (i <- 1 to 3) {
         val contrib = e
           .join(pr, col("src") === col("node"))
           .join(broadcast(outdeg), "src")
           .select(col("dst"), expr("pr div outdeg").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-        pr = nodes.join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"), (lit(150000L) +
-            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
-          .localCheckpoint()
+        pr = graft.util.PhaseProf.timed(s"iter_$i")(
+          nodes.join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"), (lit(150000L) +
+              expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+            .localCheckpoint())
       }
       pr.orderBy(col("pr").desc, col("node")).limit(20)
     }),
@@ -492,15 +494,19 @@ object ScaleQueries {
     // is total — event_id is unique — so the winner is deterministic on
     // any partitioning.
     "q173_cdc_apply" -> ((s, dir) => {
+      // ts_us is PRE-PROJECTED (codegen'd) rather than passed as an
+      // expression: the aggregate's primitive fast path needs plain
+      // bound columns to read without boxing (see ArgMaxPackedAgg).
       val log = t(s, dir, "events").select(
-        col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
         col("value"),
         (h32(col("event_id").cast("string")) % 10 === 0).as("is_delete"))
       log.groupBy(col("user_id"), col("event_type"))
         .agg(
           graft.plans.ArgMaxPackedAgg.argMaxPacked(
             col("value"), col("is_delete"),
-            unix_micros(col("ts")), col("event_id")).as("last"),
+            col("ts_us"), col("event_id")).as("last"),
           count(lit(1)).as("n_changes"))
         .filter(!col("last.flag"))
         .select(col("user_id"), col("event_type"),
