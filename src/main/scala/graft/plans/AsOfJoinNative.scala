@@ -42,6 +42,19 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * microseconds. Keys are COMPOSITE (DuckDB ASOF takes any number of
   * equality conditions alongside the one inequality; same here): the
   * single-key form is the one-element case.
+  *
+  * FORWARD direction (pandas merge_asof direction='forward', DuckDB
+  * ASOF with the inequality flipped to left.ts <= right.ts): each left
+  * row matches the EARLIEST right row with right.ts >= left.ts; among
+  * ties on (keys, ts) the LEAST tie-break value wins (the mirror of
+  * backward's greatest — both fall out of the shared (keys, ts, tie)
+  * ascending sort: backward takes the last row the cursor passes,
+  * forward the first row it reaches). Tolerance drops matches further
+  * than `toleranceUs` ahead. The forward merge is strictly simpler:
+  * the lookahead row IS the candidate (it may match many left rows, so
+  * it is never consumed by a match), and no buffered-row copy exists
+  * at all — right rows strictly behind the left cursor can never match
+  * a later left row because left is also time-sorted.
   */
 object AsOfNative {
 
@@ -56,7 +69,8 @@ object AsOfNative {
       leftTs: Attribute,
       rightTs: Attribute,
       rightTie: Attribute,
-      toleranceUs: Option[Long]) extends BinaryNode {
+      toleranceUs: Option[Long],
+      forward: Boolean) extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
     override protected def withNewChildrenInternal(
@@ -68,8 +82,8 @@ object AsOfNative {
     * later (standard strategy contract). */
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinPlan(l, r, lks, rks, lts, rts, tie, tol) =>
-        AsOfJoinExec(lks, rks, lts, rts, tie, tol,
+      case AsOfJoinPlan(l, r, lks, rks, lts, rts, tie, tol, fwd) =>
+        AsOfJoinExec(lks, rks, lts, rts, tie, tol, fwd,
           planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
@@ -95,6 +109,7 @@ object AsOfNative {
       rightTs: Expression,
       rightTie: Expression,
       toleranceUs: Option[Long],
+      forward: Boolean,
       left: SparkPlan,
       right: SparkPlan) extends BinaryExecNode {
 
@@ -128,6 +143,7 @@ object AsOfNative {
       val rTs = BindReferences.bindReference(rightTs, right.output)
       val nKeys = leftKeys.length
       val tol = toleranceUs
+      val fwd = forward
       val rightSchema = right.output
       val outputAttrs = output
       // Co-partitioning contract: EnsureRequirements satisfied both
@@ -219,7 +235,33 @@ object AsOfNative {
           }
         }
         advanceLookahead()
-        lIter.map { lRow =>
+        if (fwd) lIter.map { lRow =>
+          // Forward merge: discard right rows strictly behind the left
+          // cursor (left is time-sorted too, so they can never match a
+          // later left row either), then the lookahead itself is the
+          // candidate — first row at-or-after the cursor in the
+          // (keys, ts, tie) sort = earliest ts, least tie. It is NOT
+          // consumed on a match: the same future row may serve many
+          // left rows. No copy is ever taken — nextKey/nextTs are
+          // views into the row the iterator just produced, and no
+          // further next() happens before the comparison below.
+          val k = evalKeys(lKeyB, lRow)
+          val tsV = lTs.eval(lRow)
+          if (k != null && tsV != null) {
+            val ts = tsV.asInstanceOf[Long]
+            var advancing = true
+            while (advancing && nextRow != null) {
+              val c = compareKeys(nextKey, k)
+              if (c < 0 || (c == 0 && nextTs < ts)) advanceLookahead()
+              else advancing = false
+            }
+          }
+          val matched = k != null && tsV != null && nextRow != null &&
+            compareKeys(nextKey, k) == 0 &&
+            nextTs >= tsV.asInstanceOf[Long] &&
+            tol.forall(t => nextTs - tsV.asInstanceOf[Long] <= t)
+          project(joined(lRow, if (matched) nextRow else nullRight))
+        } else lIter.map { lRow =>
           val k = evalKeys(lKeyB, lRow)
           val tsV = lTs.eval(lRow)
           if (k != null && tsV != null) {
@@ -268,7 +310,10 @@ object AsOfNative {
   /** Left as-of join through the native operator, composite-key form.
     * Right-side columns must not collide with the left's (rename
     * first) — enforced here because the logical node carries both
-    * outputs verbatim. */
+    * outputs verbatim. `direction` is "backward" (default: latest
+    * right.ts <= left.ts, max tie) or "forward" (earliest right.ts >=
+    * left.ts, min tie) — see the object doc for the exact tie
+    * semantics. */
   def asofJoinLeftMulti(
       left: DataFrame,
       right: DataFrame,
@@ -277,10 +322,13 @@ object AsOfNative {
       leftTs: String,
       rightTs: String,
       rightTie: String,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       s"as-of key lists must be non-empty and same length " +
         s"($leftKeys vs $rightKeys)")
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be 'backward' or 'forward' (got '$direction')")
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -315,7 +363,8 @@ object AsOfNative {
         s"(got ${lts.dataType}); cast DATE/other types explicitly")
     require(RowOrdering.isOrderable(tie.dataType),
       s"as-of tie-break ${tie.name} has non-orderable type ${tie.dataType}")
-    val node = AsOfJoinPlan(lPlan, rPlan, lks, rks, lts, rts, tie, toleranceUs)
+    val node = AsOfJoinPlan(lPlan, rPlan, lks, rks, lts, rts, tie,
+      toleranceUs, direction == "forward")
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, node)
   }
 
@@ -328,9 +377,10 @@ object AsOfNative {
       leftTs: String,
       rightTs: String,
       rightTie: String,
-      toleranceUs: Option[Long] = None): DataFrame =
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"): DataFrame =
     asofJoinLeftMulti(left, right, Seq(leftKey), Seq(rightKey),
-      leftTs, rightTs, rightTie, toleranceUs)
+      leftTs, rightTs, rightTie, toleranceUs, direction)
 
   /** Idempotent runtime registration for sessions built without the
     * `spark.sql.extensions=graft.plans.GraftExtensions` config (the

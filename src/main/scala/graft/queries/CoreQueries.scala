@@ -447,6 +447,34 @@ object CoreQueries {
             .as("gap_us"))
     }),
 
+    // FORWARD native as-of: each click matches the EARLIEST purchase
+    // at-or-after it (pandas merge_asof direction='forward'; DuckDB
+    // ASOF with the inequality flipped to <=). Among purchases tied on
+    // (user, ts) the least event_id wins — the mirror of backward's
+    // greatest, both implied by the shared (keys, ts, tie) ascending
+    // sort — so the oracle pre-aggregates with min/arg_min where the
+    // backward oracles use max/arg_max. Same physical shape as q189:
+    // one co-partitioned exchange per side, one sort each, and a merge
+    // that is strictly simpler than backward (the lookahead row IS the
+    // candidate; no buffered copy exists).
+    "q191_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+          col("event_id").as("r_event_id"), col("value").as("r_value"))
+      graft.plans.AsOfNative.asofJoinLeft(clicks, purchases,
+        "user_id", "r_user_id", "ts", "r_ts", rightTie = "r_event_id",
+        direction = "forward")
+        .select(
+          col("event_id"),
+          col("r_event_id").as("purchase_event_id"),
+          col("r_value").as("purchase_value"),
+          (unix_micros(col("r_ts")) - unix_micros(col("ts")))
+            .as("gap_us"))
+    }),
+
     // W4 — hour-of-day pivot via conditional aggregation.
     "q18_hourly_pivot" -> ((s, dir) => {
       t(s, dir, "events")
@@ -838,6 +866,23 @@ object CoreQueries {
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.band = p.band
         |  AND c.ts >= p.ts""".stripMargin,
+
+    // Forward ASOF: DuckDB flips the inequality; ties collapse with
+    // min/arg_min to mirror the native forward merge's least-tie rule.
+    "q191_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, min(event_id) AS pid,
+        |    arg_min(value, event_id) AS pval
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT c.event_id,
+        |  p.pid AS purchase_event_id,
+        |  p.pval AS purchase_value,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
 
     "q18_hourly_pivot" ->
       """SELECT hour(ts) AS hour_of_day,

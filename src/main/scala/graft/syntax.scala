@@ -108,7 +108,9 @@ object syntax {
 
     /** Native as-of (point-in-time) left join — the custom merge
       * operator, see [[graft.plans.AsOfNative.asofJoinLeft]]. Right
-      * columns must not collide with the left's (alias them first). */
+      * columns must not collide with the left's (alias them first).
+      * `direction`: "backward" (latest right at-or-before, default) or
+      * "forward" (earliest right at-or-after). */
     def asofJoin(
         right: DataFrame,
         leftKey: String,
@@ -116,9 +118,11 @@ object syntax {
         leftTs: String,
         rightTs: String,
         rightTie: String,
-        toleranceUs: Option[Long] = None): DataFrame =
+        toleranceUs: Option[Long] = None,
+        direction: String = "backward"): DataFrame =
       graft.plans.AsOfNative.asofJoinLeft(
-        df, right, leftKey, rightKey, leftTs, rightTs, rightTie, toleranceUs)
+        df, right, leftKey, rightKey, leftTs, rightTs, rightTie,
+        toleranceUs, direction)
 
     /** Composite-key native as-of join (DuckDB ASOF with multiple
       * equality conditions) — see
@@ -130,9 +134,11 @@ object syntax {
         leftTs: String,
         rightTs: String,
         rightTie: String,
-        toleranceUs: Option[Long] = None): DataFrame =
+        toleranceUs: Option[Long] = None,
+        direction: String = "backward"): DataFrame =
       graft.plans.AsOfNative.asofJoinLeftMulti(
-        df, right, leftKeys, rightKeys, leftTs, rightTs, rightTie, toleranceUs)
+        df, right, leftKeys, rightKeys, leftTs, rightTs, rightTie,
+        toleranceUs, direction)
   }
 
   implicit class EmbeddingOps(private val corpus: DataFrame) extends AnyVal {

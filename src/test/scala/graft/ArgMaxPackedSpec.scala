@@ -32,6 +32,35 @@ class ArgMaxPackedSpec extends SparkSpec {
     assert(native === reference)
   }
 
+  test("argMaxPacked eval fallback (computed children) agrees with the " +
+    "bound-column fast path") {
+    // Plain columns bind to BoundReferences and take the zero-boxing
+    // fast path; COMPUTED children (anything the optimizer can't
+    // collapse to a column) fall back to Expression.eval. Same
+    // randomized data through both must agree — this is the only
+    // coverage the eval path has now that the hot queries pre-project.
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 3000).map { i =>
+      (rng.nextInt(30).toLong, rng.nextInt(500).toLong, i.toLong,
+        rng.nextDouble() * 10, rng.nextInt(7) == 0)
+    }
+    val df = rows.toDF("k", "o1", "o2", "v", "del")
+    // computed forms: * 2 preserves order; negation/arith on value+flag
+    val viaEval = df.groupBy($"k")
+      .agg(argMaxPacked($"v" + lit(1.0), !$"del", $"o1" * 2, $"o2" * 2)
+        .as("last"))
+      .select($"k", $"last.value", $"last.flag")
+      .as[(Long, Double, Boolean)].collect().toSet
+    val viaFast = df
+      .select($"k", ($"v" + lit(1.0)).as("v2"), (!$"del").as("nd"),
+        ($"o1" * 2).as("o1x"), ($"o2" * 2).as("o2x"))
+      .groupBy($"k")
+      .agg(argMaxPacked($"v2", $"nd", $"o1x", $"o2x").as("last"))
+      .select($"k", $"last.value", $"last.flag")
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(viaEval === viaFast)
+  }
+
   test("argMaxPacked ignores null-ordered rows; empty group yields null") {
     val df = Seq(
       (1L, Some(5L), Some(1L), 10.0, false),

@@ -240,6 +240,79 @@ class AsOfNativeSpec extends SparkSpec {
     assert(e.getMessage.contains("timestamps must be"))
   }
 
+  test("asof native: forward direction — hand-computed matches, min-tie, " +
+    "tolerance") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"), // same instant as two right rows
+      (1L, ts("2024-01-01 12:00:00"), "l2"), // after k1's last right row
+      (2L, ts("2024-01-01 09:00:00"), "l3"), // right row 30 min AHEAD
+      (3L, ts("2024-01-01 10:00:00"), "l4")  // key with no right rows
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "r1"), // tie: LEAST tie wins fwd
+      (1L, ts("2024-01-01 10:00:00"), 2L, "r2"),
+      (1L, ts("2024-01-01 11:00:00"), 3L, "r3"),
+      (2L, ts("2024-01-01 09:30:00"), 4L, "r4")
+    ).toDF("rk", "rt", "tie", "rv")
+
+    val out = AsOfNative.asofJoinLeft(left, right,
+      "k", "rk", "t", "rt", rightTie = "tie", direction = "forward")
+      .select($"lv", $"rv").as[(String, Option[String])]
+      .collect().toMap
+    assert(out("l1") === Some("r1")) // same instant; MIN tie (mirror of bwd)
+    assert(out("l2") === None)       // nothing at-or-after
+    assert(out("l3") === Some("r4")) // earliest at-or-after
+    assert(out("l4") === None)       // key absent from right
+
+    // tolerance 15 min: l3's match is 30 min ahead -> dropped; l1's is 0
+    val tol = AsOfNative.asofJoinLeft(left, right,
+      "k", "rk", "t", "rt", rightTie = "tie",
+      toleranceUs = Some(15L * 60 * 1000000), direction = "forward")
+      .select($"lv", $"rv").as[(String, Option[String])]
+      .collect().toMap
+    assert(tol("l1") === Some("r1"))
+    assert(tol("l3") === None)
+
+    // direction is validated at the API
+    val e = intercept[IllegalArgumentException] {
+      AsOfNative.asofJoinLeft(left, right, "k", "rk", "t", "rt", "tie",
+        direction = "sideways")
+    }
+    assert(e.getMessage.contains("direction"))
+  }
+
+  test("asof native: forward equals a brute-force range-join-then-first " +
+    "on real data") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("r_user_id"), $"ts".as("r_ts"),
+        $"event_id".as("r_event_id"))
+
+    val native = AsOfNative.asofJoinLeft(clicks, purchases,
+      "user_id", "r_user_id", "ts", "r_ts", rightTie = "r_event_id",
+      direction = "forward")
+      .select($"event_id", $"r_event_id")
+      .as[(Long, Option[Long])].collect().toSet
+
+    // Independent formulation: full range join, keep the first future
+    // row per left in (ts, tie) order. O(n*m) per key — test-only.
+    val brute = clicks.join(purchases,
+        $"user_id" === $"r_user_id" && $"r_ts" >= $"ts", "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_id")
+          .orderBy($"r_ts".asc_nulls_last, $"r_event_id".asc_nulls_last)))
+      .filter($"rn" === 1)
+      .select($"event_id", $"r_event_id")
+      .as[(Long, Option[Long])].collect().toSet
+
+    assert(native.nonEmpty)
+    assert(native.exists(_._2.nonEmpty)) // some rows actually match
+    assert(native === brute)
+  }
+
   test("asof native: null keys never match and never crash the merge") {
     val left = Seq(
       (Some(1L), ts("2024-01-01 10:00:00"), "a"),

@@ -42,6 +42,26 @@ class LongPercentileSpec extends SparkSpec {
       compare(rows, p, exact = true))
   }
 
+  test("long_percentile eval fallback (computed child) agrees with the " +
+    "bound-column fast path") {
+    // Plain columns read zero-boxing off the UnsafeRow; a computed
+    // child falls back to Expression.eval — this pins the two paths to
+    // each other (the hot call sites all pre-project, so only this
+    // test exercises the fallback).
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 3000).map(_ =>
+      (rng.nextInt(15).toLong, rng.nextLong() % 10000))
+    val df = rows.toDF("k", "v")
+    val viaEval = df.groupBy($"k")
+      .agg(longPercentile($"v" * 3 + 1, 0.5).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaFast = df.select($"k", ($"v" * 3 + 1).as("w"))
+      .groupBy($"k")
+      .agg(longPercentile($"w", 0.5).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaEval === viaFast)
+  }
+
   test("long_percentile tracks percentile on non-dyadic p") {
     val rng = new scala.util.Random(11)
     val rows = (1 to 2000).map(_ =>
