@@ -55,6 +55,18 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * it is never consumed by a match), and no buffered-row copy exists
   * at all — right rows strictly behind the left cursor can never match
   * a later left row because left is also time-sorted.
+  *
+  * NEAREST direction (pandas merge_asof direction='nearest'): both
+  * candidates at once — the backward buffer (latest right.ts <=
+  * left.ts, max tie) and the forward lookahead (earliest right.ts >
+  * left.ts, min tie; STRICTLY after, since equal-ts rows belong to the
+  * backward side) — and the smaller absolute gap wins, ties going
+  * backward. With a tolerance, each side is eligible only if its own
+  * gap is within it, then the nearest eligible side wins. One pass,
+  * same O(1) state as backward (the forward candidate is the lookahead
+  * that already existed). The DuckDB oracle for this is two ASOF joins
+  * (>= and <) CASE-merged on the gap comparison — q192 pins all three
+  * directions' tie rules cross-engine.
   */
 object AsOfNative {
 
@@ -70,7 +82,7 @@ object AsOfNative {
       rightTs: Attribute,
       rightTie: Attribute,
       toleranceUs: Option[Long],
-      forward: Boolean) extends BinaryNode {
+      direction: String) extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
     override protected def withNewChildrenInternal(
@@ -82,8 +94,8 @@ object AsOfNative {
     * later (standard strategy contract). */
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinPlan(l, r, lks, rks, lts, rts, tie, tol, fwd) =>
-        AsOfJoinExec(lks, rks, lts, rts, tie, tol, fwd,
+      case AsOfJoinPlan(l, r, lks, rks, lts, rts, tie, tol, dir) =>
+        AsOfJoinExec(lks, rks, lts, rts, tie, tol, dir,
           planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
@@ -109,7 +121,7 @@ object AsOfNative {
       rightTs: Expression,
       rightTie: Expression,
       toleranceUs: Option[Long],
-      forward: Boolean,
+      direction: String,
       left: SparkPlan,
       right: SparkPlan) extends BinaryExecNode {
 
@@ -143,7 +155,8 @@ object AsOfNative {
       val rTs = BindReferences.bindReference(rightTs, right.output)
       val nKeys = leftKeys.length
       val tol = toleranceUs
-      val fwd = forward
+      val fwd = direction == "forward"
+      val near = direction == "nearest"
       val rightSchema = right.output
       val outputAttrs = output
       // Co-partitioning contract: EnsureRequirements satisfied both
@@ -261,6 +274,41 @@ object AsOfNative {
             nextTs >= tsV.asInstanceOf[Long] &&
             tol.forall(t => nextTs - tsV.asInstanceOf[Long] <= t)
           project(joined(lRow, if (matched) nextRow else nullRight))
+        } else if (near) lIter.map { lRow =>
+          // Nearest merge: advance exactly like backward (equal-ts rows
+          // are consumed into the backward buffer, so the lookahead —
+          // when on this key — is STRICTLY after the cursor), then
+          // compare the two gaps. Both candidates already exist in the
+          // merge state backward maintains; nearest adds no state.
+          val k = evalKeys(lKeyB, lRow)
+          val tsV = lTs.eval(lRow)
+          var matchedRow: InternalRow = null
+          if (k != null && tsV != null) {
+            val ts = tsV.asInstanceOf[Long]
+            var advancing = true
+            while (advancing && nextRow != null) {
+              val c = compareKeys(nextKey, k)
+              if (c < 0 || (c == 0 && nextTs <= ts)) {
+                bufRow = nextRow.copy()
+                bufKey = evalKeys(rKeyB, bufRow)
+                bufTs = rTs.eval(bufRow).asInstanceOf[Long]
+                advanceLookahead()
+              } else advancing = false
+            }
+            // Eligibility is per-side (each gap against the tolerance),
+            // then the smaller gap wins, ties going BACKWARD — pandas
+            // merge_asof(direction='nearest') semantics.
+            val bOk = bufRow != null && compareKeys(bufKey, k) == 0 &&
+              bufTs <= ts && tol.forall(t => ts - bufTs <= t)
+            val fOk = nextRow != null && compareKeys(nextKey, k) == 0 &&
+              tol.forall(t => nextTs - ts <= t)
+            matchedRow =
+              if (bOk && (!fOk || ts - bufTs <= nextTs - ts)) bufRow
+              else if (fOk) nextRow
+              else null
+          }
+          project(joined(lRow,
+            if (matchedRow != null) matchedRow else nullRight))
         } else lIter.map { lRow =>
           val k = evalKeys(lKeyB, lRow)
           val tsV = lTs.eval(lRow)
@@ -311,8 +359,9 @@ object AsOfNative {
     * Right-side columns must not collide with the left's (rename
     * first) — enforced here because the logical node carries both
     * outputs verbatim. `direction` is "backward" (default: latest
-    * right.ts <= left.ts, max tie) or "forward" (earliest right.ts >=
-    * left.ts, min tie) — see the object doc for the exact tie
+    * right.ts <= left.ts, max tie), "forward" (earliest right.ts >=
+    * left.ts, min tie) or "nearest" (smaller absolute gap of the two,
+    * ties backward) — see the object doc for the exact tie
     * semantics. */
   def asofJoinLeftMulti(
       left: DataFrame,
@@ -327,8 +376,9 @@ object AsOfNative {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       s"as-of key lists must be non-empty and same length " +
         s"($leftKeys vs $rightKeys)")
-    require(direction == "backward" || direction == "forward",
-      s"as-of direction must be 'backward' or 'forward' (got '$direction')")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"as-of direction must be 'backward', 'forward' or 'nearest' " +
+        s"(got '$direction')")
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -364,7 +414,7 @@ object AsOfNative {
     require(RowOrdering.isOrderable(tie.dataType),
       s"as-of tie-break ${tie.name} has non-orderable type ${tie.dataType}")
     val node = AsOfJoinPlan(lPlan, rPlan, lks, rks, lts, rts, tie,
-      toleranceUs, direction == "forward")
+      toleranceUs, direction)
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, node)
   }
 

@@ -475,6 +475,34 @@ object CoreQueries {
             .as("gap_us"))
     }),
 
+    // NEAREST native as-of (pandas merge_asof direction='nearest'):
+    // the closer of the backward and forward candidates wins, ties
+    // going backward; each side keeps its own direction's tie rule
+    // (backward max event_id, forward min). gap_us is SIGNED
+    // (left − right: positive = matched a past purchase, negative = a
+    // future one), so the oracle — two DuckDB ASOF joins (>= and
+    // strict <) CASE-merged on the gap comparison — pins not just the
+    // chosen row but which DIRECTION won for every left row. One merge
+    // pass, same O(1) state as backward: the forward candidate is the
+    // lookahead row backward's advance already maintains.
+    "q192_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+          col("event_id").as("r_event_id"), col("value").as("r_value"))
+      graft.plans.AsOfNative.asofJoinLeft(clicks, purchases,
+        "user_id", "r_user_id", "ts", "r_ts", rightTie = "r_event_id",
+        direction = "nearest")
+        .select(
+          col("event_id"),
+          col("r_event_id").as("purchase_event_id"),
+          col("r_value").as("purchase_value"),
+          (unix_micros(col("ts")) - unix_micros(col("r_ts")))
+            .as("gap_us"))
+    }),
+
     // W4 — hour-of-day pivot via conditional aggregation.
     "q18_hourly_pivot" -> ((s, dir) => {
       t(s, dir, "events")
@@ -883,6 +911,42 @@ object CoreQueries {
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
+
+    // Nearest = the closer of a backward (>=) and a STRICT forward (<)
+    // ASOF join, ties backward; each leg collapses (user, ts) ties
+    // with its own direction's rule. gap is signed left − right, so
+    // backward wins iff gap_b <= -gap_f.
+    "q192_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchb AS (
+        |  SELECT user_id, ts, max(event_id) AS pid,
+        |    arg_max(value, event_id) AS pval
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts),
+        |purchf AS (
+        |  SELECT user_id, ts, min(event_id) AS pid,
+        |    arg_min(value, event_id) AS pval
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts),
+        |b AS (
+        |  SELECT c.event_id, p.pid, p.pval,
+        |    epoch_us(c.ts) - epoch_us(p.ts) AS gap
+        |  FROM clicks c ASOF LEFT JOIN purchb p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (
+        |  SELECT c.event_id, p.pid, p.pval,
+        |    epoch_us(c.ts) - epoch_us(p.ts) AS gap
+        |  FROM clicks c ASOF LEFT JOIN purchf p
+        |    ON c.user_id = p.user_id AND c.ts < p.ts)
+        |SELECT b.event_id,
+        |  CASE WHEN b.gap IS NOT NULL AND (f.gap IS NULL OR b.gap <= -f.gap)
+        |    THEN b.pid ELSE f.pid END AS purchase_event_id,
+        |  CASE WHEN b.gap IS NOT NULL AND (f.gap IS NULL OR b.gap <= -f.gap)
+        |    THEN b.pval ELSE f.pval END AS purchase_value,
+        |  CASE WHEN b.gap IS NOT NULL AND (f.gap IS NULL OR b.gap <= -f.gap)
+        |    THEN b.gap ELSE f.gap END AS gap_us
+        |FROM b JOIN f USING (event_id)""".stripMargin,
 
     "q18_hourly_pivot" ->
       """SELECT hour(ts) AS hour_of_day,

@@ -109,8 +109,9 @@ object syntax {
     /** Native as-of (point-in-time) left join — the custom merge
       * operator, see [[graft.plans.AsOfNative.asofJoinLeft]]. Right
       * columns must not collide with the left's (alias them first).
-      * `direction`: "backward" (latest right at-or-before, default) or
-      * "forward" (earliest right at-or-after). */
+      * `direction`: "backward" (latest right at-or-before, default),
+      * "forward" (earliest right at-or-after) or "nearest" (smaller
+      * absolute gap, ties backward). */
     def asofJoin(
         right: DataFrame,
         leftKey: String,

@@ -313,6 +313,77 @@ class AsOfNativeSpec extends SparkSpec {
     assert(native === brute)
   }
 
+  test("asof native: nearest direction — closer side wins, ties backward, " +
+    "per-side tolerance") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:20:00"), "l1"), // 20m after r1, 40m before r3
+      (1L, ts("2024-01-01 10:40:00"), "l2"), // 40m after r1, 20m before r3
+      (1L, ts("2024-01-01 10:30:00"), "l3"), // exact tie -> backward (r1)
+      (2L, ts("2024-01-01 09:00:00"), "l4"), // only a future row (r4)
+      (3L, ts("2024-01-01 10:00:00"), "l5")  // no right rows
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "r1"),
+      (1L, ts("2024-01-01 11:00:00"), 3L, "r3"),
+      (2L, ts("2024-01-01 09:30:00"), 4L, "r4")
+    ).toDF("rk", "rt", "tie", "rv")
+
+    val out = AsOfNative.asofJoinLeft(left, right,
+      "k", "rk", "t", "rt", rightTie = "tie", direction = "nearest")
+      .select($"lv", $"rv").as[(String, Option[String])]
+      .collect().toMap
+    assert(out("l1") === Some("r1")) // backward closer
+    assert(out("l2") === Some("r3")) // forward closer
+    assert(out("l3") === Some("r1")) // equal gaps -> backward
+    assert(out("l4") === Some("r4")) // only forward exists
+    assert(out("l5") === None)
+
+    // tolerance 25 min: l2's backward gap (40m) is out, forward (20m)
+    // in; l4's forward gap (30m) is out entirely
+    val tol = AsOfNative.asofJoinLeft(left, right,
+      "k", "rk", "t", "rt", rightTie = "tie",
+      toleranceUs = Some(25L * 60 * 1000000), direction = "nearest")
+      .select($"lv", $"rv").as[(String, Option[String])]
+      .collect().toMap
+    assert(tol("l1") === Some("r1"))
+    assert(tol("l2") === Some("r3"))
+    assert(tol("l4") === None)
+  }
+
+  test("asof native: nearest equals brute-force min-abs-gap on real data") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("r_user_id"), $"ts".as("r_ts"),
+        $"event_id".as("r_event_id"))
+
+    val native = AsOfNative.asofJoinLeft(clicks, purchases,
+      "user_id", "r_user_id", "ts", "r_ts", rightTie = "r_event_id",
+      direction = "nearest")
+      .select($"event_id", $"r_event_id")
+      .as[(Long, Option[Long])].collect().toSet
+
+    // Brute force: all pairs per key, rank by (|gap|, prefer-backward,
+    // direction's own tie rule). O(n*m) per key — test-only. Backward
+    // candidates (gap >= 0) rank tie-break DESC (max wins), forward ASC.
+    val brute = clicks.join(purchases,
+        $"user_id" === $"r_user_id", "left")
+      .withColumn("gap", unix_micros($"ts") - unix_micros($"r_ts"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_id").orderBy(
+          abs($"gap").asc_nulls_last,
+          when($"gap" >= 0, 0).otherwise(1).asc, // tie on |gap| -> backward
+          when($"gap" >= 0, -$"r_event_id").otherwise($"r_event_id").asc)))
+      .filter($"rn" === 1)
+      .select($"event_id", $"r_event_id")
+      .as[(Long, Option[Long])].collect().toSet
+
+    assert(native.nonEmpty)
+    assert(native === brute)
+  }
+
   test("asof native: null keys never match and never crash the merge") {
     val left = Seq(
       (Some(1L), ts("2024-01-01 10:00:00"), "a"),
