@@ -46,10 +46,13 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * FORWARD direction (pandas merge_asof direction='forward', DuckDB
   * ASOF with the inequality flipped to left.ts <= right.ts): each left
   * row matches the EARLIEST right row with right.ts >= left.ts; among
-  * ties on (keys, ts) the LEAST tie-break value wins (the mirror of
-  * backward's greatest — both fall out of the shared (keys, ts, tie)
-  * ascending sort: backward takes the last row the cursor passes,
-  * forward the first row it reaches). Tolerance drops matches further
+  * ties on (keys, ts) the LEAST non-null tie-break value wins (the
+  * mirror of backward's greatest — backward takes the last row the
+  * cursor passes under a NULLS FIRST tie sort, forward the first row
+  * it reaches under NULLS LAST; each direction's null ordering is
+  * chosen so null ties lose to non-null ones exactly like the
+  * arg_max/arg_min aggregates the oracles use, while an all-null tie
+  * group still matches). Tolerance drops matches further
   * than `toleranceUs` ahead. The forward merge is strictly simpler:
   * the lookahead row IS the candidate (it may match many left rows, so
   * it is never consumed by a match), and no buffered-row copy exists
@@ -64,7 +67,11 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * backward. With a tolerance, each side is eligible only if its own
   * gap is within it, then the nearest eligible side wins. One pass,
   * same O(1) state as backward (the forward candidate is the lookahead
-  * that already existed). The DuckDB oracle for this is two ASOF joins
+  * that already existed). Nearest shares backward's physical sort
+  * (NULLS FIRST ties), so its FORWARD candidate resolves a null-vs-
+  * non-null tie at the same future (keys, ts) to the null row — use a
+  * non-null tie column with nearest when that corner matters (the
+  * q192 oracle does). The DuckDB oracle for this is two ASOF joins
   * (>= and <) CASE-merged on the gap comparison — q192 pins all three
   * directions' tie rules cross-engine.
   */
@@ -132,11 +139,29 @@ object AsOfNative {
       ClusteredDistribution(leftKeys) ::
         ClusteredDistribution(rightKeys) :: Nil
 
-    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-      leftKeys.map(SortOrder(_, Ascending)) :+
-        SortOrder(leftTs, Ascending),
-      rightKeys.map(SortOrder(_, Ascending)) ++
-        Seq(SortOrder(rightTs, Ascending), SortOrder(rightTie, Ascending)))
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+      // Tie null-ordering is DIRECTION-DEPENDENT so null ties mirror
+      // the aggregate functions the oracles use: backward's "last row
+      // wins" needs NULLS FIRST (any non-null tie overwrites the null
+      // one — arg_max semantics, which ignore nulls unless the group
+      // is all-null); forward's "first row wins" needs NULLS LAST for
+      // the same reason (arg_min). Nearest shares one physical sort,
+      // so it keeps backward's exact rule and its FORWARD candidate
+      // inherits nulls-first — a null tie among equal-(key, ts) future
+      // rows wins there; callers wanting strict arg_min ties on the
+      // forward side of nearest should use a non-null tie column (the
+      // q192 oracle does).
+      val tieOrder =
+        if (direction == "forward")
+          SortOrder(rightTie, Ascending,
+            org.apache.spark.sql.catalyst.expressions.NullsLast, Seq.empty)
+        else SortOrder(rightTie, Ascending)
+      Seq(
+        leftKeys.map(SortOrder(_, Ascending)) :+
+          SortOrder(leftTs, Ascending),
+        rightKeys.map(SortOrder(_, Ascending)) ++
+          Seq(SortOrder(rightTs, Ascending), tieOrder))
+    }
 
     override def outputPartitioning: Partitioning = left.outputPartitioning
     override def outputOrdering: Seq[SortOrder] =
@@ -157,6 +182,12 @@ object AsOfNative {
       val tol = toleranceUs
       val fwd = direction == "forward"
       val near = direction == "nearest"
+      // The API validates direction; a plan constructed directly with a
+      // typo'd string must fail here rather than silently running the
+      // backward merge.
+      require(fwd || near || direction == "backward",
+        s"unknown as-of direction '$direction' " +
+          "(expected backward/forward/nearest)")
       val rightSchema = right.output
       val outputAttrs = output
       // Co-partitioning contract: EnsureRequirements satisfied both
@@ -248,6 +279,28 @@ object AsOfNative {
           }
         }
         advanceLookahead()
+        // Shared by the backward and nearest merges: consume right rows
+        // for an earlier key, or for this key at-or-before the left
+        // timestamp, into the backward buffer. The last consumed row
+        // for THIS key is the backward as-of candidate; afterwards the
+        // lookahead — when still on this key — is STRICTLY after the
+        // cursor. Key/ts are re-derived FROM THE COPY: nextKey
+        // components may be views (UTF8String) into the child
+        // iterator's reused/spilled row buffer, which the
+        // advanceLookahead() below overwrites — a stale view would
+        // corrupt the buffered key and match the wrong key's row.
+        def consumeThrough(k: Array[Any], ts: Long): Unit = {
+          var advancing = true
+          while (advancing && nextRow != null) {
+            val c = compareKeys(nextKey, k)
+            if (c < 0 || (c == 0 && nextTs <= ts)) {
+              bufRow = nextRow.copy()
+              bufKey = evalKeys(rKeyB, bufRow)
+              bufTs = rTs.eval(bufRow).asInstanceOf[Long]
+              advanceLookahead()
+            } else advancing = false
+          }
+        }
         if (fwd) lIter.map { lRow =>
           // Forward merge: discard right rows strictly behind the left
           // cursor (left is time-sorted too, so they can never match a
@@ -275,26 +328,15 @@ object AsOfNative {
             tol.forall(t => nextTs - tsV.asInstanceOf[Long] <= t)
           project(joined(lRow, if (matched) nextRow else nullRight))
         } else if (near) lIter.map { lRow =>
-          // Nearest merge: advance exactly like backward (equal-ts rows
-          // are consumed into the backward buffer, so the lookahead —
-          // when on this key — is STRICTLY after the cursor), then
-          // compare the two gaps. Both candidates already exist in the
-          // merge state backward maintains; nearest adds no state.
+          // Nearest merge: advance exactly like backward, then compare
+          // the two gaps. Both candidates already exist in the merge
+          // state backward maintains; nearest adds no state.
           val k = evalKeys(lKeyB, lRow)
           val tsV = lTs.eval(lRow)
           var matchedRow: InternalRow = null
           if (k != null && tsV != null) {
             val ts = tsV.asInstanceOf[Long]
-            var advancing = true
-            while (advancing && nextRow != null) {
-              val c = compareKeys(nextKey, k)
-              if (c < 0 || (c == 0 && nextTs <= ts)) {
-                bufRow = nextRow.copy()
-                bufKey = evalKeys(rKeyB, bufRow)
-                bufTs = rTs.eval(bufRow).asInstanceOf[Long]
-                advanceLookahead()
-              } else advancing = false
-            }
+            consumeThrough(k, ts)
             // Eligibility is per-side (each gap against the tolerance),
             // then the smaller gap wins, ties going BACKWARD — pandas
             // merge_asof(direction='nearest') semantics.
@@ -313,25 +355,7 @@ object AsOfNative {
           val k = evalKeys(lKeyB, lRow)
           val tsV = lTs.eval(lRow)
           if (k != null && tsV != null) {
-            val ts = tsV.asInstanceOf[Long]
-            // Consume right rows while they are for an earlier key, or
-            // for this key at-or-before the left timestamp. The last
-            // consumed row for THIS key is the as-of candidate.
-            var advancing = true
-            while (advancing && nextRow != null) {
-              val c = compareKeys(nextKey, k)
-              if (c < 0 || (c == 0 && nextTs <= ts)) {
-                bufRow = nextRow.copy()
-                // Re-derive key/ts FROM THE COPY: nextKey components may
-                // be views (UTF8String) into the child iterator's
-                // reused/spilled row buffer, which the advanceLookahead()
-                // below overwrites — a stale view would corrupt the
-                // buffered key and match the wrong key's row.
-                bufKey = evalKeys(rKeyB, bufRow)
-                bufTs = rTs.eval(bufRow).asInstanceOf[Long]
-                advanceLookahead()
-              } else advancing = false
-            }
+            consumeThrough(k, tsV.asInstanceOf[Long])
           }
           val matched = k != null && tsV != null && bufRow != null &&
             compareKeys(bufKey, k) == 0 &&

@@ -350,6 +350,28 @@ class AsOfNativeSpec extends SparkSpec {
     assert(tol("l4") === None)
   }
 
+  test("asof native: forward null ties lose to non-null ties (arg_min " +
+    "parity)") {
+    // Two right rows at the same (key, ts), one with a NULL tie: the
+    // forward sort is NULLS LAST on the tie, so the non-null row is
+    // the first the merge reaches — matching the arg_min-style oracle,
+    // which ignores null ties. An all-null tie group still matches.
+    val left = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "l1"),
+      (2L, ts("2024-01-01 09:00:00"), "l2")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), None, "rnull"),
+      (1L, ts("2024-01-01 10:00:00"), Some(5L), "r5"),
+      (2L, ts("2024-01-01 10:00:00"), None, "ronly") // all-null tie group
+    ).toDF("rk", "rt", "tie", "rv")
+    val out = AsOfNative.asofJoinLeft(left, right,
+      "k", "rk", "t", "rt", rightTie = "tie", direction = "forward")
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(out("l1") === Some("r5"))    // non-null tie beats null
+    assert(out("l2") === Some("ronly")) // sole null-tie row still matches
+  }
+
   test("asof native: nearest equals brute-force min-abs-gap on real data") {
     import org.apache.spark.sql.expressions.Window
     val ev = queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "events")
