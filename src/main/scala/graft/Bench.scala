@@ -119,24 +119,22 @@ object Bench {
       .config("spark.sql.ui.retainedExecutions", "8")
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
-      // collect_list/collect_set and packed-buffer aggregations (q137's
-      // per-doc vocab lists, q173's 26-byte CDC winner states) fall
-      // back to sort-based object aggregation after only 128 in-memory
-      // groups by default — millions of tiny groups then pay a sort
-      // (and at x1000, gigabytes of sorter spill) for no memory
-      // benefit. Measured A/B at 4096 vs the 128-group default at
-      // sf0.1: q137 2.94→2.47 s, q103 2.41→2.03, q36 1.59→1.16, q63
-      // 1.75→1.36. 65536 — NOT higher — is deliberate: when a
-      // partition's key count approaches its row count (the x1000
-      // changelog layout: rows/key < partitions, so per-partition keys
-      // ≈ rows and map-side combining cannot reduce), a big hash map
-      // only churns allocations before emitting one state per row
-      // anyway; falling back to the sorter early IS the right behavior
-      // there (measured x1000 cdc_apply: 14.6 s / 8 s GC at 65536 vs
-      // 24-27 s / 140+ s GC at 1M — the sorter's bounded spill beats a
-      // millions-entry map). 65536 still gives genuinely-combinable
-      // aggregates (bounded lists, sketches, packed buffers) full
-      // hash-based headroom.
+      // collect_list/collect_set and other object-buffer aggregations
+      // (q137's per-doc vocab lists, sketch buffers) fall back to
+      // sort-based object aggregation after only 128 in-memory groups
+      // by default — millions of tiny groups then pay a sort (and at
+      // x1000, gigabytes of sorter spill) for no memory benefit.
+      // Measured A/B at 4096 vs the 128-group default at sf0.1: q137
+      // 2.94→2.47 s, q103 2.41→2.03, q36 1.59→1.16, q63 1.75→1.36.
+      // 65536 — NOT higher — is deliberate: when a partition's key
+      // count approaches its row count, a big object map only churns
+      // allocations before emitting one state per row anyway; falling
+      // back to the sorter early IS the right behavior there (measured
+      // on the r11 x1000 changelog: 14.6 s / 8 s GC at 65536 vs
+      // 24-27 s / 140+ s GC at 1M). The truly hot high-cardinality
+      // aggregates (cdc_apply's argmax, the exact percentiles) don't
+      // ride this knob at all anymore — they are declarative/primitive
+      // and plan as plain HashAggregate (see ArgMaxPackedAgg).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
       // Let AQE re-plan partitioning UNDER cached plans (off by

@@ -487,22 +487,49 @@ object ScaleQueries {
     // max_by(struct, struct) form was semantically identical but its
     // struct buffer demoted the aggregate to SortAggregate — the whole
     // changelog sorted map-side plus two struct allocations per row
-    // (x1000 artifact: 711 s task time, 24.6 s GC). The packed native
-    // aggregate keeps ObjectHashAggregate: each map task collapses its
-    // slice to one 26-byte primitive buffer per local key, the exchange
-    // moves ~|keys| states, no sort ever runs. The (ts, event_id) order
-    // is total — event_id is unique — so the winner is deterministic on
-    // any partitioning.
+    // (x1000 artifact: 711 s task time, 24.6 s GC). ArgMaxPackedAgg is
+    // DECLARATIVE over an all-primitive buffer, so the aggregate plans
+    // as plain codegen'd HashAggregateExec at every key cardinality:
+    // winner states live inline in the Tungsten map (no per-group
+    // object, no ObjectHashAggregate group-count fallback cliff — the
+    // r11 TypedImperative form fell back to sort-based object
+    // aggregation on the x1000 layout and spilled 3.6 GB), the
+    // exchange moves ~|keys| 4-field rows, no sort ever runs. The
+    // (ts, event_id) order is total — event_id is unique — so the
+    // winner is deterministic on any partitioning.
+    //
+    // Strategy: the changelog is pre-partitioned by the key BEFORE the
+    // aggregate. A changelog's rows/key is small (every key carries a
+    // handful of changes, keys grow with the data), so map-side partial
+    // aggregation cannot reduce — each map task's hash map holds
+    // ~distinct-keys-per-task entries (x1000: ~1.3M, a cache-miss per
+    // row and the heap-pressure driver) and the exchange still moves
+    // ~one state per input row. With the explicit repartition the
+    // partial aggregate runs AFTER co-location: AQE sizes the key
+    // shuffle by bytes, each task's map holds |keys|/partitions
+    // entries (~64 MB bounded at any scale), and the final aggregate
+    // reuses the same partitioning — no second exchange. Measured at
+    // x1000 (100M rows, 7.4M keys): task time 204→165 s, GC 3.3→1.1 s
+    // vs the plain groupBy; also faster at x1. For a LOW-cardinality
+    // changelog (thousands of rows/key), drop the repartition — there
+    // map-side combine reduces the exchange by that factor and the
+    // plain groupBy wins.
     "q173_cdc_apply" -> ((s, dir) => {
-      // ts_us is PRE-PROJECTED (codegen'd) rather than passed as an
-      // expression: the aggregate's primitive fast path needs plain
-      // bound columns to read without boxing (see ArgMaxPackedAgg).
+      // ts_us pre-projected as a plain column: keeps the aggregate's
+      // update expressions reading bound columns (and the projection
+      // fuses into the scan stage's codegen either way). The delete
+      // marker is a deterministic 10% slice by event-id residue —
+      // integer arithmetic both engines share bit-for-bit (an earlier
+      // md5-based marker was ~40% of the shape's x1000 task time:
+      // per-row crypto + string churn for what is test-data synthesis,
+      // not operator logic).
       val log = t(s, dir, "events").select(
         col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), col("event_id"),
         col("value"),
-        (h32(col("event_id").cast("string")) % 10 === 0).as("is_delete"))
-      log.groupBy(col("user_id"), col("event_type"))
+        (col("event_id") % 10 === 0).as("is_delete"))
+      log.repartition(col("user_id"), col("event_type"))
+        .groupBy(col("user_id"), col("event_type"))
         .agg(
           graft.plans.ArgMaxPackedAgg.argMaxPacked(
             col("value"), col("is_delete"),
@@ -1239,8 +1266,7 @@ object ScaleQueries {
     "q173_cdc_apply" ->
       """WITH log AS (
         |  SELECT user_id, event_type, ts, event_id, value,
-        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
-        |      % 10 = 0 AS is_delete
+        |    event_id % 10 = 0 AS is_delete
         |  FROM events),
         |ranked AS (
         |  SELECT user_id, event_type, value, is_delete,

@@ -7,7 +7,9 @@ import graft.plans.ArgMaxPackedAgg.argMaxPacked
 /** Native packed argmax (the CDC latest-wins winner picker): semantics
   * pinned against Spark's own max_by(struct, struct) on randomized
   * data, null-ordering rules, and the plan shape that motivates it
-  * (ObjectHashAggregate, not SortAggregate). */
+  * (codegen'd HashAggregate — not ObjectHashAggregate, whose
+  * sort-based fallback resurrects the map-side sort at high key
+  * cardinality, and not SortAggregate). */
 class ArgMaxPackedSpec extends SparkSpec {
   import spark.implicits._
 
@@ -32,13 +34,11 @@ class ArgMaxPackedSpec extends SparkSpec {
     assert(native === reference)
   }
 
-  test("argMaxPacked eval fallback (computed children) agrees with the " +
-    "bound-column fast path") {
-    // Plain columns bind to BoundReferences and take the zero-boxing
-    // fast path; COMPUTED children (anything the optimizer can't
-    // collapse to a column) fall back to Expression.eval. Same
-    // randomized data through both must agree — this is the only
-    // coverage the eval path has now that the hot queries pre-project.
+  test("argMaxPacked computed children agree with pre-projected columns") {
+    // The declarative update/merge expressions embed the child
+    // expressions directly, so computed children (anything the
+    // optimizer can't collapse to a column) must produce exactly what
+    // the pre-projected column form produces.
     val rng = new scala.util.Random(7)
     val rows = (1 to 3000).map { i =>
       (rng.nextInt(30).toLong, rng.nextInt(500).toLong, i.toLong,
@@ -77,7 +77,8 @@ class ArgMaxPackedSpec extends SparkSpec {
     assert(out(2L) === None)
   }
 
-  test("argMaxPacked plans hash-based (the point of the packed buffer)") {
+  test("argMaxPacked plans as codegen'd HashAggregate (the point of " +
+    "the primitive buffer)") {
     val df = spark.range(1000L).select(
       (col("id") % 10).as("k"), col("id").as("o2"),
       (col("id") % 7).as("o1"), col("id").cast("double").as("v"),
@@ -86,8 +87,12 @@ class ArgMaxPackedSpec extends SparkSpec {
       .agg(argMaxPacked($"v", $"del", $"o1", $"o2").as("last"))
     agg.collect()
     val plan = agg.queryExecution.executedPlan.toString
-    assert(plan.contains("ObjectHashAggregate"),
-      s"expected ObjectHashAggregate, got:\n$plan")
+    // Plain HashAggregate: Tungsten map, no ObjectHashAggregate
+    // group-count fallback cliff, no SortAggregate demotion.
+    assert(plan.contains("HashAggregate"),
+      s"expected HashAggregate, got:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"expected plain HashAggregate (not ObjectHashAggregate):\n$plan")
     assert(!plan.contains("SortAggregate"))
   }
 
