@@ -57,10 +57,14 @@ object embeddings {
     * past the vector's length contribute 0 bits (`get` returns null
     * out of bounds), so `bits` larger than the embedding width degrades
     * to a coarser split instead of an ANSI index error — the skew
-    * guard probes 16 bits without knowing the width. */
+    * guard probes 16 bits without knowing the width. Elements are
+    * fetched directly and cast as SCALARS — an earlier form cast the
+    * whole array per probed bit (`get(toDouble(v), i)`), allocating up
+    * to `bits` intermediate arrays per row; float->double widening is
+    * exact, so the `> 0` predicate is unchanged. */
   def signBucket(v: Column, bits: Int = 8): Column =
     (0 until bits).map(i =>
-      when(get(toDouble(v), lit(i)) > 0, lit(1L << i)).otherwise(lit(0L)))
+      when(get(v, lit(i)).cast("double") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** Per-vector absmax int8 quantization: q_i = floor(127 x_i / s + 0.5)

@@ -127,6 +127,16 @@ object Similarity {
     * each round to truncate lineage (see SCALE.md on iterative plans);
     * at the 2-3 iterations typical for curation-grade clustering the
     * composed plan is fine.
+    *
+    * E-step allocation discipline: the self-dots <v,v> and <c,c> are
+    * hoisted OUT of the pair projection (computed once per corpus row
+    * / per centroid, the quantizedTopK pattern), and the one
+    * per-(row, centroid) dot runs through the native zero-allocation
+    * DoubleVecDot. The earlier aggregate(zip_with(...)) composition
+    * evaluated three dots per pair, each allocating a zipped
+    * intermediate array — at x1000 (2M vectors x k centroids x 3)
+    * that churn was most of the shape's 9.9 s GC. Same strict
+    * left-fold element order, so d2 is bit-identical.
     */
   def lloydIterations(
       df: DataFrame,
@@ -136,12 +146,13 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(20, 6)
-    def dotD(a: Column, b: Column): Column =
-      embeddings.arraySum(zip_with(a, b, (x, y) => x * y))
+    def dotD(a: Column, b: Column): Column = graft.plans.DoubleVecDot(a, b)
     val v = df.select(col(idCol).as("vid"),
-      embeddings.toDouble(col(vecCol)).as("v"))
+        embeddings.toDouble(col(vecCol)).as("v"))
+      .withColumn("vv", dotD(col("v"), col("v")))
     var cent = v.orderBy(col("vid")).limit(k)
-      .select(col("vid").as("centroid_id"), col("v").as("cv"))
+      .select(col("vid").as("centroid_id"), col("v").as("cv"),
+        col("vv").as("cc"))
     var assigned: DataFrame = null
     var i = 0
     while (i < iters) {
@@ -149,11 +160,11 @@ object Similarity {
         .orderBy(col("d2"), col("centroid_id"))
       assigned = v.crossJoin(broadcast(cent))
         .withColumn("d2",
-          dotD(col("v"), col("v")) - lit(2) * dotD(col("v"), col("cv")) +
-            dotD(col("cv"), col("cv")))
+          col("vv") - lit(2) * dotD(col("v"), col("cv")) + col("cc"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("vid"), col("centroid_id"), col("v"), col("d2"))
+        .select(col("vid"), col("centroid_id"), col("v"), col("vv"),
+          col("d2"))
       i += 1
       if (i < iters) {
         cent = assigned
@@ -165,6 +176,7 @@ object Similarity {
           .agg(transform(
             array_sort(collect_list(struct(col("dim"), col("m")))),
             s => s.getField("m")).as("cv"))
+          .withColumn("cc", dotD(col("cv"), col("cv")))
       }
     }
     assigned.select(col("vid"), col("centroid_id"), col("d2"))

