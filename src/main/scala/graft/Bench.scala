@@ -36,7 +36,7 @@ import org.apache.spark.sql.SparkSession
   * regression for persist/broadcast/spill-heavy queries (r7: the driver
   * measured q158 at 40.7 s where the identical build measured ~11 s —
   * the spread IS the phenomenon). So any query whose previous committed
-  * time exceeds 2 s — or whose first sample this run does — is run
+  * time exceeds 1 s — or whose first sample this run does — is run
   * THREE times and reported as {runs, median, min}; regressions compare
   * MEDIANS. Each run also snapshots per-task executor metrics (shuffle
   * read/write bytes, memory/disk spill, GC ms, peak execution memory)
@@ -155,6 +155,9 @@ object Bench {
         sys.env.getOrElse("GRAFT_CACHE_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Phase recording is opt-in (a non-draining JVM must not
+    // accumulate entries); this harness drains per query.
+    util.PhaseProf.enable()
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
 
@@ -366,14 +369,18 @@ object Bench {
       if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
       else SparkEntry.queries
     // Any query whose committed previous time — or first sample this
-    // run — exceeds 2 s gets THREE samples and reports the median; the
+    // run — exceeds 1 s gets THREE samples and reports the median; the
     // regression gate compares medians. One sample per heavy query is
     // not a measurement: a single GC pause / IO-contention spike during
     // a ~180-query run inflates that query 2-10x and the round's
     // official number records noise instead of plan cost (r3: q39
     // 53.4 s driver vs 3.0 s identical build; r7: q158 40.7 s driver vs
-    // ~11 s identical build).
-    val heavyAboveSec = 2.0
+    // ~11 s identical build). The threshold was 2 s through r11, which
+    // left the 1-2 s band — including that round's headline fixes —
+    // adjudicated on single samples and carrying no details; 1 s puts
+    // the whole slow tail on medians with per-run task/JIT/plan
+    // attribution, for ~2 extra runs x ~25 queries of bench time.
+    val heavyAboveSec = 1.0
     // A throwing query must surface as a FAILURE, not a fast timing: the
     // per-query line carries "err" and the summary lists it. The run
     // CONTINUES past a failure (one broken query must not cost the other

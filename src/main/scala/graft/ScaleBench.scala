@@ -58,6 +58,8 @@ object ScaleBench {
         sys.env.getOrElse("GRAFT_CACHE_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Opt in to phase recording (drained per measured run below).
+    util.PhaseProf.enable()
     val metrics = new Bench.MetricsListener
     spark.sparkContext.addSparkListener(metrics)
 

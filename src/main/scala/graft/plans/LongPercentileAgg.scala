@@ -134,6 +134,141 @@ case class LongPercentileAgg(
     copy(child = newChildren.head)
 }
 
+/** Exact percentile over a DOUBLE column with the same zero-boxing
+  * primitive histogram as [[LongPercentileAgg]] — bit-identical to
+  * Spark's `percentile(col, p)` on doubles.
+  *
+  * Doubles are stored as their SORTABLE long bits (sign-extended bit
+  * flip: `b ^ ((b >> 63) & Long.MaxValue)` — an involution, so the
+  * same transform decodes). Signed long order on the encoded keys is
+  * java.lang.Double's total order: all negatives below all positives,
+  * -0.0 < +0.0, NaN (one canonical doubleToLongBits pattern)
+  * greatest. The built-in sorts with nanSafeCompareDoubles, which is
+  * the same order EXCEPT that it compares -0.0 == 0.0 as equal — its
+  * relative order of zero-sign ties (distinct map keys!) follows hash
+  * iteration order, so a bracket straddling them has no well-defined
+  * bit pattern there; this encoding refines that tie
+  * deterministically. The interpolation decodes back to doubles and
+  * replicates Percentile.getPercentile's arithmetic, so wherever the
+  * built-in is well-defined the results hash identically
+  * (DoublePercentileSpec). Nulls are ignored; an all-null / empty
+  * group yields null.
+  *
+  * This is P3's exact-median engine at scale: the built-in buffers a
+  * boxed Double per distinct value and hashes through AnyRef equality
+  * — per-row allocation that made the global-median fallback the GC
+  * driver of the imputation shape; this buffer is two long arrays.
+  */
+case class DoublePercentileAgg(
+    child: Expression,
+    percentage: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[LongPercentileAgg.Hist] {
+
+  import LongPercentileAgg.Hist
+
+  require(percentage >= 0.0 && percentage <= 1.0,
+    s"percentage must be in [0, 1], got $percentage")
+
+  override def createAggregationBuffer(): Hist = new Hist
+
+  @transient private[this] lazy val childRef: Int = child match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference => b.ordinal
+    case _ => -1
+  }
+
+  private def sortable(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & Long.MaxValue)
+  }
+  private def unsortable(s: Long): Double =
+    java.lang.Double.longBitsToDouble(s ^ ((s >> 63) & Long.MaxValue))
+
+  override def update(buf: Hist, input: InternalRow): Hist = {
+    if (childRef >= 0) {
+      if (!input.isNullAt(childRef))
+        buf.add(sortable(input.getDouble(childRef)), 1L)
+    } else {
+      val v = child.eval(input)
+      if (v != null) buf.add(sortable(v.asInstanceOf[Double]), 1L)
+    }
+    buf
+  }
+
+  override def merge(b1: Hist, b2: Hist): Hist = {
+    b2.foreach((v, c) => b1.add(v, c))
+    b1
+  }
+
+  override def eval(buf: Hist): Any = {
+    val n = buf.totalCount
+    if (n == 0L) null
+    else {
+      val (values, counts) = buf.sortedPairs()
+      val rank = percentage * (n - 1)
+      val lo = math.floor(rank).toLong
+      val hi = math.ceil(rank).toLong
+      var i = 0
+      var cum = 0L
+      var loVal = 0L
+      var hiVal = 0L
+      var needLo = true
+      while (needLo || cum <= hi) {
+        cum += counts(i)
+        if (needLo && cum > lo) { loVal = values(i); needLo = false }
+        if (cum > hi) { hiVal = values(i) }
+        i += 1
+      }
+      if (lo == hi) unsortable(loVal)
+      else (hi - rank) * unsortable(loVal) + (rank - lo) * unsortable(hiVal)
+    }
+  }
+
+  override def serialize(buf: Hist): Array[Byte] = {
+    val n = buf.distinctCount
+    val bb = ByteBuffer.allocate(4 + 16 * n)
+    bb.putInt(n)
+    buf.foreach((v, c) => { bb.putLong(v); bb.putLong(c) })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Hist = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Hist
+    var i = 0
+    while (i < n) { buf.add(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"double_percentile requires a double column, got ${t.catalogString}")
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): DoublePercentileAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): DoublePercentileAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DoublePercentileAgg =
+    copy(child = newChildren.head)
+}
+
+object DoublePercentileAgg {
+  /** Column API: exact percentile of a DOUBLE column, bit-identical to
+    * Spark's percentile(col, p). */
+  def doublePercentile(c: Column, p: Double): Column =
+    GraftColumnBridge.column(DoublePercentileAgg(
+      GraftColumnBridge.expression(c), p).toAggregateExpression())
+}
+
 object LongPercentileAgg {
 
   /** Open-addressing long→long count map (linear probing, power-of-2

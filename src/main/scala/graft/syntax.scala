@@ -111,7 +111,18 @@ object syntax {
       * columns must not collide with the left's (alias them first).
       * `direction`: "backward" (latest right at-or-before, default),
       * "forward" (earliest right at-or-after) or "nearest" (smaller
-      * absolute gap, ties backward). */
+      * absolute gap, ties backward).
+      *
+      * `rightTie` breaks ties among right rows sharing (key, ts):
+      * backward keeps the max tie (arg_max: a null tie loses to any
+      * non-null), forward the min (arg_min, null loses). CAVEAT for
+      * direction="nearest" with a NULLABLE tie column: nearest shares
+      * backward's physical sort, so its FORWARD candidate inherits
+      * nulls-first ordering — a null-tie right row at an equal future
+      * (key, ts) wins over non-null ones there, diverging from the
+      * pandas/DuckDB arg_min convention plain forward follows. Use a
+      * non-null tie column (any unique id) when nearest must match
+      * those engines exactly. */
     def asofJoin(
         right: DataFrame,
         leftKey: String,

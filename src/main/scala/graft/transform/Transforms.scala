@@ -61,18 +61,29 @@ object Transforms {
     val exact = exactGlobalMedian &&
       df.queryExecution.optimizedPlan.stats.sizeInBytes <=
         BigInt(exactGlobalMaxBytes)
+    // Exact medians run through the native DoublePercentileAgg —
+    // bit-identical to the built-in `percentile` (DoublePercentileSpec
+    // pins it on adversarial doubles AND this exact operator), but the
+    // buffer is a primitive sortable-bits histogram instead of a boxed
+    // Double per distinct value, so at scale the imputation inherits
+    // the zero-boxing path: no per-row allocation in the per-sensor
+    // window frames, and the single global aggregation buffer — the
+    // shape's GC driver when the exact fallback is allowed — is two
+    // long arrays.
+    val exactMedian = (c: Column) =>
+      graft.plans.DoublePercentileAgg.doublePercentile(c, 0.5)
     // global median as a broadcast 1-row aggregate — an empty-partition
     // window would funnel the whole table through one reducer at scale
-    val globalExpr =
-      if (exact) s"percentile(${cols.battery}, 0.5)"
-      else s"percentile_approx(${cols.battery}, 0.5, 100000)"
-    val globalMed = df.agg(expr(globalExpr).cast("double").as("__global_med"))
+    val globalMed = df.agg(
+      (if (exact) exactMedian(col(cols.battery))
+       else expr(s"percentile_approx(${cols.battery}, 0.5, 100000)"))
+        .cast("double").as("__global_med"))
     df.crossJoin(broadcast(globalMed))
       .withColumn(
         cols.battery,
         coalesce(
           col(cols.battery),
-          expr(s"percentile(${cols.battery}, 0.5)").over(bySensor),
+          exactMedian(col(cols.battery)).over(bySensor),
           col("__global_med")))
       .drop("__global_med")
   }

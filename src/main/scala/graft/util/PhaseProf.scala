@@ -18,23 +18,34 @@ import java.util.concurrent.ConcurrentLinkedQueue
   * bench runs queries strictly one at a time, so everything drained
   * after a run belongs to that run (same contract as the bench's
   * MetricsListener). Labels repeat across runs; the drain clears.
-  * Overhead when nothing drains (production use): one enqueue of a
-  * small tuple per phase — no sync contention, no retention (the queue
-  * is cleared on next drain and bounded by phases-per-query).
+  *
+  * Recording is OFF unless a harness opts in via [[enable]] (the
+  * benches do, right after session setup): in a long-lived JVM that
+  * never drains — Verify, or any production use of the instrumented
+  * operators — an always-on queue would grow one entry per phase per
+  * invocation, forever. Disabled, timed() is a pass-through and the
+  * queue stays empty.
   */
 object PhaseProf {
   private val q = new ConcurrentLinkedQueue[(String, Double)]()
+  @volatile private var on = false
+
+  /** Opt in to phase recording (bench harnesses only — anything that
+    * enables this must also drain via [[drainJson]] per query). */
+  def enable(): Unit = on = true
 
   /** Run `f`, recording its wall-time under `label` (ms, 1 decimal). */
-  def timed[T](label: String)(f: => T): T = {
-    val t0 = System.nanoTime()
-    try f
-    finally q.add(label -> (math.rint((System.nanoTime() - t0) / 1e5) / 10))
-  }
+  def timed[T](label: String)(f: => T): T =
+    if (!on) f
+    else {
+      val t0 = System.nanoTime()
+      try f
+      finally q.add(label -> (math.rint((System.nanoTime() - t0) / 1e5) / 10))
+    }
 
   /** Record an externally-measured duration. */
   def add(label: String, ms: Double): Unit =
-    q.add(label -> (math.rint(ms * 10) / 10))
+    if (on) q.add(label -> (math.rint(ms * 10) / 10))
 
   /** All phases recorded since the last drain, in record order;
     * clears. Returns a JSON object fragment (`"phases":{...}`) or ""
