@@ -58,4 +58,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pinned — the resizing, not the ceiling, was the cost).
   s"-Xms$graftHeap",
   "-XX:+UseG1GC",
+  // A bench/scale JVM compiles thousands of generated classes (every
+  // query's whole-stage codegen, plus the framework); the default
+  // 240 MB code cache fills mid-run, flushing triggers, and hot
+  // methods of LATER queries run interpreted or re-JIT — measured as
+  // uniform in-task slowdown with flat GC (x1000 mad_outliers: 14.4 s
+  // fresh JVM vs 19-23 s after neighboring shapes, gc ~1 s). Size the
+  // cache so a full suite never flushes.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -312,39 +312,26 @@ object ScaleBench {
       System.gc()
     }
     def r4(sec: Double): Double = math.rint(sec * 10000) / 10000
-    // THREE samples per scale point, reporting min AND median; the
-    // exponent is computed on MEDIANS. The x1000 runs varied up to
-    // 2.4x in r11 (cdc [44.2, 19.2, 18.6]) — min-of-N hides that a
-    // single cold run can dominate a grade in either direction, and a
-    // median of three is the smallest sample the noise adjudication
-    // can stand on. Per-run metrics ride the min run (least-noise
-    // attribution of WHERE time goes); the runs list shows the spread.
-    def measure(fn: String => DataFrame, dir: String,
-        samples: Int = 3): (Double, Seq[Double], String, Long) = {
-      var rows = 0L
-      def once(): (Double, String) = {
-        metrics.reset()
-        val t0 = System.nanoTime()
-        rows = fn(dir).count()
-        val sec = r4((System.nanoTime() - t0) / 1e9)
-        // Streaming shapes: splice the setup/micro-batch split into the
-        // run's metrics (same contract as Bench) — the x1 vs xN compare
-        // is only meaningful on stream_sec, since setup is fixed cost.
-        val phase = streaming.Streaming.lastPhaseTimings()
-          .map("," + _).getOrElse("")
-        val phases = util.PhaseProf.drainJson() match {
-          case "" => ""
-          case p => "," + p
-        }
-        val m0 = metrics.json()
-        val extra = phase + phases
-        val m = if (extra.isEmpty) m0 else m0.dropRight(1) + extra + "}"
-        releaseAll()
-        (sec, m)
+    // One timed execution: wall, spliced metrics, rows.
+    def onceMeasure(fn: String => DataFrame, dir: String): (Double, String, Long) = {
+      metrics.reset()
+      val t0 = System.nanoTime()
+      val rows = fn(dir).count()
+      val sec = r4((System.nanoTime() - t0) / 1e9)
+      // Streaming shapes: splice the setup/micro-batch split into the
+      // run's metrics (same contract as Bench) — the x1 vs xN compare
+      // is only meaningful on stream_sec, since setup is fixed cost.
+      val phase = streaming.Streaming.lastPhaseTimings()
+        .map("," + _).getOrElse("")
+      val phases = util.PhaseProf.drainJson() match {
+        case "" => ""
+        case p => "," + p
       }
-      val runs = Seq.fill(samples)(once())
-      val best = runs.minBy(_._1)
-      (best._1, runs.map(_._1), best._2, rows)
+      val m0 = metrics.json()
+      val extra = phase + phases
+      val m = if (extra.isEmpty) m0 else m0.dropRight(1) + extra + "}"
+      releaseAll()
+      (sec, m, rows)
     }
 
     // warmup: reader + codegen init off the clock, and the streaming
@@ -371,28 +358,69 @@ object ScaleBench {
       val s = runs.sorted
       s((s.size - 1) / 2)
     }
-    def runShapes(
-        pairs: Seq[(String, String => DataFrame)],
-        lo: String, hi: String, n: Int): Seq[String] =
-      pairs.filter(p => shapeFilter.forall(_.contains(p._1)))
-        .map { case (name, fn) =>
+    // THREE samples per scale point, reporting min AND median; the
+    // exponent is computed on MEDIANS (min-of-N hides that a single
+    // cold run can dominate a grade in either direction). Sampling is
+    // INTERLEAVED: round-robin over all shapes per round, with the
+    // shape order rotated each round, so a shape's three samples come
+    // from three different run NEIGHBORHOODS. Sequential per-shape
+    // blocks let one heavy predecessor (or accumulated shared-JVM
+    // state — code-cache growth, megamorphic dispatch in the shared
+    // aggregation iterators, G1 region history) contaminate all three
+    // samples of the same shape identically, which a median cannot
+    // reject (measured: mad_outliers [23.2, 21.9, 20.0] in-suite after
+    // the six doc-shape blocks vs 14.4 s isolated — every sample
+    // inflated the same way). Per-run metrics ride the min run
+    // (least-noise attribution of WHERE time goes); the runs list
+    // shows the spread.
+    val samplesPerPoint = 3
+    final case class Job(name: String, fn: String => DataFrame,
+        lo: String, hi: String, n: Int)
+    val jobs: Seq[Job] =
+      (shapes.map { case (nm, fn) => Job(nm, fn, dir1, dirN, copies) } ++
+        eventShapes.map { case (nm, fn) =>
+          Job(nm, fn, dirE1, dirEN, eventsCopies) } ++
+        embShapes.map { case (nm, fn) =>
+          Job(nm, fn, dirM1, dirMN, embCopies) })
+        .filter(j => shapeFilter.forall(_.contains(j.name)))
+    val runs1 = scala.collection.mutable.Map.empty[String, Vector[(Double, String)]]
+    val runsN = scala.collection.mutable.Map.empty[String, Vector[(Double, String)]]
+    val rowsOf = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val failed = scala.collection.mutable.Map.empty[String, String]
+    for (round <- 0 until samplesPerPoint if jobs.nonEmpty) {
+      // Deterministic rotation: each round starts at a different
+      // position, so predecessors differ per sample without RNG.
+      val off = (round * math.max(1, jobs.size / samplesPerPoint)) % jobs.size
+      val ordered = jobs.drop(off) ++ jobs.take(off)
+      for (job <- ordered if !failed.contains(job.name)) {
         try {
-          val (t1, runs1, met1, rows1) = measure(fn, lo)
-          val (tN, runsN, metN, rowsN) = measure(fn, hi)
-          val med1 = r4(median(runs1))
-          val medN = r4(median(runsN))
+          val (s1, m1, r1) = onceMeasure(job.fn, job.lo)
+          val (sN, mN, rN) = onceMeasure(job.fn, job.hi)
+          runs1(job.name) = runs1.getOrElse(job.name, Vector.empty) :+ ((s1, m1))
+          runsN(job.name) = runsN.getOrElse(job.name, Vector.empty) :+ ((sN, mN))
+          rowsOf(job.name) = (r1, rN)
+        } catch {
+          case e: Throwable =>
+            failed(job.name) = e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").take(200)
+        }
+      }
+    }
+    val entries = jobs.map { job =>
+      val name = job.name
+      val n = job.n
+      (failed.get(name), runs1.get(name), runsN.get(name)) match {
+        case (_, Some(r1s), Some(rNs)) if r1s.nonEmpty && rNs.nonEmpty =>
+          val (t1, met1) = r1s.minBy(_._1)
+          val (tN, metN) = rNs.minBy(_._1)
+          val med1 = r4(median(r1s.map(_._1)))
+          val medN = r4(median(rNs.map(_._1)))
           val ratio = r4(medN / med1)
           val exponent = r4(math.log(medN / med1) / math.log(n.toDouble))
+          val (rows1, rowsN) = rowsOf(name)
           // Streaming shapes additionally report the exponent over
-          // stream_sec (micro-batch execution only). The WALL exponent
-          // includes the oracle-harness drain — the memory sink
-          // materializes the full output on the driver twice (sink +
-          // collect), and for a shape whose output grows with scale
-          // (stream_dedup: 750k distinct keys at x1000) that driver
-          // materialization dominates wall while the distributed batch
-          // is seconds (r11: wall 59.7 s vs batch 8.4 s). Both numbers
-          // are committed; production streams (foreachBatch sinks)
-          // never pay the drain.
+          // stream_sec (micro-batch execution only; setup_sec is the
+          // fixed driver-side cost, recorded separately).
           def streamSec(met: String): Option[Double] =
             """"stream_sec":([0-9.eE+-]+)""".r.findFirstMatchIn(met)
               .map(_.group(1).toDouble)
@@ -404,21 +432,20 @@ object ScaleBench {
             if s1 > 0 && sN > 0
           } yield s""","stream_exponent":${r4(math.log(sN / s1) / math.log(n.toDouble))}""")
             .getOrElse("")
-          System.err.println(s"""{"shape":"$name","x1":$med1,"x$n":$medN,"ratio":$ratio,"exponent":$exponent$streamFrag}""")
-          s""""$name":{"x1":{"min":$t1,"median":$med1,"runs":[${runs1.mkString(",")}],"rows":$rows1,"metrics":$met1},"x$n":{"min":$tN,"median":$medN,"runs":[${runsN.mkString(",")}],"rows":$rowsN,"metrics":$metN},"copies":$n,"ratio":$ratio,"exponent":$exponent$streamFrag}"""
-        } catch {
-          case e: Throwable =>
-            val m = e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").take(200)
-            System.err.println(s"""{"shape":"$name","err":"${m.replace("\"", "'")}"}""")
-            s""""$name":{"err":"${m.replace("\"", "'")}"}"""
-        }
+          // A shape that failed on a LATER round still reports its
+          // completed samples, plus the error.
+          val errFrag = failed.get(name)
+            .map(m => s""","err":"${m.replace("\"", "'")}"""").getOrElse("")
+          System.err.println(s"""{"shape":"$name","x1":$med1,"x$n":$medN,"ratio":$ratio,"exponent":$exponent$streamFrag$errFrag}""")
+          s""""$name":{"x1":{"min":$t1,"median":$med1,"runs":[${r1s.map(_._1).mkString(",")}],"rows":$rows1,"metrics":$met1},"x$n":{"min":$tN,"median":$medN,"runs":[${rNs.map(_._1).mkString(",")}],"rows":$rowsN,"metrics":$metN},"copies":$n,"ratio":$ratio,"exponent":$exponent$streamFrag$errFrag}"""
+        case (err, _, _) =>
+          val m = err.getOrElse("no samples")
+          System.err.println(s"""{"shape":"$name","err":"${m.replace("\"", "'")}"}""")
+          s""""$name":{"err":"${m.replace("\"", "'")}"}"""
       }
-    val entries = runShapes(shapes, dir1, dirN, copies) ++
-      runShapes(eventShapes, dirE1, dirEN, eventsCopies) ++
-      runShapes(embShapes, dirM1, dirMN, embCopies)
+    }
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"cpus":$cpus,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point, min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff) so one cold run cannot move a grade; streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (wall includes the oracle harness's driver-side memory-sink drain, which scales with OUTPUT size and is not part of the operator)"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"cpus":$cpus,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order rotated per round, so a shape's samples come from different run neighborhoods and shared-JVM contamination cannot hit all of them identically), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
     println(out)
     // A shape-filtered run covers a subset — never let it replace the
     // artifact of record.

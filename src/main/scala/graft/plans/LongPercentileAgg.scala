@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
@@ -267,6 +267,138 @@ object DoublePercentileAgg {
   def doublePercentile(c: Column, p: Double): Column =
     GraftColumnBridge.column(DoublePercentileAgg(
       GraftColumnBridge.expression(c), p).toAggregateExpression())
+}
+
+/** Histogram-fusion aggregate for the MAD outlier gate: from ONE pass
+  * over the absolute deviations `dev2x` (integer 2x-micro-units), emit
+  * BOTH `mad4x = CAST(2 * percentile(dev2x, 0.5) AS BIGINT)` and
+  * `n_outliers = count(2 * dev2x > 3 * mad4x)`.
+  *
+  * The composable form needs a third full scan: aggregate the MAD,
+  * broadcast it back, re-derive every deviation and count the
+  * threshold crossings. But the exact-percentile histogram already
+  * holds every (deviation, count) pair, so the count above a
+  * threshold DERIVED FROM THE SAME HISTOGRAM is a driver-side walk in
+  * eval — the third scan (with its join and per-row decimal cast)
+  * disappears from the plan. Same [[LongPercentileAgg.Hist]] buffer,
+  * same interpolation arithmetic, so mad4x is bit-identical to the
+  * composed CAST(2 * percentile(...) AS BIGINT) and the count matches
+  * the recomputed-scan form exactly (nulls ignored by both). 2x/3x
+  * products stay far inside Long for micro-unit inputs (the q178
+  * integer-exactness contract).
+  */
+case class LongMadOutlierAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[LongPercentileAgg.Hist] {
+
+  import LongPercentileAgg.Hist
+
+  override def createAggregationBuffer(): Hist = new Hist
+
+  @transient private[this] lazy val childRef: Int = child match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference => b.ordinal
+    case _ => -1
+  }
+
+  override def update(buf: Hist, input: InternalRow): Hist = {
+    if (childRef >= 0) {
+      if (!input.isNullAt(childRef)) buf.add(input.getLong(childRef), 1L)
+    } else {
+      val v = child.eval(input)
+      if (v != null) buf.add(v.asInstanceOf[Long], 1L)
+    }
+    buf
+  }
+
+  override def merge(b1: Hist, b2: Hist): Hist = {
+    b2.foreach((v, c) => b1.add(v, c))
+    b1
+  }
+
+  override def eval(buf: Hist): Any = {
+    val n = buf.totalCount
+    if (n == 0L) null
+    else {
+      val (values, counts) = buf.sortedPairs()
+      // Same interpolation walk as LongPercentileAgg at p = 0.5.
+      val rank = 0.5 * (n - 1)
+      val lo = math.floor(rank).toLong
+      val hi = math.ceil(rank).toLong
+      var i = 0
+      var cum = 0L
+      var loVal = 0L
+      var hiVal = 0L
+      var needLo = true
+      while (needLo || cum <= hi) {
+        cum += counts(i)
+        if (needLo && cum > lo) { loVal = values(i); needLo = false }
+        if (cum > hi) { hiVal = values(i) }
+        i += 1
+      }
+      val p50 =
+        if (lo == hi) loVal.toDouble
+        else (hi - rank) * loVal.toDouble + (rank - lo) * hiVal.toDouble
+      // CAST(2 * percentile AS BIGINT): 2*p50 is the sum of the two
+      // middle values — an exact integer in double for micro-units.
+      val mad4x = (2.0 * p50).toLong
+      val threshold3 = 3L * mad4x
+      var outliers = 0L
+      var j = values.length - 1
+      // values ascend; walk the tail above the threshold.
+      while (j >= 0 && 2L * values(j) > threshold3) {
+        outliers += counts(j)
+        j -= 1
+      }
+      new GenericInternalRow(Array[Any](mad4x, outliers))
+    }
+  }
+
+  override def serialize(buf: Hist): Array[Byte] = {
+    val n = buf.distinctCount
+    val bb = ByteBuffer.allocate(4 + 16 * n)
+    bb.putInt(n)
+    buf.foreach((v, c) => { bb.putLong(v); bb.putLong(c) })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Hist = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Hist
+    var i = 0
+    while (i < n) { buf.add(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("mad4x", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_outliers", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"long_mad_outlier requires a bigint column, got ${t.catalogString}")
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): LongMadOutlierAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): LongMadOutlierAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LongMadOutlierAgg =
+    copy(child = newChildren.head)
+}
+
+object LongMadOutlierAgg {
+  /** Column API: struct(mad4x, n_outliers) from one pass over integer
+    * absolute deviations. */
+  def madOutlierGate(c: Column): Column =
+    GraftColumnBridge.column(LongMadOutlierAgg(
+      GraftColumnBridge.expression(c)).toAggregateExpression())
 }
 
 object LongPercentileAgg {

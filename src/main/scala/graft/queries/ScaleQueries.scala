@@ -666,18 +666,23 @@ object ScaleQueries {
       val med = ev.groupBy(col("event_type"))
         .agg((lit(2) * graft.plans.LongPercentileAgg
           .longPercentile(col("vu"), 0.5)).cast(LongType).as("med2x"))
-      val dev = ev.join(broadcast(med), Seq("event_type"))
+      // Second AND final pass: the MAD percentile and the outlier
+      // count come out of ONE histogram aggregate
+      // (plans.LongMadOutlierAgg — the threshold count is a driver-
+      // side walk of the same histogram the percentile needs), so the
+      // third scan the composable form pays (broadcast the MAD back,
+      // re-derive every deviation, count crossings — another 100M-row
+      // decimal-cast pass at x1000) does not exist in this plan.
+      ev.join(broadcast(med), Seq("event_type"))
         .withColumn("dev2x", abs(lit(2L) * col("vu") - col("med2x")))
-      val mad = dev.groupBy(col("event_type"))
-        .agg((lit(2) * graft.plans.LongPercentileAgg
-          .longPercentile(col("dev2x"), 0.5)).cast(LongType).as("mad4x"))
-      dev.join(broadcast(mad), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           max(col("med2x")).as("med2x_micro"),
-          max(col("mad4x")).as("mad4x_micro"),
-          sum(when(lit(2L) * col("dev2x") > lit(3L) * col("mad4x"), 1L)
-            .otherwise(0L)).as("n_outliers"))
+          graft.plans.LongMadOutlierAgg.madOutlierGate(col("dev2x"))
+            .as("m"))
+        .select(col("event_type"), col("n"), col("med2x_micro"),
+          col("m.mad4x").as("mad4x_micro"),
+          col("m.n_outliers").as("n_outliers"))
     }),
 
     // Deterministic uniform-by-hash sample quantiles — order statistics

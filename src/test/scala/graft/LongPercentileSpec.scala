@@ -105,4 +105,30 @@ class LongPercentileSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("long_percentile") ||
       e.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("long_mad_outlier fusion == the composed three-pass form " +
+    "(percentile + broadcast-back + threshold count)") {
+    import graft.plans.LongMadOutlierAgg.madOutlierGate
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 20000).map { i =>
+      // heavy ties + a planted outlier tail, several groups
+      val base = rng.nextInt(200).toLong * 1000L
+      val v = if (rng.nextInt(50) == 0) base + 5000000L else base
+      (i % 7, v)
+    }
+    val dev = rows.toDF("k", "dev2x")
+    val fused = dev.groupBy($"k")
+      .agg(madOutlierGate($"dev2x").as("m"))
+      .select($"k", $"m.mad4x", $"m.n_outliers")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val mad = dev.groupBy($"k")
+      .agg(expr("CAST(2 * percentile(dev2x, 0.5D) AS BIGINT)").as("mad4x"))
+    val composed = dev.join(broadcast(mad), Seq("k"))
+      .groupBy($"k")
+      .agg(max($"mad4x").as("mad4x"),
+        sum(when(lit(2L) * $"dev2x" > lit(3L) * $"mad4x", 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fused === composed)
+  }
 }
