@@ -289,6 +289,10 @@ object Bench {
       // plan — broadcasts included (observed as the 2 surviving
       // broadcast blocks after every streaming query).
       spark.streams.resetTerminated()
+      // The preceding query's streaming result parquet (tmpfs) was
+      // fully consumed by the noop force above — free the RAM now
+      // rather than at JVM exit.
+      streaming.Streaming.releaseHarnessResults()
       spark.catalog.listTables().collect()
         .filter(_.isTemporary)
         .foreach(t => spark.catalog.dropTempView(t.name))

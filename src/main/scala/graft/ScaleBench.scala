@@ -295,6 +295,9 @@ object ScaleBench {
     def releaseAll(): Unit = {
       spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
       spark.streams.resetTerminated()
+      // The preceding run's streaming result parquet (tmpfs) was fully
+      // consumed by the count — free the RAM before the next shape.
+      streaming.Streaming.releaseHarnessResults()
       spark.catalog.listTables().collect()
         .filter(_.isTemporary)
         .foreach(t => spark.catalog.dropTempView(t.name))
@@ -312,26 +315,42 @@ object ScaleBench {
       System.gc()
     }
     def r4(sec: Double): Double = math.rint(sec * 10000) / 10000
-    // One timed execution: wall, spliced metrics, rows.
+    // One timed execution: wall, spliced metrics, rows. A FAILED run
+    // must still drain the phase refs and release shared state — a
+    // skipped drain would splice the failed shape's setup/stream/phase
+    // entries into the NEXT shape's metrics, and skipped cleanup would
+    // bleed its caches/broadcasts into the next measurement (worse
+    // under interleaving, where the contaminated successor differs per
+    // round).
     def onceMeasure(fn: String => DataFrame, dir: String): (Double, String, Long) = {
       metrics.reset()
       val t0 = System.nanoTime()
-      val rows = fn(dir).count()
-      val sec = r4((System.nanoTime() - t0) / 1e9)
-      // Streaming shapes: splice the setup/micro-batch split into the
-      // run's metrics (same contract as Bench) — the x1 vs xN compare
-      // is only meaningful on stream_sec, since setup is fixed cost.
-      val phase = streaming.Streaming.lastPhaseTimings()
-        .map("," + _).getOrElse("")
-      val phases = util.PhaseProf.drainJson() match {
-        case "" => ""
-        case p => "," + p
+      var ok = false
+      try {
+        val rows = fn(dir).count()
+        val sec = r4((System.nanoTime() - t0) / 1e9)
+        // Streaming shapes: splice the setup/micro-batch split into the
+        // run's metrics (same contract as Bench) — the x1 vs xN compare
+        // is only meaningful on stream_sec, since setup is fixed cost.
+        val phase = streaming.Streaming.lastPhaseTimings()
+          .map("," + _).getOrElse("")
+        val phases = util.PhaseProf.drainJson() match {
+          case "" => ""
+          case p => "," + p
+        }
+        val m0 = metrics.json()
+        val extra = phase + phases
+        val m = if (extra.isEmpty) m0 else m0.dropRight(1) + extra + "}"
+        ok = true
+        releaseAll()
+        (sec, m, rows)
+      } finally {
+        if (!ok) {
+          streaming.Streaming.lastPhaseTimings()
+          util.PhaseProf.drainJson()
+          try releaseAll() catch { case _: Throwable => () }
+        }
       }
-      val m0 = metrics.json()
-      val extra = phase + phases
-      val m = if (extra.isEmpty) m0 else m0.dropRight(1) + extra + "}"
-      releaseAll()
-      (sec, m, rows)
     }
 
     // warmup: reader + codegen init off the clock, and the streaming
@@ -354,9 +373,14 @@ object ScaleBench {
     // filtered runs write to SCALE_BENCH_partial.json).
     val shapeFilter = sys.env.get("SPARK_GRAFT_SCALE_SHAPES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // True median: average of the middle two for an even count (a
+    // shape that failed after some rounds reports its completed
+    // samples — lower-middle would quietly reintroduce the min bias
+    // the median basis exists to remove).
     def median(runs: Seq[Double]): Double = {
       val s = runs.sorted
-      s((s.size - 1) / 2)
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     // THREE samples per scale point, reporting min AND median; the
     // exponent is computed on MEDIANS (min-of-N hides that a single

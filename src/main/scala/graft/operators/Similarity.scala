@@ -163,8 +163,7 @@ object Similarity {
           col("vv") - lit(2) * dotD(col("v"), col("cv")) + col("cc"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("vid"), col("centroid_id"), col("v"), col("vv"),
-          col("d2"))
+        .select(col("vid"), col("centroid_id"), col("v"), col("d2"))
       i += 1
       if (i < iters) {
         cent = assigned

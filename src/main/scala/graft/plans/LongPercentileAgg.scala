@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.nio.ByteBuffer
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
@@ -77,43 +75,19 @@ case class LongPercentileAgg(
     val n = buf.totalCount
     if (n == 0L) null
     else {
-      val (values, counts) = buf.sortedPairs()
       val rank = percentage * (n - 1)
       val lo = math.floor(rank).toLong
       val hi = math.ceil(rank).toLong
-      // walk the cumulative histogram once for both bracketing values
-      var i = 0
-      var cum = 0L
-      var loVal = 0L
-      var hiVal = 0L
-      var needLo = true
-      while (needLo || cum <= hi) {
-        cum += counts(i)
-        if (needLo && cum > lo) { loVal = values(i); needLo = false }
-        if (cum > hi) { hiVal = values(i) }
-        i += 1
-      }
+      val (loVal, hiVal) = buf.bracket(rank)
       if (lo == hi) loVal.toDouble
       else (hi - rank) * loVal.toDouble + (rank - lo) * hiVal.toDouble
     }
   }
 
-  override def serialize(buf: Hist): Array[Byte] = {
-    val n = buf.distinctCount
-    val bb = ByteBuffer.allocate(4 + 16 * n)
-    bb.putInt(n)
-    buf.foreach((v, c) => { bb.putLong(v); bb.putLong(c) })
-    bb.array()
-  }
+  override def serialize(buf: Hist): Array[Byte] = buf.toBytes
 
-  override def deserialize(bytes: Array[Byte]): Hist = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new Hist
-    var i = 0
-    while (i < n) { buf.add(bb.getLong, bb.getLong); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): Hist =
+    LongPercentileAgg.histFromBytes(bytes)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -205,42 +179,19 @@ case class DoublePercentileAgg(
     val n = buf.totalCount
     if (n == 0L) null
     else {
-      val (values, counts) = buf.sortedPairs()
       val rank = percentage * (n - 1)
       val lo = math.floor(rank).toLong
       val hi = math.ceil(rank).toLong
-      var i = 0
-      var cum = 0L
-      var loVal = 0L
-      var hiVal = 0L
-      var needLo = true
-      while (needLo || cum <= hi) {
-        cum += counts(i)
-        if (needLo && cum > lo) { loVal = values(i); needLo = false }
-        if (cum > hi) { hiVal = values(i) }
-        i += 1
-      }
+      val (loVal, hiVal) = buf.bracket(rank)
       if (lo == hi) unsortable(loVal)
       else (hi - rank) * unsortable(loVal) + (rank - lo) * unsortable(hiVal)
     }
   }
 
-  override def serialize(buf: Hist): Array[Byte] = {
-    val n = buf.distinctCount
-    val bb = ByteBuffer.allocate(4 + 16 * n)
-    bb.putInt(n)
-    buf.foreach((v, c) => { bb.putLong(v); bb.putLong(c) })
-    bb.array()
-  }
+  override def serialize(buf: Hist): Array[Byte] = buf.toBytes
 
-  override def deserialize(bytes: Array[Byte]): Hist = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new Hist
-    var i = 0
-    while (i < n) { buf.add(bb.getLong, bb.getLong); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): Hist =
+    LongPercentileAgg.histFromBytes(bytes)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -319,24 +270,17 @@ case class LongMadOutlierAgg(
 
   override def eval(buf: Hist): Any = {
     val n = buf.totalCount
-    if (n == 0L) null
+    // All-null / empty group: the composed form yields mad4x = NULL
+    // (percentile of nothing) but n_outliers = 0 (sum of an
+    // always-otherwise CASE over zero matching rows) — mirror both,
+    // not a null struct.
+    if (n == 0L) new GenericInternalRow(Array[Any](null, 0L))
     else {
-      val (values, counts) = buf.sortedPairs()
-      // Same interpolation walk as LongPercentileAgg at p = 0.5.
+      // Same interpolation arithmetic as LongPercentileAgg at p = 0.5.
       val rank = 0.5 * (n - 1)
       val lo = math.floor(rank).toLong
       val hi = math.ceil(rank).toLong
-      var i = 0
-      var cum = 0L
-      var loVal = 0L
-      var hiVal = 0L
-      var needLo = true
-      while (needLo || cum <= hi) {
-        cum += counts(i)
-        if (needLo && cum > lo) { loVal = values(i); needLo = false }
-        if (cum > hi) { hiVal = values(i) }
-        i += 1
-      }
+      val (loVal, hiVal) = buf.bracket(rank)
       val p50 =
         if (lo == hi) loVal.toDouble
         else (hi - rank) * loVal.toDouble + (rank - lo) * hiVal.toDouble
@@ -344,6 +288,7 @@ case class LongMadOutlierAgg(
       // middle values — an exact integer in double for micro-units.
       val mad4x = (2.0 * p50).toLong
       val threshold3 = 3L * mad4x
+      val (values, counts) = buf.sortedPairs()
       var outliers = 0L
       var j = values.length - 1
       // values ascend; walk the tail above the threshold.
@@ -355,27 +300,15 @@ case class LongMadOutlierAgg(
     }
   }
 
-  override def serialize(buf: Hist): Array[Byte] = {
-    val n = buf.distinctCount
-    val bb = ByteBuffer.allocate(4 + 16 * n)
-    bb.putInt(n)
-    buf.foreach((v, c) => { bb.putLong(v); bb.putLong(c) })
-    bb.array()
-  }
+  override def serialize(buf: Hist): Array[Byte] = buf.toBytes
 
-  override def deserialize(bytes: Array[Byte]): Hist = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new Hist
-    var i = 0
-    while (i < n) { buf.add(bb.getLong, bb.getLong); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): Hist =
+    LongPercentileAgg.histFromBytes(bytes)
 
   override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("mad4x", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("mad4x", LongType, nullable = true),
     org.apache.spark.sql.types.StructField("n_outliers", LongType, nullable = false)))
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -454,6 +387,38 @@ object LongPercentileAgg {
       }
     }
 
+    /** Wire format shared by every Hist-buffered aggregate:
+      * int count, then (value, count) long pairs. */
+    def toBytes: Array[Byte] = {
+      val n = distinctCount
+      val bb = java.nio.ByteBuffer.allocate(4 + 16 * n)
+      bb.putInt(n)
+      foreach((v, c) => { bb.putLong(v); bb.putLong(c) })
+      bb.array()
+    }
+
+    /** Bracketing values around a fractional 0-indexed rank over the
+      * sorted multiset: (value at floor(rank), value at ceil(rank)) —
+      * one cumulative walk, shared by every percentile-style eval.
+      * Caller guarantees 0 <= rank <= totalCount - 1. */
+    def bracket(rank: Double): (Long, Long) = {
+      val (values, counts) = sortedPairs()
+      val lo = math.floor(rank).toLong
+      val hi = math.ceil(rank).toLong
+      var i = 0
+      var cum = 0L
+      var loVal = 0L
+      var hiVal = 0L
+      var needLo = true
+      while (needLo || cum <= hi) {
+        cum += counts(i)
+        if (needLo && cum > lo) { loVal = values(i); needLo = false }
+        if (cum > hi) { hiVal = values(i) }
+        i += 1
+      }
+      (loVal, hiVal)
+    }
+
     /** (values ascending, matching counts) — for the eval walk. */
     def sortedPairs(): (Array[Long], Array[Long]) = {
       val n = distinctCount
@@ -477,6 +442,16 @@ object LongPercentileAgg {
       }
       0L
     }
+  }
+
+  /** Inverse of [[Hist.toBytes]]. */
+  def histFromBytes(bytes: Array[Byte]): Hist = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Hist
+    var i = 0
+    while (i < n) { buf.add(bb.getLong, bb.getLong); i += 1 }
+    buf
   }
 
   /** Column API: exact percentile of a BIGINT column, bit-identical to

@@ -313,15 +313,27 @@ object Streaming {
 
   /** Result dirs handed out by [[runToCompletion]] — they must outlive
     * the call (the returned frame scans them lazily), so they are
-    * swept at JVM exit rather than in the call's finally. Bounded by
-    * queries-per-JVM x output size; all on tmpfs. */
+    * swept at JVM exit (backstop), or eagerly via
+    * [[releaseHarnessResults]] once a harness has consumed the frame.
+    * Bounded by queries-per-JVM x output size; all on tmpfs. */
   private val resultDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      var d = resultDirs.poll()
-      while (d != null) { deleteRecursively(d); d = resultDirs.poll() }
+      releaseHarnessResults()
     }, "graft-stream-result-sweep"))
+  }
+
+  /** Delete every accumulated runToCompletion result dir NOW. For
+    * harnesses that have fully consumed the returned frames (the
+    * benches force each result before their inter-query cleanup): a
+    * scale run otherwise parks hundreds of MB of landed output on
+    * RAM-backed tmpfs while later shapes measure. Any frame returned
+    * earlier becomes unreadable — callers that still need one must not
+    * call this. */
+  def releaseHarnessResults(): Unit = {
+    var d = resultDirs.poll()
+    while (d != null) { deleteRecursively(d); d = resultDirs.poll() }
   }
 
   /** Scratch directory for DISPOSABLE stream state (harness checkpoints,

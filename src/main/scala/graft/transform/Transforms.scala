@@ -70,8 +70,14 @@ object Transforms {
     // window frames, and the single global aggregation buffer — the
     // shape's GC driver when the exact fallback is allowed — is two
     // long arrays.
+    // Cast-to-double first: the built-in percentile() accepted any
+    // numeric battery column, and float/int/decimal -> double widening
+    // is value-exact for every battery-plausible magnitude, so the
+    // native aggregate (double-only by contract) keeps that API. For
+    // an already-double column Catalyst removes the no-op cast and the
+    // zero-boxing bound-column fast path still engages.
     val exactMedian = (c: Column) =>
-      graft.plans.DoublePercentileAgg.doublePercentile(c, 0.5)
+      graft.plans.DoublePercentileAgg.doublePercentile(c.cast("double"), 0.5)
     // global median as a broadcast 1-row aggregate — an empty-partition
     // window would funnel the whole table through one reducer at scale
     val globalMed = df.agg(
