@@ -142,6 +142,27 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("streaming: runToCompletion over an empty source yields an " +
+    "empty frame with the query's schema") {
+    // The harness sink lands per-batch parquet; a drain that emits
+    // nothing leaves no files (parquet cannot carry a schema-only
+    // dir), so the no-files branch must hand back a readable empty
+    // frame rather than a scan error.
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-empty-src")
+    graft.queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "events")
+      .filter(lit(false))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(src.resolve("ev").toString)
+    val stream = Streaming.eventsStream(spark, src.resolve("ev").toString)
+    val result = Streaming.runToCompletion(
+      spark, Streaming.hourlyAgg(stream), "spec_empty")
+    assert(result.columns.toSeq ===
+      Seq("hour_start", "event_type", "n_events", "sum_value"))
+    assert(result.count() === 0)
+    Streaming.deleteRecursively(src)
+  }
+
   test("streaming: hourly agg through a parquet file sink (append mode) matches batch") {
     // The documented at-scale shape for q44's aggregation: watermarked
     // append mode into a FileStreamSink — finalized windows land as
