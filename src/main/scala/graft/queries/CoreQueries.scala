@@ -102,7 +102,12 @@ object CoreQueries {
     // charge double-product chains identical on both engines).
     "q100_tpch_q1" -> ((s, dir) => {
       val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
-      t(s, dir, "lineitem")
+      // spread(): 8 decimal-exact aggregates per row are the cost here,
+      // and the sf0.1 file scans as ~4 row-group tasks — fan the
+      // partial aggregation across the machine (the filter still
+      // pushes through the exchange to the scan). No-op on a corpus
+      // whose scan already yields enough splits.
+      spread(t(s, dir, "lineitem"))
         .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
