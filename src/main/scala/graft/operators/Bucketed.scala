@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketed storage: the co-located fact-to-fact join strategy.
+  *
+  * Broadcast covers small dimension tables; bucketing covers the joins
+  * where BOTH sides are big. Writing a table once with
+  * `bucketBy(n, key).sortBy(key)` pre-pays the shuffle: every later
+  * equi-join or aggregation keyed on the bucket columns reads matching
+  * buckets directly — zero exchange on either side, and zero sort when
+  * each bucket is a single file (Spark's v1 bucketed scan only trusts
+  * the written sort order in that case, so [[ensure]] repartitions by
+  * the bucket expression before writing: `repartition(n, cols)` and the
+  * bucket-id assignment use the same `Pmod(Murmur3Hash(cols), n)`
+  * routing, so every write task holds exactly one bucket and emits
+  * exactly one file).
+  *
+  * At 100 TB this turns the nightly "join the 40 TB fact against the
+  * 20 TB fact" from two full shuffles PER QUERY into one shuffle PER
+  * LOAD, amortized across every downstream join, aggregation, and
+  * incremental merge keyed on the same columns.
+  */
+object Bucketed {
+
+  /** Deterministic catalog name for the bucketed copy of `table` keyed
+    * by source dir + bucket spec, so distinct SF dirs (or bucket
+    * layouts) in one session never collide. */
+  def tableName(dir: String, table: String, bucketCols: Seq[String],
+      nBuckets: Int): String = {
+    val h = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir|${bucketCols.mkString(",")}|$nBuckets") & 0x7fffffff)
+    s"graft_bkt_${table}_${nBuckets}b_$h"
+  }
+
+  /** Materialize (once per session) a bucketed, per-bucket-sorted copy
+    * of `src` and return it as a catalog-backed DataFrame. Memoized via
+    * the session catalog, so the pre-paid shuffle+write happens on the
+    * first call only; every later call is a metadata lookup. The files
+    * land under the JVM temp dir (external table), not the warehouse,
+    * and `overwrite` makes crashed leftovers harmless.
+    */
+  def ensure(s: SparkSession, dir: String, table: String,
+      bucketCols: Seq[String], nBuckets: Int)(src: => DataFrame): DataFrame =
+    synchronized {
+      // SPARK-28595 gated the bucketed scan's sort-order reporting
+      // behind this conf (a multi-file bucket cannot guarantee global
+      // order without a merge, and Spark stopped promising it by
+      // default). The tables written here are exactly one sorted file
+      // per bucket — the case the reporting is both correct and free
+      // for, and the only case Spark reports ordering for even with
+      // the conf on — so enable it for the session: downstream SMJs
+      // on these tables then skip the redundant per-bucket sort.
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val name = tableName(dir, table, bucketCols, nBuckets)
+      if (!s.catalog.tableExists(name)) {
+        src.repartition(nBuckets, bucketCols.map(col): _*)
+          .write.format("parquet")
+          .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
+          .option("path",
+            s"${System.getProperty("java.io.tmpdir")}/graft-bucketed/$name")
+          .mode("overwrite")
+          .saveAsTable(name)
+      }
+      s.table(name)
+    }
+
+  /** Equi-join two bucketed tables on their bucket key with the plan
+    * pinned to sort-merge (`hint("merge")`): size-based planning would
+    * broadcast a small side and bypass the bucket layout, which is the
+    * wrong template for the big-big case this operator exists for. On
+    * co-bucketed inputs the resulting SMJ has no exchange and no sort —
+    * callers can assert that via the executed plan.
+    */
+  def colocatedJoin(left: DataFrame, right: DataFrame, cond: Column,
+      joinType: String = "inner"): DataFrame =
+    left.hint("merge").join(right, cond, joinType)
+}

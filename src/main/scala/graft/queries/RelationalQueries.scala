@@ -430,6 +430,46 @@ object RelationalQueries {
           .select(lit(op).as("op"), col("n_rows"), col("n_keys"))
       summarize(a.exceptAll(b), "except_all")
         .unionAll(summarize(a.intersectAll(b), "intersect_all"))
+    }),
+
+    // Co-located fact-to-fact join over bucketed storage: both sides
+    // written once with bucketBy(32, orderkey).sortBy(orderkey), one
+    // file per bucket — the sort-merge join then reads matching buckets
+    // with ZERO exchange and ZERO sort on either side (BucketingSpec
+    // asserts this on the executed plan). The bucketed write is
+    // memoized per (session, dir): the first call pre-pays the one
+    // shuffle that every later orderkey-keyed join/agg skips — the
+    // 100 TB big-big join strategy, vs per-query shuffles of both
+    // sides. Oracle is the plain join: storage layout must not change
+    // answers.
+    "q193_bucketed_join" -> ((s, dir) => {
+      import graft.operators.Bucketed
+      val li = Bucketed.ensure(s, dir, "lineitem", Seq("l_orderkey"), 32)(
+        t(s, dir, "lineitem"))
+      val o = Bucketed.ensure(s, dir, "orders", Seq("o_orderkey"), 32)(
+        t(s, dir, "orders"))
+      Bucketed.colocatedJoin(li, o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          exact.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
+    // Aggregation keyed on the bucket columns of the same bucketed
+    // lineitem copy: the scan already satisfies the required hash
+    // partitioning, so the whole groupBy runs in the scan stage — no
+    // exchange anywhere in the plan (BucketingSpec asserts it). Same
+    // oracle-vs-plain-storage contract as q193.
+    "q194_bucketed_agg" -> ((s, dir) => {
+      import graft.operators.Bucketed
+      Bucketed.ensure(s, dir, "lineitem", Seq("l_orderkey"), 32)(
+        t(s, dir, "lineitem"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          exact.sumExact(col("l_quantity")).as("sum_qty"),
+          exact.sumExact(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_items"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -738,5 +778,22 @@ object RelationalQueries {
         |  count(DISTINCT l_partkey) AS n_keys FROM ea
         |UNION ALL
         |SELECT 'intersect_all' AS op, count(*) AS n_rows,
-        |  count(DISTINCT l_partkey) AS n_keys FROM ia""".stripMargin)
+        |  count(DISTINCT l_partkey) AS n_keys FROM ia""".stripMargin,
+
+    "q193_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q194_bucketed_agg" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY l_orderkey""".stripMargin)
 }

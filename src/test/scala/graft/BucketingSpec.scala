@@ -1,44 +1,83 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.functions._
 
-/** Co-located joins via bucketing: writing both sides bucketed on the
-  * join key lets the sort-merge join read matching buckets directly —
-  * no shuffle exchange at all. This is the 100 TB fact-to-fact join
-  * strategy (broadcast covers only small dims). */
+import graft.operators.Bucketed
+
+/** Co-located joins via bucketed storage ([[graft.operators.Bucketed]]):
+  * writing both sides bucketed + per-bucket-sorted on the join key lets
+  * the sort-merge join read matching buckets directly — no shuffle
+  * exchange AND no sort on either side. This is the 100 TB fact-to-fact
+  * join strategy (broadcast covers only small dims); the layout must
+  * never change answers, so each plan assertion is paired with a
+  * result-parity check against the plain (non-bucketed) form.
+  */
 class BucketingSpec extends SparkSpec {
 
-  test("bucketed tables join without a shuffle exchange") {
-    val li = graft.queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "lineitem")
-    val o = graft.queries.CoreQueries.t(spark, "/root/testdata/sf0.001", "orders")
+  private val dir = "/root/testdata/sf0.001"
+  private def li = graft.queries.CoreQueries.t(spark, dir, "lineitem")
+  private def ord = graft.queries.CoreQueries.t(spark, dir, "orders")
 
-    spark.sql("DROP TABLE IF EXISTS li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS o_bucketed")
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_bucketed")
-    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("o_bucketed")
+  test("colocatedJoin over bucketed tables: no exchange, no sort, same rows") {
+    val bli = Bucketed.ensure(spark, dir, "lineitem", Seq("l_orderkey"), 8)(li)
+    val bo = Bucketed.ensure(spark, dir, "orders", Seq("o_orderkey"), 8)(ord)
 
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val joined = spark.table("li_bucketed")
-        .join(spark.table("o_bucketed"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"))
-      joined.collect()
-      val plan = joined.queryExecution.executedPlan.toString
-      // the join itself must not shuffle either side; the only exchange
-      // allowed is the one feeding the final single-key aggregation
-      val joinPart = plan.split("SortMergeJoin").last
-      assert(plan.contains("SortMergeJoin"))
-      assert(!joinPart.contains("Exchange"),
-        s"join inputs shuffled:\n$plan")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS li_bucketed")
-      spark.sql("DROP TABLE IF EXISTS o_bucketed")
-    }
+    val joined = Bucketed.colocatedJoin(
+        bli, bo, bli("l_orderkey") === bo("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"))
+    val got = joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+    // one file per bucket (ensure() repartitions by the bucket
+    // expression before writing), so the scan reports the written sort
+    // order and the SMJ needs no SortExec either
+    assert(!plan.contains("Sort "), s"bucketed join re-sorted:\n$plan")
+
+    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"))
+      .collect()
+    assert(got.map(_.toString).sorted.toSeq ===
+      expected.map(_.toString).sorted.toSeq)
   }
+
+  test("aggregation keyed on bucket columns runs without any exchange") {
+    val bli = Bucketed.ensure(spark, dir, "lineitem", Seq("l_orderkey"), 8)(li)
+    val agg = bli.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+    val got = agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucket-keyed agg shuffled:\n$plan")
+
+    val expected = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q")).collect()
+    assert(got.map(_.toString).sorted.toSeq ===
+      expected.map(_.toString).sorted.toSeq)
+  }
+
+  test("ensure() memoizes: the second call does not rewrite the files") {
+    Bucketed.ensure(spark, dir, "orders", Seq("o_orderkey"), 8)(ord)
+    val name = Bucketed.tableName(dir, "orders", Seq("o_orderkey"), 8)
+    val path = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft-bucketed/$name")
+    val stampsBefore = listStamps(path)
+    assert(stampsBefore.nonEmpty)
+
+    Bucketed.ensure(spark, dir, "orders", Seq("o_orderkey"), 8)(
+      fail("memoized ensure() must not re-evaluate the source"))
+    assert(listStamps(path) === stampsBefore)
+  }
+
+  private def listStamps(p: java.nio.file.Path): Seq[(String, Long, Long)] =
+    scala.util.Using.resource(Files.walk(p)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(q => q.toString.endsWith(".parquet"))
+        .map(q => (q.getFileName.toString, Files.size(q),
+          Files.getLastModifiedTime(q).toMillis))
+        .toSeq.sortBy(_._1)
+    }
 }
