@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Hive-partitioned storage: the scan-elimination counterpart to
+  * [[Bucketed]]. Bucketing removes the per-query SHUFFLE for key-aligned
+  * joins; partitioning removes the per-query SCAN of partitions a query
+  * cannot match. Static filters on the partition column prune at
+  * planning time; the interesting 100 TB case is DYNAMIC partition
+  * pruning (DPP): when the partition values to keep are only known at
+  * runtime — "reprocess the days some dimension/aggregate selects" —
+  * Spark turns the broadcast side of the join into a pruning subquery
+  * and the fact scan skips non-matching partitions entirely
+  * (`PartitionFilters: [... dynamicpruningexpression(...)]`).
+  *
+  * Two conditions make DPP fire reliably, both encoded in the q195
+  * query shape rather than left to chance: the dim side must carry a
+  * selective Filter that Catalyst cannot propagate to the fact side as
+  * a static predicate (a HAVING over an aggregate qualifies; a plain
+  * filter on the join column would be inferred across the join and
+  * prune statically), and the join must plan as broadcast-hash — DPP
+  * defaults to reusing the broadcast (`reuseBroadcastOnly`), and an
+  * aggregate's size estimate never auto-broadcasts, so the dim needs
+  * an explicit `broadcast()`.
+  */
+object Partitioned {
+
+  /** Deterministic catalog name for the partitioned copy, keyed by
+    * source dir + partition column so distinct SF dirs coexist. */
+  def tableName(dir: String, table: String, partCol: String): String = {
+    val h = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$dir|$partCol")
+        & 0x7fffffff)
+    s"graft_part_${table}_${partCol}_$h"
+  }
+
+  /** Materialize (once per session) a hive-partitioned copy of `src` —
+    * which must already carry the partition column — and return it as a
+    * catalog-backed DataFrame. Memoized via the session catalog; files
+    * under the JVM temp dir, `overwrite` makes crashed leftovers
+    * harmless. Partition-column values round-trip through directory
+    * names, so keep the column a simple scalar (date, string, int). */
+  def ensure(s: SparkSession, dir: String, table: String, partCol: String)(
+      src: => DataFrame): DataFrame = synchronized {
+    val name = tableName(dir, table, partCol)
+    if (!s.catalog.tableExists(name)) {
+      src.write.format("parquet")
+        .partitionBy(partCol)
+        .option("path",
+          s"${System.getProperty("java.io.tmpdir")}/graft-partitioned/$name")
+        .mode("overwrite")
+        .saveAsTable(name)
+    }
+    s.table(name)
+  }
+}

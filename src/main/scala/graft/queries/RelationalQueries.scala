@@ -470,6 +470,38 @@ object RelationalQueries {
           exact.sumExact(col("l_quantity")).as("sum_qty"),
           exact.sumExact(col("l_extendedprice")).as("sum_price"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // Dynamic partition pruning over hive-partitioned storage: events
+    // stored partitioned by day, joined against a runtime-computed set
+    // of days (parity of the day's exact error-value sum — a HAVING
+    // over an aggregate, so Catalyst CANNOT infer it across the join
+    // and prune statically; the pruning values exist only at runtime).
+    // The explicitly-broadcast dim (aggregate size estimates never
+    // auto-broadcast) doubles as the DPP subquery: the fact scan's
+    // PartitionFilters gains a dynamicpruningexpression and skips
+    // non-matching day directories entirely (PartitionedSpec asserts
+    // it). At 100 TB this is "reprocess only the partitions the
+    // dimension selects" — scan cost ∝ selected days, not table size.
+    // Oracle is the same logic over the unpartitioned parquet: layout
+    // must not change answers.
+    "q195_dpp" -> ((s, dir) => {
+      import graft.operators.Partitioned
+      val dec = org.apache.spark.sql.types.DecimalType(20, 6)
+      val fact = Partitioned.ensure(s, dir, "events", "dt")(
+        t(s, dir, "events").withColumn("dt", to_date(col("ts"))))
+      val dim = t(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .groupBy(to_date(col("ts")).as("dim_dt"))
+        .agg(sum(col("value").cast(dec)).as("err_sum"))
+        .filter(floor(col("err_sum")).cast("long") % 2 === 0)
+        .select(col("dim_dt"))
+      fact.join(broadcast(dim), fact("dt") === dim("dim_dt"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          exact.sumExact(col("value")).as("sum_value"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -795,5 +827,19 @@ object RelationalQueries {
         |    AS sum_price,
         |  count(*) AS n_items
         |FROM lineitem
-        |GROUP BY l_orderkey""".stripMargin)
+        |GROUP BY l_orderkey""".stripMargin,
+
+    "q195_dpp" ->
+      """WITH dim AS (
+        |  SELECT CAST(ts AS DATE) AS dim_dt
+        |  FROM events WHERE event_type = 'error'
+        |  GROUP BY 1
+        |  HAVING CAST(floor(sum(CAST(value AS DECIMAL(20,6)))) AS BIGINT)
+        |    % 2 = 0)
+        |SELECT event_type,
+        |  count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN dim ON CAST(ts AS DATE) = dim_dt
+        |GROUP BY event_type""".stripMargin)
 }

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Partitioned
+
+/** Dynamic partition pruning over [[graft.operators.Partitioned]]
+  * storage: the q195 join's pruning days exist only at runtime (parity
+  * of an exact per-day aggregate — not inferable across the join as a
+  * static predicate), so the fact scan must carry a
+  * `dynamicpruningexpression` in its PartitionFilters and read only the
+  * matching day directories. Layout must never change answers, so the
+  * plan assertion is paired with result parity against the same logic
+  * over the unpartitioned parquet.
+  */
+class PartitionedSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def ev = graft.queries.CoreQueries.t(spark, dir, "events")
+  private val dec = DecimalType(20, 6)
+
+  private def dim = ev.filter(col("event_type") === "error")
+    .groupBy(to_date(col("ts")).as("dim_dt"))
+    .agg(sum(col("value").cast(dec)).as("err_sum"))
+    .filter(floor(col("err_sum")).cast("long") % 2 === 0)
+    .select(col("dim_dt"))
+
+  test("q195 join plans with dynamic partition pruning and matches the " +
+    "unpartitioned result") {
+    val q = graft.queries.RelationalQueries.queries("q195_dpp")(spark, dir)
+    val got = q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan not dynamically pruned:\n$plan")
+
+    // the pruning set must be a strict, non-empty subset of the 30 days
+    // or the demo degenerates to scan-everything / scan-nothing
+    val nDays = dim.count()
+    assert(nDays > 0 && nDays < 30, s"degenerate pruning set: $nDays days")
+
+    val e = ev.withColumn("dt", to_date(col("ts")))
+    val d = dim
+    val expected = e.join(d, e("dt") === d("dim_dt"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.functions.exact.sumExact(col("value")).as("sum_value"))
+      .collect()
+    assert(got.map(_.toString).sorted.toSeq ===
+      expected.map(_.toString).sorted.toSeq)
+  }
+
+  test("ensure() memoizes: the second call does not rewrite the files") {
+    Partitioned.ensure(spark, dir, "events", "dt")(
+      ev.withColumn("dt", to_date(col("ts"))))
+    val name = Partitioned.tableName(dir, "events", "dt")
+    val path = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft-partitioned/$name")
+    val stampsBefore = listStamps(path)
+    assert(stampsBefore.nonEmpty)
+
+    Partitioned.ensure(spark, dir, "events", "dt")(
+      fail("memoized ensure() must not re-evaluate the source"))
+    assert(listStamps(path) === stampsBefore)
+  }
+
+  private def listStamps(p: java.nio.file.Path): Seq[(String, Long, Long)] =
+    scala.util.Using.resource(Files.walk(p)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(q => q.toString.endsWith(".parquet"))
+        .map(q => (q.toString.stripPrefix(p.toString), Files.size(q),
+          Files.getLastModifiedTime(q).toMillis))
+        .toSeq.sortBy(_._1)
+    }
+}
