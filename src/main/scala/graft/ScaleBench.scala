@@ -202,7 +202,39 @@ object ScaleBench {
         Dedup.connectedComponents(
           lshPairs(dir).select(col("id_a"), col("id_b")),
           driverEdgeThreshold = 0L)
-          .groupBy(col("label")).agg(count(lit(1)).as("n_members"))))
+          .groupBy(col("label")).agg(count(lit(1)).as("n_members"))),
+      // Storage-layout pair: the SAME orderkey self-join (≈4 partners
+      // per key, keys disjoint per copy → pairs linear in N) over
+      // bucketed vs plain storage. The bucketed side pays its one-time
+      // bucketBy write on the first sample only (Bucketed.ensure
+      // memoizes per dir) and then joins with ZERO exchange —
+      // shuffle_read_mb in its metrics must stay ~0 at both scales
+      // while plain_join's grows ~linearly: the artifact-visible proof
+      // that co-located layout removes the per-query shuffle, not just
+      // defers it. Both pin the SMJ template (hint merge) so the
+      // comparison is exchange-vs-no-exchange, not join-strategy drift.
+      // The post-agg filter makes the harness count depend on the
+      // joined values (same no-eliminated-work trick as the as-of pair).
+      "bucketed_join" -> (dir => {
+        import graft.operators.Bucketed
+        val b = Bucketed.ensure(spark, dir, "lineitem",
+          Seq("l_orderkey"), cpus.toInt)(li(dir))
+        val l = b.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        val r = b.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("pb"))
+        Bucketed.colocatedJoin(l, r, l("l_orderkey") === r("ok_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("pa") + col("pb")).as("psum"))
+          .where(col("n_pairs") >= 0)
+      }),
+      "plain_join" -> (dir => {
+        val l = li(dir).select(col("l_orderkey"), col("l_partkey").as("pa"))
+        val r = li(dir).select(col("l_orderkey").as("ok_b"),
+          col("l_partkey").as("pb"))
+        l.hint("merge").join(r, l("l_orderkey") === r("ok_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("pa") + col("pb")).as("psum"))
+          .where(col("n_pairs") >= 0)
+      }))
     // Events-based window/aggregate shapes — the oracle-checked query
     // lambdas run unmodified on the replicated dir (no id-bound
     // filters inside them).
