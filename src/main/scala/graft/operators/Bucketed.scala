@@ -40,11 +40,17 @@ object Bucketed {
     * the session catalog, so the pre-paid shuffle+write happens on the
     * first call only; every later call is a metadata lookup. The files
     * land under the JVM temp dir (external table), not the warehouse,
-    * and `overwrite` makes crashed leftovers harmless.
+    * and `overwrite` makes crashed leftovers harmless. Single-writer
+    * assumption: the fixed path lets successive engine JVMs reuse the
+    * same disk footprint (each rewrites on first use — a fresh catalog
+    * cannot prove the files' provenance), so two CONCURRENT JVMs
+    * pointed at the same source dir would race the write; run one
+    * engine process at a time, as the bench/verify harnesses do.
     */
   def ensure(s: SparkSession, dir: String, table: String,
       bucketCols: Seq[String], nBuckets: Int)(src: => DataFrame): DataFrame =
     synchronized {
+      require(bucketCols.nonEmpty, "bucketCols must be non-empty")
       // SPARK-28595 gated the bucketed scan's sort-order reporting
       // behind this conf (a multi-file bucket cannot guarantee global
       // order without a merge, and Spark stopped promising it by

@@ -38,8 +38,10 @@ object Partitioned {
     * which must already carry the partition column — and return it as a
     * catalog-backed DataFrame. Memoized via the session catalog; files
     * under the JVM temp dir, `overwrite` makes crashed leftovers
-    * harmless. Partition-column values round-trip through directory
-    * names, so keep the column a simple scalar (date, string, int). */
+    * harmless (same single-writer assumption as [[Bucketed.ensure]]:
+    * one engine JVM at a time, as the harnesses run). Partition-column
+    * values round-trip through directory names, so keep the column a
+    * simple scalar (date, string, int). */
   def ensure(s: SparkSession, dir: String, table: String, partCol: String)(
       src: => DataFrame): DataFrame = synchronized {
     val name = tableName(dir, table, partCol)
