@@ -374,7 +374,15 @@ object ScaleBench {
         val extra = phase + phases
         val m = if (extra.isEmpty) m0 else m0.dropRight(1) + extra + "}"
         ok = true
-        releaseAll()
+        // A successful measurement must survive a cleanup hiccup: an
+        // uncaught exception here would discard the already-computed
+        // sample AND mark the shape failed for every remaining round
+        // (the run loop skips failed shapes). Log and continue — a
+        // missed release shows up in the next run's leak-visible
+        // metrics rather than silently zeroing this shape's artifact.
+        try releaseAll() catch { case e: Throwable =>
+          System.err.println(s"[scale] post-measure release failed: $e")
+        }
         (sec, m, rows)
       } finally {
         if (!ok) {
@@ -418,7 +426,7 @@ object ScaleBench {
     // exponent is computed on MEDIANS (min-of-N hides that a single
     // cold run can dominate a grade in either direction). Sampling is
     // INTERLEAVED: round-robin over all shapes per round, with the
-    // shape order rotated each round, so a shape's three samples come
+    // shape order stride-permuted each round, so a shape's samples come
     // from three different run NEIGHBORHOODS. Sequential per-shape
     // blocks let one heavy predecessor (or accumulated shared-JVM
     // state — code-cache growth, megamorphic dispatch in the shared
@@ -444,10 +452,22 @@ object ScaleBench {
     val rowsOf = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val failed = scala.collection.mutable.Map.empty[String, String]
     for (round <- 0 until samplesPerPoint if jobs.nonEmpty) {
-      // Deterministic rotation: each round starts at a different
-      // position, so predecessors differ per sample without RNG.
-      val off = (round * math.max(1, jobs.size / samplesPerPoint)) % jobs.size
-      val ordered = jobs.drop(off) ++ jobs.take(off)
+      // Deterministic round-dependent PERMUTATION, not a rotation. A
+      // rotation preserves cyclic adjacency — every shape keeps the
+      // SAME predecessor in every round except at the seam — so a
+      // heavy cyclic neighbor's residual (page-cache turnover, G1
+      // region history) would inflate all three samples identically,
+      // which is exactly what the interleaving exists to prevent (and
+      // what one time_weighted draw measured: 27 s in-suite vs ~10 s
+      // isolated). Walking the list with a per-round STRIDE coprime to
+      // n gives every shape a different predecessor each round (strides
+      // are distinct mod n), still with no RNG.
+      val n = jobs.size
+      val strides = (1 until math.max(2, n))
+        .filter(s => BigInt(s).gcd(BigInt(n)) == 1)
+      val step = strides(math.min(round, strides.size - 1))
+      val off = (round * math.max(1, n / samplesPerPoint)) % n
+      val ordered = (0 until n).map(i => jobs((off + i * step) % n))
       for (job <- ordered if !failed.contains(job.name)) {
         try {
           val (s1, m1, r1) = onceMeasure(job.fn, job.lo)
@@ -501,7 +521,7 @@ object ScaleBench {
       }
     }
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"cpus":$cpus,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order rotated per round, so a shape's samples come from different run neighborhoods and shared-JVM contamination cannot hit all of them identically), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"cpus":$cpus,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
     println(out)
     // A shape-filtered run covers a subset — never let it replace the
     // artifact of record.

@@ -280,7 +280,9 @@ case class LongMadOutlierAgg(
       val rank = 0.5 * (n - 1)
       val lo = math.floor(rank).toLong
       val hi = math.ceil(rank).toLong
-      val (loVal, hiVal) = buf.bracket(rank)
+      // One sort serves both the median bracket and the tail walk.
+      val (values, counts) = buf.sortedPairs()
+      val (loVal, hiVal) = buf.bracketIn(values, counts, rank)
       val p50 =
         if (lo == hi) loVal.toDouble
         else (hi - rank) * loVal.toDouble + (rank - lo) * hiVal.toDouble
@@ -288,7 +290,6 @@ case class LongMadOutlierAgg(
       // middle values — an exact integer in double for micro-units.
       val mad4x = (2.0 * p50).toLong
       val threshold3 = 3L * mad4x
-      val (values, counts) = buf.sortedPairs()
       var outliers = 0L
       var j = values.length - 1
       // values ascend; walk the tail above the threshold.
@@ -403,6 +404,16 @@ object LongPercentileAgg {
       * Caller guarantees 0 <= rank <= totalCount - 1. */
     def bracket(rank: Double): (Long, Long) = {
       val (values, counts) = sortedPairs()
+      bracketIn(values, counts, rank)
+    }
+
+    /** [[bracket]] over already-sorted pairs: an eval that also needs
+      * the sorted arrays themselves (the MAD outlier tail walk) calls
+      * [[sortedPairs]] once and brackets in place — the sort and the
+      * per-value hash probes are O(d log d)/O(d) over the group's
+      * distinct values, not something to pay twice per group. */
+    def bracketIn(values: Array[Long], counts: Array[Long],
+        rank: Double): (Long, Long) = {
       val lo = math.floor(rank).toLong
       val hi = math.ceil(rank).toLong
       var i = 0
