@@ -82,6 +82,17 @@ object Bucketed {
     * callers can assert that via the executed plan.
     */
   def colocatedJoin(left: DataFrame, right: DataFrame, cond: Column,
-      joinType: String = "inner"): DataFrame =
+      joinType: String = "inner"): DataFrame = {
+    // Real lakes end up with the same key bucketed at DIFFERENT counts
+    // (a table re-bucketed wider as it grew, joined against an older
+    // layout). Spark can read k adjacent buckets of the wider side per
+    // task instead of shuffling both sides — off by default
+    // (SPARK-31350); enable it here so a 64b⋈32b join stays
+    // exchange-free (ratio-capped by coalesceBucketsInJoin.maxBucketRatio,
+    // default 4; a coalesced side has >1 file per read-bucket, so it
+    // re-sorts — exchange elimination is the win that matters).
+    left.sparkSession.conf
+      .set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
     left.hint("merge").join(right, cond, joinType)
+  }
 }

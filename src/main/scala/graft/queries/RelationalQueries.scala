@@ -502,6 +502,28 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
           exact.sumExact(col("value")).as("sum_value"))
+    }),
+
+    // Mismatched bucket counts — the layout-drift case every real lake
+    // hits (a fact re-bucketed wider as it grew, joined against an
+    // older narrower layout): lineitem at 64 buckets ⋈ orders at 32.
+    // colocatedJoin enables bucket coalescing (SPARK-31350, off by
+    // default), so the wider side reads 2 adjacent buckets per task
+    // and the join STILL runs with zero exchange — only the coalesced
+    // side re-sorts (>1 file per read-bucket). BucketingSpec asserts
+    // the plan; the oracle is the plain join, layout-independent.
+    "q196_bucket_coalesced_join" -> ((s, dir) => {
+      import graft.operators.Bucketed
+      val li = Bucketed.ensure(s, dir, "lineitem", Seq("l_orderkey"), 64)(
+        t(s, dir, "lineitem"))
+      val o = Bucketed.ensure(s, dir, "orders", Seq("o_orderkey"), 32)(
+        t(s, dir, "orders"))
+      Bucketed.colocatedJoin(li, o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          exact.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -841,5 +863,13 @@ object RelationalQueries {
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
         |FROM events JOIN dim ON CAST(ts AS DATE) = dim_dt
-        |GROUP BY event_type""".stripMargin)
+        |GROUP BY event_type""".stripMargin,
+
+    "q196_bucket_coalesced_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+        |    AS DOUBLE) AS revenue,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin)
 }

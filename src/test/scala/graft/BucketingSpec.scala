@@ -58,6 +58,31 @@ class BucketingSpec extends SparkSpec {
       expected.map(_.toString).sorted.toSeq)
   }
 
+  test("mismatched bucket counts coalesce in the join instead of shuffling") {
+    val bli = Bucketed.ensure(spark, dir, "lineitem", Seq("l_orderkey"), 16)(li)
+    val bo = Bucketed.ensure(spark, dir, "orders", Seq("o_orderkey"), 8)(ord)
+
+    val joined = Bucketed.colocatedJoin(
+        bli, bo, bli("l_orderkey") === bo("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"))
+    val got = joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // the 16-bucket side is read as 8 coalesced buckets (2 files per
+    // task); neither side shuffles — only the coalesced side may sort
+    assert(!plan.contains("Exchange"),
+      s"mismatched-bucket join shuffled:\n$plan")
+    assert(plan.contains("SelectedBucketsCount: 16 out of 16 (Coalesced to 8)"),
+      s"wider side not coalesced:\n$plan")
+
+    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"))
+      .collect()
+    assert(got.map(_.toString).sorted.toSeq ===
+      expected.map(_.toString).sorted.toSeq)
+  }
+
   test("ensure() memoizes: the second call does not rewrite the files") {
     Bucketed.ensure(spark, dir, "orders", Seq("o_orderkey"), 8)(ord)
     val name = Bucketed.tableName(dir, "orders", Seq("o_orderkey"), 8)
