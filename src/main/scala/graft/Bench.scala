@@ -573,8 +573,15 @@ object Bench {
     // sample as the round's records/s (observed between two identical
     // noop-forced runs).
     def guarded(name: String, run: () => Double): Double =
-      try Seq(run(), run(), run()).min
-      catch {
+      try {
+        val runs = Seq(run(), run(), run())
+        // The two pipeline figures are best-of-3 (see above) but their
+        // samples were invisible — the one artifact gap a regression
+        // adjudication would still have to re-run for. Record them.
+        details += name ->
+          s""""runs":[${runs.mkString(",")}],"min":${runs.min}"""
+        runs.min
+      } catch {
         case e: Throwable =>
           val m = e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("").take(200)
