@@ -55,4 +55,37 @@ object Partitioned {
     }
     s.table(name)
   }
+
+  /** The standard lakehouse layout: partitioned by a coarse scan-
+    * elimination column AND bucketed by the join/aggregation key —
+    * partition pruning (static or dynamic) decides which directories
+    * are read, bucketing makes whatever survives join/aggregate
+    * exchange-free on the bucket key, in the same scan. The bucket sort
+    * order is NOT trusted on read here (each bucket spans one file per
+    * selected partition directory, and Spark only trusts single-file
+    * buckets), so downstream SMJs re-sort — exchange elimination is
+    * the part that matters at scale. Same memoization/single-writer
+    * contract as [[ensure]].
+    */
+  def ensureBucketed(s: SparkSession, dir: String, table: String,
+      partCol: String, bucketCols: Seq[String], nBuckets: Int)(
+      src: => DataFrame): DataFrame = synchronized {
+    require(bucketCols.nonEmpty && !bucketCols.contains(partCol),
+      "bucket columns must be non-empty and disjoint from the partition column")
+    val name = tableName(dir, table,
+      s"${partCol}_${bucketCols.mkString("_")}_${nBuckets}b")
+    if (!s.catalog.tableExists(name)) {
+      src.repartition(nBuckets, bucketCols.map(
+          org.apache.spark.sql.functions.col): _*)
+        .write.format("parquet")
+        .partitionBy(partCol)
+        .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .option("path",
+          s"${System.getProperty("java.io.tmpdir")}/graft-partitioned/$name")
+        .mode("overwrite")
+        .saveAsTable(name)
+    }
+    s.table(name)
+  }
 }

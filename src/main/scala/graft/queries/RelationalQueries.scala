@@ -512,6 +512,42 @@ object RelationalQueries {
     // and the join STILL runs with zero exchange — only the coalesced
     // side re-sorts (>1 file per read-bucket). BucketingSpec asserts
     // the plan; the oracle is the plain join, layout-independent.
+    // The layouts COMPOSE: events partitioned by day AND bucketed by
+    // user (the standard lakehouse fact layout) joined against (a) the
+    // q195 runtime day set — dynamic partition pruning decides which
+    // day directories are read — and (b) a user-profile table bucketed
+    // on the same key at the same count — the surviving rows join
+    // exchange-free (the bucketed scan's hash partitioning passes
+    // through the broadcast DPP join untouched). One scan, both
+    // mechanisms; the only shuffle in the whole plan is the final
+    // per-type aggregation (PartitionedSpec asserts the plan: a
+    // dynamicpruning PartitionFilter AND exactly one hash exchange).
+    // Oracle is the same logic over flat parquet.
+    "q197_layered_layout" -> ((s, dir) => {
+      import graft.operators.{Bucketed, Partitioned}
+      val dec = org.apache.spark.sql.types.DecimalType(20, 6)
+      val fact = Partitioned.ensureBucketed(
+        s, dir, "events", "dt", Seq("user_id"), 16)(
+        t(s, dir, "events").withColumn("dt", to_date(col("ts"))))
+      val dim = t(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .groupBy(to_date(col("ts")).as("dim_dt"))
+        .agg(sum(col("value").cast(dec)).as("err_sum"))
+        .filter(floor(col("err_sum")).cast("long") % 2 === 0)
+        .select(col("dim_dt"))
+      val profile = Bucketed.ensure(
+        s, dir, "events_user_profile", Seq("user_id"), 16)(
+        t(s, dir, "events").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("user_total")))
+      fact.join(broadcast(dim), fact("dt") === dim("dim_dt"))
+        .hint("merge").join(profile, Seq("user_id"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          exact.sumExact(col("value")).as("sum_value"),
+          sum(col("user_total")).cast("long").as("sum_user_total"))
+    }),
+
     "q196_bucket_coalesced_join" -> ((s, dir) => {
       import graft.operators.Bucketed
       val li = Bucketed.ensure(s, dir, "lineitem", Seq("l_orderkey"), 64)(
@@ -871,5 +907,24 @@ object RelationalQueries {
         |    AS DOUBLE) AS revenue,
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q197_layered_layout" ->
+      """WITH e AS (SELECT *, CAST(ts AS DATE) AS dt FROM events),
+        |dim AS (
+        |  SELECT CAST(ts AS DATE) AS dim_dt
+        |  FROM events WHERE event_type = 'error'
+        |  GROUP BY 1
+        |  HAVING CAST(floor(sum(CAST(value AS DECIMAL(20,6)))) AS BIGINT)
+        |    % 2 = 0),
+        |profile AS (
+        |  SELECT user_id, count(*) AS user_total FROM events GROUP BY 1)
+        |SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(user_total) AS BIGINT) AS sum_user_total
+        |FROM e
+        |JOIN dim ON e.dt = dim_dt
+        |JOIN profile USING (user_id)
+        |GROUP BY event_type""".stripMargin)
 }

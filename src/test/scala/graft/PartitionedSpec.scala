@@ -54,6 +54,38 @@ class PartitionedSpec extends SparkSpec {
       expected.map(_.toString).sorted.toSeq)
   }
 
+  test("q197: partition pruning and bucketed co-location compose in one " +
+    "plan — DPP filter present, exactly one shuffle (the final agg)") {
+    val q = graft.queries.RelationalQueries.queries("q197_layered_layout")(
+      spark, dir)
+    val got = q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // AQE plan strings append "== Initial Plan ==" — assert on the
+    // FINAL section only
+    val fin = plan.split("== Initial Plan ==").head
+    assert(fin.contains("dynamicpruning"),
+      s"fact scan not dynamically pruned:\n$plan")
+    val shuffles =
+      "Exchange hashpartitioning".r.findAllIn(fin).length
+    assert(shuffles == 1,
+      s"expected exactly one shuffle (final agg), got $shuffles:\n$fin")
+
+    val e = ev.withColumn("dt", to_date(col("ts")))
+    val d = dim
+    val profile = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_total"))
+    val expected = e.join(d, e("dt") === d("dim_dt"))
+      .join(profile, Seq("user_id"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.exact.sumExact(col("value")).as("sum_value"),
+        sum(col("user_total")).cast("long").as("sum_user_total"))
+      .collect()
+    assert(got.map(_.toString).sorted.toSeq ===
+      expected.map(_.toString).sorted.toSeq)
+  }
+
   test("ensure() memoizes: the second call does not rewrite the files") {
     Partitioned.ensure(spark, dir, "events", "dt")(
       ev.withColumn("dt", to_date(col("ts"))))
