@@ -74,6 +74,29 @@ object Bucketed {
       s.table(name)
     }
 
+  /** Incremental load into an [[ensure]]d bucketed table: append a
+    * batch under the SAME bucket spec, so co-location survives daily
+    * loads — every bucket gains one file per appended batch, and
+    * key-aligned joins stay exchange-free (the SMJ re-sorts each
+    * multi-file bucket locally; that re-sort is linear per-task work,
+    * the exchange it replaces is the cluster-wide cost). Callers who
+    * accumulate many small batches compact by re-running [[ensure]]
+    * over the unioned source into a fresh layout. */
+  def append(s: SparkSession, dir: String, table: String,
+      bucketCols: Seq[String], nBuckets: Int)(batch: DataFrame): DataFrame =
+    synchronized {
+      val name = tableName(dir, table, bucketCols, nBuckets)
+      require(s.catalog.tableExists(name),
+        s"append target $name does not exist — call ensure() first")
+      batch.repartition(nBuckets, bucketCols.map(col): _*)
+        .write.format("parquet")
+        .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .mode("append")
+        .saveAsTable(name)
+      s.table(name)
+    }
+
   /** Equi-join two bucketed tables on their bucket key with the plan
     * pinned to sort-merge (`hint("merge")`): size-based planning would
     * broadcast a small side and bypass the bucket layout, which is the

@@ -58,6 +58,33 @@ class BucketingSpec extends SparkSpec {
       expected.map(_.toString).sorted.toSeq)
   }
 
+  test("append() keeps co-location: the joined plan is still exchange-free") {
+    val even = ord.filter(col("o_orderkey") % 2 === 0)
+    val odd = ord.filter(col("o_orderkey") % 2 === 1)
+    val half = Bucketed.ensure(spark, dir, "orders_inc",
+      Seq("o_orderkey"), 8)(even)
+    assert(half.count() === even.count())
+    val full = Bucketed.append(spark, dir, "orders_inc",
+      Seq("o_orderkey"), 8)(odd)
+    assert(full.count() === ord.count())
+
+    val bli = Bucketed.ensure(spark, dir, "lineitem", Seq("l_orderkey"), 8)(li)
+    val joined = Bucketed.colocatedJoin(
+        bli, full, bli("l_orderkey") === full("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"))
+    val got = joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // multi-file buckets re-sort locally, but neither side shuffles
+    assert(!plan.contains("Exchange"),
+      s"appended bucketed join shuffled:\n$plan")
+
+    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"))
+      .collect()
+    assert(got.map(_.toString).sorted.toSeq ===
+      expected.map(_.toString).sorted.toSeq)
+  }
+
   test("mismatched bucket counts coalesce in the join instead of shuffling") {
     val bli = Bucketed.ensure(spark, dir, "lineitem", Seq("l_orderkey"), 16)(li)
     val bo = Bucketed.ensure(spark, dir, "orders", Seq("o_orderkey"), 8)(ord)
