@@ -60,6 +60,18 @@ object Bucketed {
       // the conf on — so enable it for the session: downstream SMJs
       // on these tables then skip the redundant per-bucket sort.
       s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // Companion session policy (SPARK-31350, off by default): when
+      // two tables bucket the same key at DIFFERENT counts — a table
+      // re-bucketed wider as it grew, joined against an older layout —
+      // read k adjacent buckets of the wider side per task instead of
+      // shuffling both sides (ratio-capped by
+      // coalesceBucketsInJoin.maxBucketRatio, default 4; a coalesced
+      // side has >1 file per read-bucket, so it re-sorts — exchange
+      // elimination is the win that matters). Both policies live HERE,
+      // set once and idempotently when a bucketed layout enters the
+      // session, so join helpers stay side-effect-free and the only
+      // affected plans are joins of tables this operator wrote.
+      s.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
       val name = tableName(dir, table, bucketCols, nBuckets)
       if (!s.catalog.tableExists(name)) {
         src.repartition(nBuckets, bucketCols.map(col): _*)
@@ -81,13 +93,27 @@ object Bucketed {
     * multi-file bucket locally; that re-sort is linear per-task work,
     * the exchange it replaces is the cluster-wide cost). Callers who
     * accumulate many small batches compact by re-running [[ensure]]
-    * over the unioned source into a fresh layout. */
+    * over the unioned source into a fresh layout.
+    *
+    * SESSION-SCOPED CACHE semantics, like everything this object
+    * writes: the table is a derived layout over the immutable source
+    * parquet under `dir`, not primary storage. A NEW session's first
+    * ensure() rebuilds the layout from source (a fresh catalog cannot
+    * prove the on-disk files' provenance), which discards any batches
+    * a previous session appended — so appended data must always remain
+    * re-derivable from the source dir, and a caller appending anything
+    * else is using the wrong tool (that is primary storage, Loader's
+    * job). */
   def append(s: SparkSession, dir: String, table: String,
       bucketCols: Seq[String], nBuckets: Int)(batch: DataFrame): DataFrame =
     synchronized {
       val name = tableName(dir, table, bucketCols, nBuckets)
       require(s.catalog.tableExists(name),
-        s"append target $name does not exist — call ensure() first")
+        s"append target $name not in this session's catalog — call " +
+          "ensure() first (NOTE: ensure rebuilds the layout from the " +
+          "source dir; batches appended by a PREVIOUS session are " +
+          "discarded — this table is a session-scoped derived cache, " +
+          "not primary storage)")
       batch.repartition(nBuckets, bucketCols.map(col): _*)
         .write.format("parquet")
         .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
@@ -105,17 +131,6 @@ object Bucketed {
     * callers can assert that via the executed plan.
     */
   def colocatedJoin(left: DataFrame, right: DataFrame, cond: Column,
-      joinType: String = "inner"): DataFrame = {
-    // Real lakes end up with the same key bucketed at DIFFERENT counts
-    // (a table re-bucketed wider as it grew, joined against an older
-    // layout). Spark can read k adjacent buckets of the wider side per
-    // task instead of shuffling both sides — off by default
-    // (SPARK-31350); enable it here so a 64b⋈32b join stays
-    // exchange-free (ratio-capped by coalesceBucketsInJoin.maxBucketRatio,
-    // default 4; a coalesced side has >1 file per read-bucket, so it
-    // re-sorts — exchange elimination is the win that matters).
-    left.sparkSession.conf
-      .set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+      joinType: String = "inner"): DataFrame =
     left.hint("merge").join(right, cond, joinType)
-  }
 }

@@ -487,15 +487,9 @@ object RelationalQueries {
     // must not change answers.
     "q195_dpp" -> ((s, dir) => {
       import graft.operators.Partitioned
-      val dec = org.apache.spark.sql.types.DecimalType(20, 6)
       val fact = Partitioned.ensure(s, dir, "events", "dt")(
         t(s, dir, "events").withColumn("dt", to_date(col("ts"))))
-      val dim = t(s, dir, "events")
-        .filter(col("event_type") === "error")
-        .groupBy(to_date(col("ts")).as("dim_dt"))
-        .agg(sum(col("value").cast(dec)).as("err_sum"))
-        .filter(floor(col("err_sum")).cast("long") % 2 === 0)
-        .select(col("dim_dt"))
+      val dim = errorParityDays(s, dir)
       fact.join(broadcast(dim), fact("dt") === dim("dim_dt"))
         .groupBy(col("event_type"))
         .agg(
@@ -507,11 +501,25 @@ object RelationalQueries {
     // Mismatched bucket counts — the layout-drift case every real lake
     // hits (a fact re-bucketed wider as it grew, joined against an
     // older narrower layout): lineitem at 64 buckets ⋈ orders at 32.
-    // colocatedJoin enables bucket coalescing (SPARK-31350, off by
+    // Bucketed.ensure enables bucket coalescing (SPARK-31350, off by
     // default), so the wider side reads 2 adjacent buckets per task
     // and the join STILL runs with zero exchange — only the coalesced
     // side re-sorts (>1 file per read-bucket). BucketingSpec asserts
     // the plan; the oracle is the plain join, layout-independent.
+    "q196_bucket_coalesced_join" -> ((s, dir) => {
+      import graft.operators.Bucketed
+      val li = Bucketed.ensure(s, dir, "lineitem", Seq("l_orderkey"), 64)(
+        t(s, dir, "lineitem"))
+      val o = Bucketed.ensure(s, dir, "orders", Seq("o_orderkey"), 32)(
+        t(s, dir, "orders"))
+      Bucketed.colocatedJoin(li, o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          exact.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
     // The layouts COMPOSE: events partitioned by day AND bucketed by
     // user (the standard lakehouse fact layout) joined against (a) the
     // q195 runtime day set — dynamic partition pruning decides which
@@ -525,16 +533,10 @@ object RelationalQueries {
     // Oracle is the same logic over flat parquet.
     "q197_layered_layout" -> ((s, dir) => {
       import graft.operators.{Bucketed, Partitioned}
-      val dec = org.apache.spark.sql.types.DecimalType(20, 6)
       val fact = Partitioned.ensureBucketed(
         s, dir, "events", "dt", Seq("user_id"), 16)(
         t(s, dir, "events").withColumn("dt", to_date(col("ts"))))
-      val dim = t(s, dir, "events")
-        .filter(col("event_type") === "error")
-        .groupBy(to_date(col("ts")).as("dim_dt"))
-        .agg(sum(col("value").cast(dec)).as("err_sum"))
-        .filter(floor(col("err_sum")).cast("long") % 2 === 0)
-        .select(col("dim_dt"))
+      val dim = errorParityDays(s, dir)
       val profile = Bucketed.ensure(
         s, dir, "events_user_profile", Seq("user_id"), 16)(
         t(s, dir, "events").groupBy(col("user_id"))
@@ -546,21 +548,23 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           exact.sumExact(col("value")).as("sum_value"),
           sum(col("user_total")).cast("long").as("sum_user_total"))
-    }),
-
-    "q196_bucket_coalesced_join" -> ((s, dir) => {
-      import graft.operators.Bucketed
-      val li = Bucketed.ensure(s, dir, "lineitem", Seq("l_orderkey"), 64)(
-        t(s, dir, "lineitem"))
-      val o = Bucketed.ensure(s, dir, "orders", Seq("o_orderkey"), 32)(
-        t(s, dir, "orders"))
-      Bucketed.colocatedJoin(li, o, li("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("o_orderstatus"))
-        .agg(
-          exact.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .as("revenue"),
-          countDistinct(col("l_orderkey")).as("n_orders"))
     }))
+
+  /** The q195/q197 dynamic-pruning day set: days whose exact (decimal)
+    * error-value sum has even floor-parity. ONE definition shared by
+    * both queries and asserted by PartitionedSpec — the HAVING-over-
+    * aggregate shape is what keeps the pruning dynamic (a plain filter
+    * on the join column would be inferred across the join and prune
+    * statically), so the three call sites must never drift apart. */
+  private[graft] def errorParityDays(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 6)
+    t(s, dir, "events")
+      .filter(col("event_type") === "error")
+      .groupBy(to_date(col("ts")).as("dim_dt"))
+      .agg(sum(col("value").cast(dec)).as("err_sum"))
+      .filter(floor(col("err_sum")).cast("long") % 2 === 0)
+      .select(col("dim_dt"))
+  }
 
   val oracle: Map[String, String] = Map(
 

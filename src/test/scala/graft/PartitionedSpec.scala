@@ -3,7 +3,6 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.Partitioned
 
@@ -20,13 +19,11 @@ class PartitionedSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private def ev = graft.queries.CoreQueries.t(spark, dir, "events")
-  private val dec = DecimalType(20, 6)
 
-  private def dim = ev.filter(col("event_type") === "error")
-    .groupBy(to_date(col("ts")).as("dim_dt"))
-    .agg(sum(col("value").cast(dec)).as("err_sum"))
-    .filter(floor(col("err_sum")).cast("long") % 2 === 0)
-    .select(col("dim_dt"))
+  // THE shared definition — the same DataFrame the shipped q195/q197
+  // build, so the degenerate-pruning guard below checks what actually
+  // runs, not a spec-local copy that could drift.
+  private def dim = graft.queries.RelationalQueries.errorParityDays(spark, dir)
 
   test("q195 join plans with dynamic partition pruning and matches the " +
     "unpartitioned result") {
