@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions.col
   */
 object Bucketed {
 
+  /** Filesystem root for this engine's bucketed copies: under the JVM
+    * temp dir but qualified by the OS user — /tmp is shared across
+    * users, and an unqualified fixed path would make a second user's
+    * harness collide with (and fail overwriting) the first user's
+    * files. The per-JVM footprint reuse the fixed path buys is
+    * per-user anyway (a fresh session always rebuilds). */
+  def storageRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-" +
+      System.getProperty("user.name", "anon")
+
   /** Deterministic catalog name for the bucketed copy of `table` keyed
     * by source dir + bucket spec, so distinct SF dirs (or bucket
     * layouts) in one session never collide. */
@@ -34,6 +44,38 @@ object Bucketed {
         s"$dir|${bucketCols.mkString(",")}|$nBuckets") & 0x7fffffff)
     s"graft_bkt_${table}_${nBuckets}b_$h"
   }
+
+  /** Current on-disk location of an [[ensure]]d table in THIS JVM:
+    * `$storageRoot/$name` until a [[compactIfNeeded]] rewrite moves it
+    * to a generation path (the catalog tracks the move; this map just
+    * saves a round trip through catalog metadata). */
+  private val tableLoc = scala.collection.mutable.Map.empty[String, String]
+  private val compactGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def location(name: String): String =
+    tableLoc.getOrElse(name, s"$storageRoot/$name")
+
+  private def dataFiles(loc: String): Seq[java.nio.file.Path] = {
+    val root = java.nio.file.Paths.get(loc)
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) &&
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq
+    }
+  }
+
+  private def deleteDir(loc: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(loc)
+      if (java.nio.file.Files.exists(root))
+        scala.util.Using.resource(java.nio.file.Files.walk(root))(
+          _.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p)))
+    } catch { case _: Exception => () }
 
   /** Materialize (once per session) a bucketed, per-bucket-sorted copy
     * of `src` and return it as a catalog-backed DataFrame. Memoized via
@@ -74,14 +116,25 @@ object Bucketed {
       s.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
       val name = tableName(dir, table, bucketCols, nBuckets)
       if (!s.catalog.tableExists(name)) {
+        val loc = s"$storageRoot/$name"
+        // sweep stale compaction generations a crashed previous JVM
+        // may have left beside the base path
+        val rootDir = java.nio.file.Paths.get(storageRoot)
+        if (java.nio.file.Files.isDirectory(rootDir)) {
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(java.nio.file.Files.list(rootDir))(
+            _.iterator().asScala
+              .filter(_.getFileName.toString.startsWith(s"$name-g"))
+              .toSeq.foreach(p => deleteDir(p.toString)))
+        }
         src.repartition(nBuckets, bucketCols.map(col): _*)
           .write.format("parquet")
           .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
           .sortBy(bucketCols.head, bucketCols.tail: _*)
-          .option("path",
-            s"${System.getProperty("java.io.tmpdir")}/graft-bucketed/$name")
+          .option("path", loc)
           .mode("overwrite")
           .saveAsTable(name)
+        tableLoc(name) = loc
       }
       s.table(name)
     }
@@ -122,6 +175,65 @@ object Bucketed {
         .saveAsTable(name)
       s.table(name)
     }
+
+  /** Compaction trigger for the incremental-load path: every
+    * [[append]] batch adds one file per bucket, so after many small
+    * batches each bucket holds N files — the scan stops reporting sort
+    * order (Spark only trusts single-file buckets), every downstream
+    * SMJ pays an N-way per-task re-sort that grows with N, and the
+    * sort-free property [[ensure]] bought is lost. Past
+    * `maxFilesPerBucket`, rewrite the table once (same bucket spec,
+    * back to one sorted file per bucket) into a fresh generation path
+    * and re-point the catalog name; under the threshold this is a
+    * metadata check. The threshold is the policy knob a nightly loader
+    * tunes: rewrite cost is one full pass over the table, amortized
+    * against every join/agg between compactions. Same single-writer
+    * contract as [[ensure]]. */
+  def compactIfNeeded(s: SparkSession, dir: String, table: String,
+      bucketCols: Seq[String], nBuckets: Int,
+      maxFilesPerBucket: Int = 4): DataFrame = synchronized {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val name = tableName(dir, table, bucketCols, nBuckets)
+    require(s.catalog.tableExists(name),
+      s"compaction target $name not in this session's catalog — call " +
+        "ensure() first")
+    val loc = location(name)
+    // ensure/append route every batch through repartition(nBuckets), so
+    // files arrive exactly one per bucket per batch: total files is the
+    // honest files-per-bucket signal without parsing bucket ids.
+    val nFiles = dataFiles(loc).size
+    if (nFiles <= nBuckets.toLong * maxFilesPerBucket) s.table(name)
+    else {
+      // Read the FILES, not the catalog entry, so the snapshot plan is
+      // independent of the table we are about to drop and re-create.
+      val snapshot = s.read.parquet(loc)
+      s.sql(s"DROP TABLE `$name`")
+      val newLoc = s"$storageRoot/$name-g${compactGen.incrementAndGet()}"
+      snapshot.repartition(nBuckets, bucketCols.map(col): _*)
+        .write.format("parquet")
+        .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .option("path", newLoc)
+        .mode("overwrite")
+        .saveAsTable(name)
+      tableLoc(name) = newLoc
+      deleteDir(loc)
+      s.table(name)
+    }
+  }
+
+  /** Drop an [[ensure]]d table from the session catalog AND delete its
+    * files. For run-scoped layouts (a query demonstrating the
+    * ensure+append load end-to-end must start from a clean slate on
+    * every run, or the memoized ensure would double the appended
+    * batch); no-op when the table does not exist. */
+  def drop(s: SparkSession, dir: String, table: String,
+      bucketCols: Seq[String], nBuckets: Int): Unit = synchronized {
+    val name = tableName(dir, table, bucketCols, nBuckets)
+    if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE `$name`")
+    deleteDir(location(name))
+    tableLoc.remove(name)
+  }
 
   /** Equi-join two bucketed tables on their bucket key with the plan
     * pinned to sort-merge (`hint("merge")`): size-based planning would

@@ -25,6 +25,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Partitioned {
 
+  /** Per-OS-user filesystem root, same rationale as
+    * [[Bucketed.storageRoot]]: /tmp is shared across users and an
+    * unqualified fixed path would collide a second user's harness with
+    * the first's files. */
+  def storageRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-partitioned-" +
+      System.getProperty("user.name", "anon")
+
   /** Deterministic catalog name for the partitioned copy, keyed by
     * source dir + partition column so distinct SF dirs coexist. */
   def tableName(dir: String, table: String, partCol: String): String = {
@@ -48,8 +56,7 @@ object Partitioned {
     if (!s.catalog.tableExists(name)) {
       src.write.format("parquet")
         .partitionBy(partCol)
-        .option("path",
-          s"${System.getProperty("java.io.tmpdir")}/graft-partitioned/$name")
+        .option("path", s"$storageRoot/$name")
         .mode("overwrite")
         .saveAsTable(name)
     }
@@ -81,8 +88,7 @@ object Partitioned {
         .partitionBy(partCol)
         .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
-        .option("path",
-          s"${System.getProperty("java.io.tmpdir")}/graft-partitioned/$name")
+        .option("path", s"$storageRoot/$name")
         .mode("overwrite")
         .saveAsTable(name)
     }

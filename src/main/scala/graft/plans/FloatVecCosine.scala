@@ -10,8 +10,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * accumulates dot(a,b), dot(a,a) and dot(b,b) together — the composable
   * form traverses each array three times (dot + two norms). Null when
   * either norm is zero (mirrors the composable `when(na > 0 && nb > 0)`
-  * guard). Accumulation order per sum matches the strict left fold, so
-  * results are bit-identical to dot/(sqrt*sqrt) computed separately.
+  * guard) and when the lengths differ (mirrors zip_with's null padding
+  * nulling the dot — a dimension bug must surface as a null, not as a
+  * truncated partial). Accumulation order per sum matches the strict
+  * left fold, so results are bit-identical to dot/(sqrt*sqrt) computed
+  * separately.
   */
 case class FloatVecCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -21,7 +24,8 @@ case class FloatVecCosine(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   private def compute(x: ArrayData, y: ArrayData): Any = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sab = 0.0
     var saa = 0.0
     var sbb = 0.0
@@ -54,17 +58,21 @@ case class FloatVecCosine(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sab = 0.0; double $saa = 0.0; double $sbb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $va = (double) $a.getFloat($i);
-         |  double $vb = (double) $b.getFloat($i);
-         |  $sab += $va * $vb; $saa += $va * $va; $sbb += $vb * $vb;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sab = 0.0; double $saa = 0.0; double $sbb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $va = (double) $a.getFloat($i);
+         |    double $vb = (double) $b.getFloat($i);
+         |    $sab += $va * $vb; $saa += $va * $va; $sbb += $vb * $vb;
+         |  }
+         |  double $na = java.lang.Math.sqrt($saa);
+         |  double $nb = java.lang.Math.sqrt($sbb);
+         |  if ($na > 0 && $nb > 0) { ${ev.value} = $sab / ($na * $nb); }
+         |  else { ${ev.isNull} = true; }
          |}
-         |double $na = java.lang.Math.sqrt($saa);
-         |double $nb = java.lang.Math.sqrt($sbb);
-         |if ($na > 0 && $nb > 0) { ${ev.value} = $sab / ($na * $nb); }
-         |else { ${ev.isNull} = true; }
        """.stripMargin
     })
 

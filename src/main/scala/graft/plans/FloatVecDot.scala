@@ -14,7 +14,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * ArrayData — no allocation, no virtual calls — and stays inside
   * whole-stage codegen. Summation is the same strict left fold in
   * element order as the composable form (and as DuckDB's
-  * list_dot_product), so results are bit-identical.
+  * list_dot_product), so results are bit-identical. Mismatched lengths
+  * yield NULL, exactly like the composable form (zip_with pads the
+  * shorter side with nulls, which nulls the fold) — an upstream
+  * dimension bug surfaces as a visible null, never as a plausible
+  * truncated partial sum.
   *
   * Array elements are assumed non-null (dense embedding vectors).
   */
@@ -25,17 +29,22 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -44,12 +53,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -548,6 +548,36 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           exact.sumExact(col("value")).as("sum_value"),
           sum(col("user_total")).cast("long").as("sum_user_total"))
+    }),
+
+    // The incremental-load path end-to-end: ensure() the historical
+    // slice of lineitem bucketed on orderkey, append() the newer batch
+    // under the SAME bucket spec, then join the result co-located to
+    // orders — each append adds one file per bucket, the SMJ re-sorts
+    // multi-file buckets locally, and NEITHER join side ever shuffles
+    // (BucketingSpec asserts the plan; compactIfNeeded restores the
+    // sort-free single-file layout once appends accumulate). The
+    // oracle joins the flat table: the two-step load must be
+    // answer-invisible. drop() first makes the query self-contained
+    // across repeated runs in one session — a second ensure over the
+    // memoized table would otherwise return the already-appended copy
+    // and the append would double the batch.
+    "q198_bucketed_append" -> ((s, dir) => {
+      import graft.operators.Bucketed
+      Bucketed.drop(s, dir, "lineitem_inc", Seq("l_orderkey"), 32)
+      val src = t(s, dir, "lineitem")
+      val hist = src.filter(col("l_shipdate") < "1995-06-01")
+      val batch = src.filter(col("l_shipdate") >= "1995-06-01")
+      Bucketed.ensure(s, dir, "lineitem_inc", Seq("l_orderkey"), 32)(hist)
+      val li = Bucketed.append(
+        s, dir, "lineitem_inc", Seq("l_orderkey"), 32)(batch)
+      val o = Bucketed.ensure(s, dir, "orders", Seq("o_orderkey"), 32)(
+        t(s, dir, "orders"))
+      Bucketed.colocatedJoin(li, o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          exact.sumExact(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_lineitems"))
     }))
 
   /** The q195/q197 dynamic-pruning day set: days whose exact (decimal)
@@ -930,5 +960,13 @@ object RelationalQueries {
         |FROM e
         |JOIN dim ON e.dt = dim_dt
         |JOIN profile USING (user_id)
-        |GROUP BY event_type""".stripMargin)
+        |GROUP BY event_type""".stripMargin,
+
+    "q198_bucketed_append" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  count(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin)
 }

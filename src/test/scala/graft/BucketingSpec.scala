@@ -85,6 +85,83 @@ class BucketingSpec extends SparkSpec {
       expected.map(_.toString).sorted.toSeq)
   }
 
+  test("compactIfNeeded: file count collapses to one per bucket and the " +
+    "join plan is sort-free again; under threshold it is a no-op") {
+    Bucketed.drop(spark, dir, "orders_cmp", Seq("o_orderkey"), 8)
+    val parts = (0 until 4).map(i => ord.filter(col("o_orderkey") % 4 === i))
+    Bucketed.ensure(spark, dir, "orders_cmp", Seq("o_orderkey"), 8)(parts.head)
+    parts.tail.foreach(p =>
+      Bucketed.append(spark, dir, "orders_cmp", Seq("o_orderkey"), 8)(p))
+    val name = Bucketed.tableName(dir, "orders_cmp", Seq("o_orderkey"), 8)
+    def files(p: java.nio.file.Path) = listStamps(p)
+    val basePath = Paths.get(s"${Bucketed.storageRoot}/$name")
+    // 4 batches x one file per bucket
+    assert(files(basePath).size === 32)
+
+    // under threshold: metadata check only, files untouched
+    val before = files(basePath)
+    Bucketed.compactIfNeeded(spark, dir, "orders_cmp",
+      Seq("o_orderkey"), 8, maxFilesPerBucket = 4)
+    assert(files(basePath) === before)
+
+    // past threshold: one rewrite back to a single sorted file per
+    // bucket, old generation deleted
+    val compacted = Bucketed.compactIfNeeded(spark, dir, "orders_cmp",
+      Seq("o_orderkey"), 8, maxFilesPerBucket = 2)
+    assert(compacted.count() === ord.count())
+    assert(!Files.exists(basePath), "pre-compaction files not removed")
+    val gen = scala.util.Using.resource(
+      Files.list(Paths.get(Bucketed.storageRoot))) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"$name-g")).toSeq
+    }
+    assert(gen.size === 1)
+    assert(files(gen.head).size === 8)
+
+    // single-file buckets again => SMJ with no exchange AND no sort
+    val bli = Bucketed.ensure(spark, dir, "lineitem", Seq("l_orderkey"), 8)(li)
+    val joined = Bucketed.colocatedJoin(
+        bli, compacted, bli("l_orderkey") === compacted("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"))
+    val got = joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compacted join shuffled:\n$plan")
+    assert(!plan.contains("Sort "), s"compacted join re-sorted:\n$plan")
+    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"))
+      .collect()
+    assert(got.map(_.toString).sorted.toSeq ===
+      expected.map(_.toString).sorted.toSeq)
+  }
+
+  test("q198: ensure + append + colocated join stays exchange-free and " +
+    "matches the flat-table result") {
+    val q = graft.queries.RelationalQueries.queries("q198_bucketed_append")(
+      spark, dir)
+    val got = q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val fin = plan.split("== Initial Plan ==").head
+    // the only exchange is the final small aggregation; the join of the
+    // appended table reads co-located buckets directly
+    val joins = "SortMergeJoin".r.findAllIn(fin).length
+    assert(joins === 1, s"expected one SMJ:\n$fin")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(fin).length
+    assert(exchanges <= 1, s"append-then-join shuffled the join inputs:\n$fin")
+    assert(!fin.contains("Exchange hashpartitioning(l_orderkey") &&
+      !fin.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join keys shuffled:\n$fin")
+
+    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.functions.exact.sumExact(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_lineitems"))
+      .collect()
+    assert(got.map(_.toString).sorted.toSeq ===
+      expected.map(_.toString).sorted.toSeq)
+  }
+
   test("mismatched bucket counts coalesce in the join instead of shuffling") {
     val bli = Bucketed.ensure(spark, dir, "lineitem", Seq("l_orderkey"), 16)(li)
     val bo = Bucketed.ensure(spark, dir, "orders", Seq("o_orderkey"), 8)(ord)
@@ -113,8 +190,7 @@ class BucketingSpec extends SparkSpec {
   test("ensure() memoizes: the second call does not rewrite the files") {
     Bucketed.ensure(spark, dir, "orders", Seq("o_orderkey"), 8)(ord)
     val name = Bucketed.tableName(dir, "orders", Seq("o_orderkey"), 8)
-    val path = Paths.get(
-      s"${System.getProperty("java.io.tmpdir")}/graft-bucketed/$name")
+    val path = Paths.get(s"${Bucketed.storageRoot}/$name")
     val stampsBefore = listStamps(path)
     assert(stampsBefore.nonEmpty)
 

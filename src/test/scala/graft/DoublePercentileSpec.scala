@@ -46,6 +46,27 @@ class DoublePercentileSpec extends SparkSpec {
     }
   }
 
+  test("±0.0 ties: native result equals the built-in up to zero sign, " +
+    "and is partitioning-deterministic to the bit") {
+    // The documented envelope, enforced: the built-in treats -0.0 == 0.0
+    // as EQUAL with hash-iteration-dependent tie order, so the zero's
+    // SIGN bit in its result is outside its own contract; the native
+    // sortable-bits order is the deterministic refinement -0.0 < 0.0.
+    // Admissible agreement is therefore numeric equality (0.0 == -0.0),
+    // plus bit-determinism of the native result across partitionings.
+    val vals: Seq[java.lang.Double] =
+      Seq(-1.5, -0.0, 0.0, -0.0, 0.0, 0.0, -0.0, 2.5, null)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    for (p <- Seq(0.0, 0.2, 0.4, 0.5, 0.6, 0.8, 1.0)) {
+      val nat = df.agg(doublePercentile($"v", p).as("m")).head.getDouble(0)
+      val bi = df.agg(expr(s"percentile(v, $p)").as("m")).head.getDouble(0)
+      assert(nat == bi, s"p=$p: native $nat vs builtin $bi")
+      val nat7 = df.repartition(7)
+        .agg(doublePercentile($"v", p).as("m")).head.getDouble(0)
+      assert(bits(nat) === bits(nat7), s"p=$p not partition-deterministic")
+    }
+  }
+
   test("sortable-bits encoding is an order-preserving involution") {
     def sortable(d: Double): Long = {
       val b = java.lang.Double.doubleToLongBits(d)

@@ -87,8 +87,7 @@ class PartitionedSpec extends SparkSpec {
     Partitioned.ensure(spark, dir, "events", "dt")(
       ev.withColumn("dt", to_date(col("ts"))))
     val name = Partitioned.tableName(dir, "events", "dt")
-    val path = Paths.get(
-      s"${System.getProperty("java.io.tmpdir")}/graft-partitioned/$name")
+    val path = Paths.get(s"${Partitioned.storageRoot}/$name")
     val stampsBefore = listStamps(path)
     assert(stampsBefore.nonEmpty)
 

@@ -109,6 +109,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("vec dot/cosine on mismatched lengths: NULL, matching the composed " +
+    "form — never a truncated partial sum") {
+    // zip_with pads the shorter side with nulls, which nulls the fold;
+    // the native expressions must agree so an upstream dimension bug
+    // stays visible instead of producing a plausible partial result.
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      embeddings.dot($"a", $"b").as("nd"),
+      embeddings.dotComposed($"a", $"b").as("cd"),
+      embeddings.cosine($"a", $"b").as("nc"),
+      embeddings.cosineComposed($"a", $"b").as("cc")).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    val dd = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(graft.plans.DoubleVecDot($"a", $"b").as("d")).head
+    assert(dd.isNullAt(0))
+    // equal lengths keep the zero-allocation fast path
+    val ok = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+      .select(embeddings.dot($"a", $"b").as("d")).head
+    assert(ok.getDouble(0) === 24.0)
+  }
+
   test("BottomKAgg: k smallest distinct values, stable across partitionings") {
     val df = Seq(5L, 3L, 9L, 3L, 1L, 7L, 1L, 8L).toDF("v")
     def run(parts: Int) = df.repartition(parts)
