@@ -22,6 +22,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * defaults to reusing the broadcast (`reuseBroadcastOnly`), and an
   * aggregate's size estimate never auto-broadcasts, so the dim needs
   * an explicit `broadcast()`.
+  *
+  * Degraded path (dim too big to broadcast, join plans as SMJ), pinned
+  * by PartitionedSpec: under the default `reuseBroadcastOnly=true`
+  * there is no broadcast to reuse, so PlanDynamicPruningFilters
+  * rewrites the planted filter to literal true — a full scan, never a
+  * wrong answer. Setting `spark.sql.optimizer.dynamicPartitionPruning.
+  * reuseBroadcastOnly=false` restores pruning by running the dim side
+  * as its own subquery — the right trade when the dim aggregate is
+  * cheap relative to the fact partitions it eliminates (the usual
+  * 100 TB case), and the wrong one when the dim is itself a heavy scan
+  * that the main join would have evaluated anyway; Spark's default is
+  * conservative, so the engine leaves it session-level rather than
+  * forcing it per-query.
   */
 object Partitioned {
 

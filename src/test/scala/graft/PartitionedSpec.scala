@@ -83,6 +83,69 @@ class PartitionedSpec extends SparkSpec {
       expected.map(_.toString).sorted.toSeq)
   }
 
+  test("degraded path — dim too big to broadcast: default conf falls back " +
+    "to a full scan (pruning expression degrades to true), " +
+    "reuseBroadcastOnly=false restores a subquery-based prune; both correct") {
+    // Simulate "dim above the broadcast threshold" by disabling
+    // auto-broadcast: the join plans as SMJ, so there is no broadcast
+    // for DPP to reuse.
+    val fact = Partitioned.ensure(spark, dir, "events", "dt")(
+      ev.withColumn("dt", to_date(col("ts"))))
+    val d = dim
+    def q = fact.join(d, fact("dt") === d("dim_dt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val expected = ev.withColumn("dt", to_date(col("ts")))
+      .join(d, col("dt") === d("dim_dt"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).sorted.toSeq
+
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val reuseKey =
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+    val prevBc = spark.conf.getOption(bcKey)
+    val prevReuse = spark.conf.getOption(reuseKey)
+    try {
+      spark.conf.set(bcKey, "-1")
+      // Default (reuseBroadcastOnly=true): the optimizer plants the DPP
+      // filter, but with no broadcast to reuse PlanDynamicPruningFilters
+      // rewrites it to literal true — an honest full scan, never a
+      // wrong answer.
+      val d1 = q
+      val got1 = d1.collect().map(_.toString).sorted.toSeq
+      val fin1 = d1.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(fin1.contains("SortMergeJoin"), fin1)
+      assert(fin1.contains("dynamicpruningexpression(true)"),
+        s"expected the degraded always-true pruning filter:\n$fin1")
+      assert(!fin1.contains("IN dynamicpruning"),
+        s"no broadcast exists to reuse, prune should have degraded:\n$fin1")
+      assert(got1 === expected)
+
+      // reuseBroadcastOnly=false: the dim side runs as its own pruning
+      // subquery (one extra evaluation of the dim aggregate), and the
+      // fact scan prunes partitions even under SMJ.
+      spark.conf.set(reuseKey, "false")
+      val d2 = q
+      val got2 = d2.collect().map(_.toString).sorted.toSeq
+      val fin2 = d2.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(fin2.contains("SortMergeJoin"), fin2)
+      assert(fin2.contains("IN dynamicpruning"),
+        s"subquery-based prune did not fire:\n$fin2")
+      assert(got2 === expected)
+    } finally {
+      prevBc match {
+        case Some(v) => spark.conf.set(bcKey, v)
+        case None => spark.conf.unset(bcKey)
+      }
+      prevReuse match {
+        case Some(v) => spark.conf.set(reuseKey, v)
+        case None => spark.conf.unset(reuseKey)
+      }
+    }
+  }
+
   test("ensure() memoizes: the second call does not rewrite the files") {
     Partitioned.ensure(spark, dir, "events", "dt")(
       ev.withColumn("dt", to_date(col("ts"))))
