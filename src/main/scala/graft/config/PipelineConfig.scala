@@ -24,13 +24,24 @@ final case class Calibration(multiplier: Double, offset: Double)
   * `zorderBy` (extension, default off, exactly two columns) clusters by
   * the Morton interleave of the pair instead — tight row-group stats in
   * BOTH dimensions for two-sided predicates (see q161/q162); it
-  * composes after `sortWithin`'s leading partition columns. */
+  * composes after `sortWithin`'s leading partition columns.
+  * `bucketBy`/`bucketCount` (extension, default off) additionally
+  * bucket the curated output by the given key — the pipeline's own
+  * output then inherits the co-located-join property (every downstream
+  * join/aggregation keyed on the bucket columns reads matching buckets
+  * with no exchange, see graft.operators.Bucketed). Bucketed output is
+  * catalog-backed (Loader registers a table over the same path);
+  * `sortWithin` becomes the in-bucket sort tail, `zorderBy` is
+  * incompatible (bucket sort keys are plain columns), and overwrite
+  * mode replaces touched partitions dynamically via insertInto. */
 final case class WriteConfig(
     compression: String = "zstd",
     partitionBy: Seq[String] = Seq("date", "sensor_id"),
     mode: String = "overwrite",
     sortWithin: Seq[String] = Nil,
-    zorderBy: Seq[String] = Nil)
+    zorderBy: Seq[String] = Nil,
+    bucketBy: Seq[String] = Nil,
+    bucketCount: Int = 0)
 
 /** Transformation stage knobs. Reference: config/default.yaml:57-60. */
 final case class TransformConfig(
@@ -198,6 +209,10 @@ object PipelineConfig {
         w = w.copy(sortWithin = x.elements.asScala.map(_.asText).toSeq))
       Option(n.get("zorder_by")).foreach(x =>
         w = w.copy(zorderBy = x.elements.asScala.map(_.asText).toSeq))
+      Option(n.get("bucket_by")).foreach(x =>
+        w = w.copy(bucketBy = x.elements.asScala.map(_.asText).toSeq))
+      Option(n.get("bucket_count")).foreach(x =>
+        w = w.copy(bucketCount = x.asInt))
       cfg = cfg.copy(write = w)
     }
     Option(root.get("transformation")).foreach { n =>
@@ -292,6 +307,8 @@ object PipelineConfig {
       str(w, "mode").foreach(v => wc = wc.copy(mode = v))
       list(w, "sort_within").foreach(v => wc = wc.copy(sortWithin = v))
       list(w, "zorder_by").foreach(v => wc = wc.copy(zorderBy = v))
+      list(w, "bucket_by").foreach(v => wc = wc.copy(bucketBy = v))
+      str(w, "bucket_count").foreach(v => wc = wc.copy(bucketCount = v.toInt))
       cfg = cfg.copy(write = wc)
     }
     objOf("transformation").foreach { t =>

@@ -43,6 +43,7 @@ object Loader {
     * at 100 TB unrepartitioned writes explode into task-count x
     * partition-count small files). */
   def write(cfg: PipelineConfig, outPath: String)(df: DataFrame): Unit = {
+    if (cfg.write.bucketBy.nonEmpty) return writeBucketed(cfg, outPath)(df)
     val parts = cfg.write.partitionBy
     val partCols = parts.map(col)
     val repartitioned = parts
@@ -93,6 +94,96 @@ object Loader {
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Deterministic catalog name for a bucketed curated sink at a path —
+    * the bucket spec only exists as catalog metadata, so bucketed
+    * output is table-backed (files still land at `outPath`). */
+  def curatedTableName(outPath: String): String = {
+    val h = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(outPath) & 0x7fffffff)
+    s"graft_curated_$h"
+  }
+
+  /** The curated output as the catalog-backed table the bucketed sink
+    * registered — reading via the TABLE (not the bare path) is what
+    * gives downstream joins/aggregations the exchange-free plan; a bare
+    * `spark.read.parquet(outPath)` sees the same rows but no bucket
+    * metadata. */
+  def readBackBucketed(spark: SparkSession, outPath: String): DataFrame =
+    spark.table(curatedTableName(outPath))
+
+  /** Bucketed variant of the curated sink (WriteConfig.bucketBy):
+    * partitions prune scans, buckets pre-pay the shuffle — every
+    * downstream join/aggregation keyed on the bucket columns reads
+    * co-located buckets with no exchange (the q193/q197 property, now
+    * on the pipeline's own output). Routed through `repartition(n,
+    * bucketCols)` so each task owns one bucket and each partition
+    * directory gets exactly one file per bucket. `sortWithin` becomes
+    * the in-bucket sort tail (the bucketed writer owns the task sort
+    * order — partition cols, bucket id, sortBy — so the plain sink's
+    * sortWithinPartitions clustering would be destroyed; sortBy is the
+    * supported way to cluster inside bucketed files). Mode semantics
+    * match the plain sink: `append` accumulates batches (one more file
+    * per bucket each — compact via graft.operators.Bucketed's policy),
+    * `overwrite` replaces only touched partitions (dynamic overwrite
+    * through insertInto once the table exists). */
+  private def writeBucketed(cfg: PipelineConfig, outPath: String)(
+      df: DataFrame): Unit = {
+    val parts = cfg.write.partitionBy
+    val bucketCols = cfg.write.bucketBy
+    val n = cfg.write.bucketCount
+    require(n > 0, s"write.bucket_count must be > 0 with write.bucket_by set")
+    require(bucketCols.intersect(parts).isEmpty,
+      s"bucket columns $bucketCols must be disjoint from partition columns $parts")
+    require(cfg.write.zorderBy.isEmpty,
+      "write.zorder_by is incompatible with write.bucket_by (bucket sort " +
+        "keys are plain columns); use sort_within for the in-bucket tail")
+    val spark = df.sparkSession
+    val prepared = parts
+      .foldLeft(df) { (d, p) =>
+        if (p == "date") d.withColumn("date", col("date").cast(StringType)) else d
+      }
+      .repartition(n, bucketCols.map(col): _*)
+    val sortCols = (bucketCols ++ cfg.write.sortWithin).distinct
+    val name = curatedTableName(outPath)
+    if (!spark.catalog.tableExists(name)) {
+      prepared.write
+        .partitionBy(parts: _*)
+        .bucketBy(n, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(sortCols.head, sortCols.tail: _*)
+        .option("compression", cfg.write.compression)
+        .option("parquet.enable.dictionary", "true")
+        .option("path", outPath)
+        .mode("overwrite")
+        .saveAsTable(name)
+    } else if (cfg.write.mode != "overwrite") {
+      prepared.write
+        .partitionBy(parts: _*)
+        .bucketBy(n, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(sortCols.head, sortCols.tail: _*)
+        .option("compression", cfg.write.compression)
+        .mode("append")
+        .saveAsTable(name)
+    } else {
+      // Dynamic partition overwrite of an existing bucketed table goes
+      // through insertInto (positional — reorder to the table schema;
+      // the bucket spec comes from the catalog metadata).
+      val tableCols = spark.table(name).columns
+      val missing = tableCols.filterNot(prepared.columns.contains)
+      require(missing.isEmpty,
+        s"batch is missing columns ${missing.mkString(",")} of curated table $name")
+      val aligned = prepared.select(tableCols.map(col): _*)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try aligned.write.mode("overwrite").insertInto(name)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
   }
 

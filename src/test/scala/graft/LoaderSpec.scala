@@ -149,6 +149,60 @@ class LoaderSpec extends SparkSpec {
     }
   }
 
+  test("bucketed sink: downstream sensor-keyed aggregation reads the " +
+    "curated table with no exchange; dynamic overwrite still partition-scoped") {
+    val out = Files.createTempDirectory("graft-bucketed-sink").toString + "/out"
+    // partition by date only, bucket by the join/agg key (a column
+    // cannot be both a partition and a bucket column)
+    val cfg = PipelineConfig.default.copy(write =
+      PipelineConfig.default.write.copy(
+        partitionBy = Seq("date"),
+        bucketBy = Seq("sensor_id"), bucketCount = 4,
+        sortWithin = Seq("timestamp")))
+    Loader.write(cfg, out)(transformed())
+
+    val back = Loader.readBackBucketed(spark, out)
+    assert(back.count() === 2)
+    val agg = back.groupBy($"sensor_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+    assert(agg.collect().length === 2)
+    val plan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"),
+      s"bucket-keyed agg over the curated output shuffled:\n$plan")
+
+    // the files are plain hive-partitioned parquet on disk — a bare
+    // path read sees identical rows (just without bucket metadata)
+    assert(spark.read.parquet(out).count() === 2)
+
+    // dynamic overwrite through the bucketed path: replace only the
+    // touched partition, keep the bucket property
+    val update = transformed().filter($"sensor_id" === "s1")
+      .withColumn("value", lit(99.0))
+    Loader.write(cfg, out)(update)
+    val after = Loader.readBackBucketed(spark, out)
+    assert(after.count() === 2) // 06-02 partition untouched, 06-01 replaced
+    assert(after.filter($"sensor_id" === "s1")
+      .select("value").as[Double].head() === 99.0)
+    val agg2 = after.groupBy($"sensor_id").agg(count(lit(1)).as("n"))
+    val plan2 = agg2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    agg2.collect()
+    assert(!plan2.contains("Exchange"),
+      s"bucket property lost after dynamic overwrite:\n$plan2")
+
+    // zorder + buckets is rejected loudly (bucket sort keys are plain
+    // columns), and bucket_by without a count too
+    intercept[IllegalArgumentException] {
+      Loader.write(cfg.copy(write = cfg.write.copy(
+        zorderBy = Seq("value", "battery_level"))), out)(transformed())
+    }
+    intercept[IllegalArgumentException] {
+      Loader.write(cfg.copy(write = cfg.write.copy(bucketCount = 0)),
+        out)(transformed())
+    }
+  }
+
   test("S11 read-back prunes partitions") {
     val out = Files.createTempDirectory("graft-load3").toString + "/out"
     Loader.write(PipelineConfig.default, out)(transformed())
