@@ -238,6 +238,9 @@ object Bench {
       streaming.Streaming.lastPhaseTimings()
       graft.util.PhaseProf.drainJson()
       streaming.Streaming.deleteRecursively(wdir)
+      // Warmup frames were counted and none escape this block — the
+      // blanket sweep is safe here and frees their tmpfs output.
+      streaming.Streaming.releaseHarnessResults()
     }
     // JIT settle: after the targeted warmups, re-run a cheap
     // representative mix until the JVM's compile-time delta per pass
@@ -289,10 +292,10 @@ object Bench {
       // plan — broadcasts included (observed as the 2 surviving
       // broadcast blocks after every streaming query).
       spark.streams.resetTerminated()
-      // The preceding query's streaming result parquet (tmpfs) was
-      // fully consumed by the noop force above — free the RAM now
-      // rather than at JVM exit.
-      streaming.Streaming.releaseHarnessResults()
+      // Streaming result dirs are freed per-frame (releaseResult right
+      // after each noop force) — a blanket delete here would invalidate
+      // any OTHER outstanding lazy frame; the shutdown hook backstops
+      // anything unconsumed.
       spark.catalog.listTables().collect()
         .filter(_.isTemporary)
         .foreach(t => spark.catalog.dropTempView(t.name))
@@ -458,6 +461,9 @@ object Bench {
             df.queryExecution.executedPlan
             lastPlanMs = (System.nanoTime() - t0) / 1000000
             df.write.mode("overwrite").format("noop").save()
+            // This frame is fully consumed: free its streaming result
+            // dirs (tmpfs) without touching any other frame's.
+            streaming.Streaming.releaseResult(df)
             df = null
             None
           }

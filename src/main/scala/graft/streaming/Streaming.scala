@@ -132,18 +132,33 @@ object Streaming {
   }
 
   /** Hourly tumbling-window aggregation per event type: counts + exact
-    * decimal sum (same cross-engine-deterministic arithmetic as the
-    * batch surface). */
+    * sum, carried as integer micro-units in a Long (the same
+    * double->decimal(20,6) cast as the batch surface rounds each value,
+    * then the sum is order-independent integer addition — exact, and
+    * the final divide-back yields the identical correctly-rounded
+    * double the decimal-sum formulation produced). The Long buffer is
+    * WHY: sum(decimal(20,6)) has a precision-30 buffer, which UnsafeRow
+    * stores as bytes — every one of the N per-row buffer updates in the
+    * partial aggregate allocates BigDecimals, and at 100M rows that
+    * churn WAS the GC bill (x1000: 6.3 s GC, the last shape above the
+    * 5 s line). A Long buffer updates allocation-free inside codegen;
+    * only the per-row cast still allocates (short-lived young-gen).
+    * Domain: exact while a group's |sum| < 2^63 micro-units (~9.2e12
+    * in value units) — the same contract runningUserTotals carries. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
+      .select(col("ts"), col("event_type"),
+        (col("value").cast(DecimalType(20, 6)) * lit(1000000L))
+          .cast(LongType).as("value_us"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(20, 6))).cast("double")
-          .as("sum_value"))
+        sum(col("value_us")).as("sum_us"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+        col("event_type"), col("n_events"),
+        (col("sum_us").cast(DecimalType(38, 6)) / lit(1000000L))
+          .cast("double").as("sum_value"))
 
   /** TEST/ORACLE HARNESS ONLY — NOT a production pattern. Runs a
     * streaming query over a static directory to completion and hands
@@ -324,13 +339,39 @@ object Streaming {
     }, "graft-stream-result-sweep"))
   }
 
-  /** Delete every accumulated runToCompletion result dir NOW. For
-    * harnesses that have fully consumed the returned frames (the
-    * benches force each result before their inter-query cleanup): a
-    * scale run otherwise parks hundreds of MB of landed output on
-    * RAM-backed tmpfs while later shapes measure. Any frame returned
-    * earlier becomes unreadable — callers that still need one must not
-    * call this. */
+  /** Consumption-tracked release: delete exactly the result dirs that
+    * back THIS frame (matched through the analyzed plan's file-source
+    * relations against the registry), leaving every other outstanding
+    * frame readable. The benches call this on each query's frame right
+    * after forcing it — the per-frame contract the blanket
+    * [[releaseHarnessResults]] could not honor (it deleted the dirs
+    * behind every previously returned lazy frame, enforcing its
+    * "already consumed" precondition by comment alone). No-op for
+    * frames with no registered dirs (all non-streaming queries). */
+  def releaseResult(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val roots: Set[String] = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toUri.getPath).toSeq
+        case _ => Seq.empty[String]
+      }
+    }.flatten.toSet
+    import scala.jdk.CollectionConverters._
+    resultDirs.iterator().asScala.toSeq
+      .filter(d => roots.contains(d.toAbsolutePath.toString))
+      .foreach { d =>
+        resultDirs.remove(d)
+        deleteRecursively(d)
+      }
+  }
+
+  /** Delete every accumulated runToCompletion result dir NOW. Two
+    * callers only: the JVM shutdown backstop, and harness paths where
+    * NO returned frame can be outstanding (a failed measurement whose
+    * frame never escaped; the post-warmup sweep). Per-query cleanup
+    * uses [[releaseResult]], which frees only the finished frame's
+    * dirs. */
   def releaseHarnessResults(): Unit = {
     var d = resultDirs.poll()
     while (d != null) { deleteRecursively(d); d = resultDirs.poll() }
