@@ -537,13 +537,14 @@ object Bench {
           progress(s"""{"query":"$name","sec":$med,$detail${prevTag(name)}}""")
           med
         case None =>
-          // Single-run query: still commit the phase split to details if
-          // present (streaming and iterative queries must carry their
-          // phase breakdown in the artifact, however fast they ran).
-          if (firstM.contains("\"setup_sec\"") ||
-              firstM.contains("\"phases\"")) {
-            details += name -> s""""runs":[$first],"runs_plan_ms":[$firstP],"median":$first,"min":$first,"metrics":$firstM"""
-          }
+          // Single-run query: commit its run + full executor metrics to
+          // details anyway — every entry in the artifact then carries
+          // shuffle/GC/task/JIT/plan attribution, so a cross-round diff
+          // of ANY query self-adjudicates (slow sample with a large JIT
+          // delta = compiler noise; flat task time with inflated wall =
+          // driver/ambient) without a re-run. Queries that would flag a
+          // regression, or ran >1 s, still get the 3-run median above.
+          details += name -> s""""runs":[$first],"runs_task_ms":[$firstT],"runs_jit_ms":[$firstJ],"runs_plan_ms":[$firstP],"median":$first,"min":$first,"metrics":$firstM"""
           progress(s"""{"query":"$name","sec":$first${prevTag(name)}}""")
           first
       }

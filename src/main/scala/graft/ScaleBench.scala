@@ -58,6 +58,15 @@ object ScaleBench {
         sys.env.getOrElse("GRAFT_CACHE_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Self-report the JVM sizing into the artifact: an intermittent
+    // 6-15x slowdown of the heavy shapes (cdc x1000 8.3 s vs 63-96 s,
+    // GC 0.8 s vs 121 s, identical code and data) was observed when a
+    // run's forked JVM came up under-provisioned — recording the actual
+    // heap makes such a run self-identify instead of reading as an
+    // operator regression.
+    val heapGb = math.rint(
+      Runtime.getRuntime.maxMemory / 1073741824.0 * 10) / 10
+    System.err.println(s"""{"scale_env":{"heap_gb":$heapGb,"processors":${Runtime.getRuntime.availableProcessors}}}""")
     // Opt in to phase recording (drained per measured run below).
     util.PhaseProf.enable()
     val metrics = new Bench.MetricsListener
@@ -359,12 +368,18 @@ object ScaleBench {
       val t0 = System.nanoTime()
       var ok = false
       try {
-        val df = fn(dir)
+        // var + null-out, same discipline as Bench: a stack-reachable
+        // frame pins its executed plan (broadcasts included) through
+        // releaseAll's collection barrier, so the debris would survive
+        // into the NEXT shape's measurement (observed: cdc/time_weighted
+        // x1000 task time 4-8x with the reference retained).
+        var df = fn(dir)
         val rows = df.count()
         val sec = r4((System.nanoTime() - t0) / 1e9)
         // The count fully consumed this frame: free its streaming
         // result dirs (tmpfs) without touching any other frame's.
         streaming.Streaming.releaseResult(df)
+        df = null
         // Streaming shapes: splice the setup/micro-batch split into the
         // run's metrics (same contract as Bench) — the x1 vs xN compare
         // is only meaningful on stream_sec, since setup is fixed cost.
@@ -544,7 +559,7 @@ object ScaleBench {
       }
     }
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"cpus":$cpus,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
     println(out)
     // A shape-filtered run covers a subset — never let it replace the
     // artifact of record.
