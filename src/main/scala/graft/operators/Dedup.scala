@@ -280,6 +280,66 @@ object Dedup {
     out
   }
 
+  /** SimHash near-dup pairs via MULTI-BLOCK banding (the Manku/Jain/
+    * Das Sarma web-dedup construction) — the scale path that replaces
+    * [[simhashDup]]'s single-chunk candidates once the corpus outgrows
+    * the chunk width. Split the 60-bit signature into `blocks` blocks;
+    * two signatures within Hamming distance `maxHamming` differ in at
+    * most `maxHamming` blocks, so they AGREE on some
+    * k = blocks - maxHamming of them (pigeonhole) — full recall by
+    * construction. Candidates come from an equi-join per k-subset of
+    * blocks on the CONCATENATED k-block value: C(blocks, k) tables of
+    * n rows each (a constant fan-out), with a key of
+    * ~60·k/blocks bits, so expected random collisions are
+    * C(b,k) · n² / 2^(60k/b) — LINEAR-ish in n for k·60/b ≳ log2(n),
+    * where [[simhashDup]]'s fixed 15-bit key goes quadratic past
+    * ~10^5 docs (measured at 500k docs: 3.5 GB sorter spill, 42 s GC,
+    * 608 s task time for a 1 s-task-time x1; the blocked form's
+    * candidates stay output-sized). Same verification and output
+    * schema: (id_a, id_b, hamming), hamming <= maxHamming, id_a <
+    * id_b, each pair once. For equal maxHamming the output EQUALS
+    * simhashDup's (both are recall-complete, both verify exactly) —
+    * q199's oracle pins that against an all-pairs DuckDB mirror. */
+  def simhashDupBlocked(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6): DataFrame = {
+    val bits = 60
+    require(maxHamming >= 0 && blocks > maxHamming && blocks <= bits,
+      s"need maxHamming < blocks <= $bits (got h=$maxHamming b=$blocks)")
+    val k = blocks - maxHamming
+    // block widths: 60/blocks each, the first (60 % blocks) one wider
+    val base = bits / blocks
+    val widths = (0 until blocks).map(i => base + (if (i < bits % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(b: Int) =
+      shiftright(col("simhash"), offsets(b)).bitwiseAND((1L << widths(b)) - 1)
+    // one key per k-subset: selected block values packed into one long
+    // (total selected width <= 60 bits)
+    val combos = (0 until blocks).combinations(k).toSeq
+    val keys = combos.zipWithIndex.map { case (sel, ci) =>
+      val packed = sel.foldLeft((lit(0L), 0)) { case ((acc, shift), b) =>
+        (acc + (blockVal(b) * lit(1L << shift)), shift + widths(b))
+      }._1
+      struct(lit(ci).as("combo_id"), packed.cast(LongType).as("combo_key"))
+    }
+    val sh = simhash(df, idCol, contentCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = sh.withColumn("ck", explode(array(keys: _*)))
+    val pairs = keyed.as("l").join(keyed.as("r"),
+      col("l.ck") === col("r.ck") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.simhash").as("h_a"), col("r.simhash").as("h_b")).distinct()
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    val out = pairs.localCheckpoint()
+    sh.unpersist()
+    out
+  }
+
   /** Direct n-gram Jaccard similarity over a bounded id set (exact,
     * quadratic — the verification primitive; use minhashLsh for scale). */
   /** Prefix-filtering set-similarity join (the PPJoin family, Xiao et

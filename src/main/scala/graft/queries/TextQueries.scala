@@ -136,6 +136,18 @@ object TextQueries {
         maxHamming = 16)
     }),
 
+    // SimHash near-dup pairs via MULTI-BLOCK banding (the scale path:
+    // C(6,3) tables keyed on 30 concatenated bits, so random-collision
+    // candidates stay ~linear where q39's fixed 15-bit chunks go
+    // quadratic past ~10^5 docs). Recall-COMPLETE for hamming <= 3 by
+    // pigeonhole, which the oracle checks the strong way: an all-pairs
+    // DuckDB cross join — any banding bug that drops a candidate pair
+    // hash-mismatches.
+    "q199_simhash_blocked" -> ((s, dir) => {
+      Dedup.simhashDupBlocked(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, blocks = 6)
+    }),
+
     // Corpus vocabulary with document frequency — the vocab-building /
     // IDF shape: explode distinct tokens per doc, aggregate df.
     "q49_term_df" -> ((s, dir) => {
@@ -831,6 +843,29 @@ object TextQueries {
          |    AND l.doc_id < r.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 16""".stripMargin,
+
+    // Deliberately an ALL-PAIRS mirror, not a banding mirror: the
+    // blocked construction promises complete recall at hamming <= 3,
+    // so the oracle enumerates every pair — a dropped candidate is a
+    // hash mismatch, not a silently-agreeing blind spot.
+    "q199_simhash_blocked" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tokval), 1, 15))::BIGINT AS hv
+         |  FROM (SELECT doc_id, unnest($dTok) AS tokval FROM documents)),
+         |bitbal AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b)
+         |  GROUP BY doc_id, b),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN bal > 0 THEN (1::BIGINT << b) ELSE 0 END)
+         |      AS BIGINT) AS simhash
+         |  FROM bitbal GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "q49_term_df" ->
       s"""SELECT term, count(DISTINCT doc_id) AS doc_freq

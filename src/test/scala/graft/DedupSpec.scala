@@ -53,6 +53,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
 
+  test("simhashDupBlocked == simhashDup at equal maxHamming (both " +
+    "recall-complete), and == brute-force hamming pairs on real docs") {
+    val df = graft.queries.CoreQueries.t(
+      spark, "/root/testdata/sf0.001", "documents")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+    for (h <- Seq(0, 3)) {
+      val blocked = key(Dedup.simhashDupBlocked(
+        df, "doc_id", "text", maxHamming = h, blocks = 6).collect())
+      val legacy = key(Dedup.simhashDup(
+        df, "doc_id", "text", maxHamming = h).collect())
+      assert(blocked === legacy, s"h=$h")
+      // brute-force ground truth: every pair, no banding at all
+      val sh = Dedup.simhash(df, "doc_id", "text")
+      val a = sh.select(col("id").as("id_a"), col("simhash").as("h_a"))
+      val b = sh.select(col("id").as("id_b"), col("simhash").as("h_b"))
+      val brute = key(a.join(b, col("id_a") < col("id_b"))
+        .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
+        .filter(col("hamming") <= h)
+        .select(col("id_a"), col("id_b"), col("hamming")).collect())
+      assert(blocked === brute, s"h=$h vs brute")
+    }
+    // invalid configs fail loudly
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDupBlocked(df, "doc_id", "text",
+        maxHamming = 6, blocks = 6)
+    }
+  }
+
   test("dedupAgainst classifies incoming docs vs a corpus") {
     val corpus = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
