@@ -597,6 +597,15 @@ object ScaleBench {
             if t1m > 0 && tNm > 0
           } yield s""","task_exponent":${r4(math.log(tNm / t1m) / math.log(n.toDouble))}""")
             .getOrElse("")
+          // Per-run GC alongside the per-run walls: single-draw GC at
+          // the deep points swings 2.8 s / 4.5 s / 16.9 s across
+          // otherwise-identical suite runs (shared-JVM weather), so one
+          // number cannot adjudicate a "GC regression" — the array can.
+          def gcMs(met: String): String =
+            """"gc_ms":([0-9]+)""".r.findFirstMatchIn(met)
+              .map(_.group(1)).getOrElse("null")
+          def gcList(rs: Vector[(Double, String)]): String =
+            rs.map(r => gcMs(r._2)).mkString("[", ",", "]")
           // Guard BOTH ends: a stream_sec that rounds/parses to 0.0
           // would turn the log ratio into ±Infinity, which serializes
           // as a bare token and invalidates the whole artifact JSON.
@@ -610,7 +619,7 @@ object ScaleBench {
           val errFrag = failed.get(name)
             .map(m => s""","err":"${m.replace("\"", "'")}"""").getOrElse("")
           System.err.println(s"""{"shape":"$name","x1":$med1,"x$n":$medN,"ratio":$ratio,"exponent":$exponent$taskFrag$streamFrag$errFrag}""")
-          s""""$name":{"x1":{"min":$t1,"median":$med1,"runs":[${r1s.map(_._1).mkString(",")}],"rows":$rows1,"metrics":$met1},"x$n":{"min":$tN,"median":$medN,"runs":[${rNs.map(_._1).mkString(",")}],"rows":$rowsN,"metrics":$metN},"copies":$n,"ratio":$ratio,"exponent":$exponent$taskFrag$streamFrag$errFrag}"""
+          s""""$name":{"x1":{"min":$t1,"median":$med1,"runs":[${r1s.map(_._1).mkString(",")}],"runs_gc_ms":${gcList(r1s)},"rows":$rows1,"metrics":$met1},"x$n":{"min":$tN,"median":$medN,"runs":[${rNs.map(_._1).mkString(",")}],"runs_gc_ms":${gcList(rNs)},"rows":$rowsN,"metrics":$metN},"copies":$n,"ratio":$ratio,"exponent":$exponent$taskFrag$streamFrag$errFrag}"""
         case (err, _, _) =>
           val m = err.getOrElse("no samples")
           System.err.println(s"""{"shape":"$name","err":"${m.replace("\"", "'")}"}""")
