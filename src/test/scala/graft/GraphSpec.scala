@@ -146,6 +146,30 @@ class GraphSpec extends SparkSpec {
     assert(c === 2)
   }
 
+  test("SortedLongListAgg == sort_array(collect_list) across partitionings") {
+    val rows = (1 to 5000).map(i => ((i % 37).toLong, (i * 2654435761L) % 1000))
+    val df = rows.toDF("k", "v")
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val native = d.groupBy($"k")
+        .agg(graft.plans.SortedLongListAgg.sortedLongList($"v").as("l"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composed = d.groupBy($"k")
+        .agg(sort_array(collect_list($"v")).as("l"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native === composed)
+    }
+    run(df)            // in-memory path
+    run(df.repartition(13)) // serialize/merge across partials
+    // nulls are skipped, like collect_list
+    val withNulls = Seq((1L, java.lang.Long.valueOf(5L)),
+      (1L, null.asInstanceOf[java.lang.Long]), (1L, java.lang.Long.valueOf(2L)))
+      .toDF("k", "v")
+    val got = withNulls.groupBy($"k")
+      .agg(graft.plans.SortedLongListAgg.sortedLongList($"v").as("l"))
+      .collect().head.getSeq[Long](1)
+    assert(got === Seq(2L, 5L))
+  }
+
   test("bfsReach: frontier grows one hop per round on a path graph") {
     val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val row = Graph.bfsReach(path, seedPred = col("sn") === 1L, hops = 3)
