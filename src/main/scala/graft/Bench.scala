@@ -469,6 +469,14 @@ object Bench {
           }
           catch {
             case e: Throwable =>
+              // The failed query's frame never escaped (and every prior
+              // query's dirs were already freed per-frame), so the
+              // blanket sweep is safe here — without it a streaming
+              // query that landed its result and then failed in the
+              // noop force would park that tmpfs output for the rest of
+              // the run.
+              try streaming.Streaming.releaseHarnessResults()
+              catch { case _: Throwable => () }
               Some(e.getClass.getSimpleName + ": " +
                 Option(e.getMessage).getOrElse("").take(200))
           }

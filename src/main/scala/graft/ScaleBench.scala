@@ -62,11 +62,15 @@ object ScaleBench {
       // harness's equivalent. Falls back to the default temp dir when
       // /dev/shm is absent.
       .config("spark.local.dir", {
+        // user-qualified for the same reason as Bucketed.storageRoot:
+        // /dev/shm is shared across OS users, and a second user's run
+        // could not write blockmgr subdirs into the first user's dir.
         val shm = java.nio.file.Paths.get("/dev/shm")
         if (java.nio.file.Files.isDirectory(shm) &&
             java.nio.file.Files.isWritable(shm))
-          java.nio.file.Files.createDirectories(
-            shm.resolve("graft-scale-local")).toString
+          java.nio.file.Files.createDirectories(shm.resolve(
+            s"graft-scale-local-${System.getProperty("user.name", "anon")}"))
+            .toString
         else System.getProperty("java.io.tmpdir")
       })
       .config("spark.sql.session.timeZone", "UTC")

@@ -97,6 +97,20 @@ object Loader {
     }
   }
 
+  private def hasParquetFiles(outPath: String): Boolean = {
+    val root = java.nio.file.Paths.get(
+      outPath.stripPrefix("file:").stripPrefix("//"))
+    java.nio.file.Files.isDirectory(root) && {
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.exists { p =>
+          val nm = p.getFileName.toString
+          nm.endsWith(".parquet") && !nm.startsWith("_") && !nm.startsWith(".")
+        }
+      }
+    }
+  }
+
   /** Deterministic catalog name for a bucketed curated sink at a path —
     * the bucket spec only exists as catalog metadata, so bucketed
     * output is table-backed (files still land at `outPath`). */
@@ -148,6 +162,28 @@ object Loader {
       .repartition(n, bucketCols.map(col): _*)
     val sortCols = (bucketCols ++ cfg.write.sortWithin).distinct
     val name = curatedTableName(outPath)
+    // The catalog is session-scoped but the OUTPUT is not: a fresh JVM
+    // whose catalog lacks the table must NOT treat existing curated
+    // output as absent — the create branch writes mode(overwrite) and
+    // would wipe every previously landed partition on the first
+    // "append" after a restart. Re-register the table over the
+    // existing files instead (DDL with the same partition/bucket spec
+    // + partition recovery), then take the normal append/overwrite
+    // path. This is also what makes readBackBucketed work across
+    // sessions once any write has run.
+    if (!spark.catalog.tableExists(name) && hasParquetFiles(outPath)) {
+      val ddlCols = prepared.schema.toDDL
+      val partClause =
+        if (parts.nonEmpty) s"PARTITIONED BY (${parts.mkString(", ")})" else ""
+      spark.sql(
+        s"""CREATE TABLE `$name` ($ddlCols) USING parquet
+           |$partClause
+           |CLUSTERED BY (${bucketCols.mkString(", ")})
+           |SORTED BY (${sortCols.mkString(", ")})
+           |INTO $n BUCKETS
+           |LOCATION '$outPath'""".stripMargin)
+      if (parts.nonEmpty) spark.catalog.recoverPartitions(name)
+    }
     if (!spark.catalog.tableExists(name)) {
       prepared.write
         .partitionBy(parts: _*)

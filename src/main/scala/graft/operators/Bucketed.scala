@@ -177,12 +177,15 @@ object Bucketed {
     }
 
   /** Compaction trigger for the incremental-load path: every
-    * [[append]] batch adds one file per bucket, so after many small
-    * batches each bucket holds N files — the scan stops reporting sort
-    * order (Spark only trusts single-file buckets), every downstream
-    * SMJ pays an N-way per-task re-sort that grows with N, and the
-    * sort-free property [[ensure]] bought is lost. Past
-    * `maxFilesPerBucket`, rewrite the table once (same bucket spec,
+    * [[append]] batch adds one file to each bucket its keys hash to,
+    * so after many small batches a bucket holds N files — the scan
+    * stops reporting sort order (Spark only trusts single-file
+    * buckets), every downstream SMJ pays an N-way per-task re-sort
+    * that grows with N, and the sort-free property [[ensure]] bought
+    * is lost. Once ANY bucket exceeds
+    * `maxFilesPerBucket` (counted per bucket from the writer's file
+    * tags, so skewed/low-cardinality keys cannot hide a hot bucket
+    * behind empty ones), rewrite the table once (same bucket spec,
     * back to one sorted file per bucket) into a fresh generation path
     * and re-point the catalog name; under the threshold this is a
     * metadata check. The threshold is the policy knob a nightly loader
@@ -198,11 +201,19 @@ object Bucketed {
       s"compaction target $name not in this session's catalog — call " +
         "ensure() first")
     val loc = location(name)
-    // ensure/append route every batch through repartition(nBuckets), so
-    // files arrive exactly one per bucket per batch: total files is the
-    // honest files-per-bucket signal without parsing bucket ids.
-    val nFiles = dataFiles(loc).size
-    if (nFiles <= nBuckets.toLong * maxFilesPerBucket) s.table(name)
+    // The policy is per-BUCKET, so count per bucket: with skewed or
+    // low-cardinality keys a batch only lands files in the buckets its
+    // keys hash to, and a total-count trigger would let a hot bucket
+    // accumulate far past the threshold while empty buckets dilute the
+    // average. Spark's bucketed writer tags each file with its bucket
+    // id ("..._00003.c000..."); files without a parseable tag count as
+    // a shared pseudo-bucket (conservative: can only fire earlier).
+    val bucketTag = "_(\\d{5})\\.".r
+    val maxPerBucket = dataFiles(loc)
+      .groupBy(p => bucketTag.findFirstMatchIn(p.getFileName.toString)
+        .map(_.group(1)).getOrElse("untagged"))
+      .values.map(_.size).maxOption.getOrElse(0)
+    if (maxPerBucket <= maxFilesPerBucket) s.table(name)
     else {
       // Read the FILES, not the catalog entry, so the snapshot plan is
       // independent of the table we are about to drop and re-create.

@@ -303,9 +303,17 @@ object Streaming {
       val hasFiles = scala.util.Using.resource(Files.list(outDir))(
         _.anyMatch(p => p.getFileName.toString.endsWith(".parquet")))
       if (hasFiles) spark.read.parquet(outDir.toString)
-      else spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        agg.schema)
+      else {
+        // No files -> the returned frame is a LocalRelation that
+        // references no path, so releaseResult could never match the
+        // registered dir; free it now instead of parking an empty
+        // entry until shutdown.
+        resultDirs.remove(outDir)
+        deleteRecursively(outDir)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          agg.schema)
+      }
     } finally {
       prevNoData match {
         case Some(v) => spark.conf.set(noDataKey, v)

@@ -119,6 +119,22 @@ class BucketingSpec extends SparkSpec {
     assert(gen.size === 1)
     assert(files(gen.head).size === 8)
 
+    // skew case: appends that land in ONE bucket must still fire the
+    // per-bucket policy — a total-count trigger would be diluted by
+    // the 7 buckets that never gained a file
+    Bucketed.drop(spark, dir, "orders_skew", Seq("o_orderkey"), 8)
+    val hotKey = ord.select(col("o_orderkey")).head.getLong(0)
+    Bucketed.ensure(spark, dir, "orders_skew", Seq("o_orderkey"), 8)(ord)
+    (1 to 3).foreach(_ => Bucketed.append(spark, dir, "orders_skew",
+      Seq("o_orderkey"), 8)(ord.filter(col("o_orderkey") === hotKey)))
+    val skewName = Bucketed.tableName(dir, "orders_skew", Seq("o_orderkey"), 8)
+    val skewBase = Paths.get(s"${Bucketed.storageRoot}/$skewName")
+    assert(files(skewBase).size === 11) // 8 + 3 single-bucket appends
+    val skewCompacted = Bucketed.compactIfNeeded(spark, dir, "orders_skew",
+      Seq("o_orderkey"), 8, maxFilesPerBucket = 2) // hot bucket has 4 > 2
+    assert(!Files.exists(skewBase), "skewed hot bucket did not compact")
+    assert(skewCompacted.count() === ord.count() + 3)
+
     // single-file buckets again => SMJ with no exchange AND no sort
     val bli = Bucketed.ensure(spark, dir, "lineitem", Seq("l_orderkey"), 8)(li)
     val joined = Bucketed.colocatedJoin(

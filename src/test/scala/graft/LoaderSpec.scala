@@ -191,6 +191,22 @@ class LoaderSpec extends SparkSpec {
     assert(!plan2.contains("Exchange"),
       s"bucket property lost after dynamic overwrite:\n$plan2")
 
+    // fresh-catalog survival: a new JVM's catalog lacks the table, but
+    // the OUTPUT exists — the sink must re-register over the files and
+    // keep accumulating, never take the create branch's full overwrite
+    // (simulated by dropping only the catalog entry)
+    spark.sql(s"DROP TABLE `${Loader.curatedTableName(out)}`")
+    val appendCfg = cfg.copy(write = cfg.write.copy(mode = "append"))
+    Loader.write(appendCfg, out)(transformed())
+    val accumulated = Loader.readBackBucketed(spark, out)
+    assert(accumulated.count() === 4, "fresh-catalog append wiped the output")
+    val agg3 = accumulated.groupBy($"sensor_id").agg(count(lit(1)).as("n"))
+    agg3.collect()
+    val plan3 = agg3.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan3.contains("Exchange"),
+      s"bucket property lost after re-registration:\n$plan3")
+
     // zorder + buckets is rejected loudly (bucket sort keys are plain
     // columns), and bucket_by without a count too
     intercept[IllegalArgumentException] {
