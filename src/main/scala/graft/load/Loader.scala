@@ -97,18 +97,80 @@ object Loader {
     }
   }
 
-  private def hasParquetFiles(outPath: String): Boolean = {
-    val root = java.nio.file.Paths.get(
-      outPath.stripPrefix("file:").stripPrefix("//"))
-    java.nio.file.Files.isDirectory(root) && {
-      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.exists { p =>
-          val nm = p.getFileName.toString
-          nm.endsWith(".parquet") && !nm.startsWith("_") && !nm.startsWith(".")
-        }
-      }
+  /** Existing curated data at `outPath`? Probed through the Hadoop
+    * FileSystem of the path's own scheme (like [[storageStats]]) — a
+    * java.nio probe would answer FALSE for any hdfs:// or s3a:// path,
+    * and the fresh-catalog guard below would then take the CREATE
+    * branch (mode overwrite) over a directory full of previously
+    * landed output. */
+  private def hasParquetFiles(spark: SparkSession, outPath: String): Boolean = {
+    val p = new Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val s = it.next()
+      val nm = s.getPath.getName
+      if (s.isFile && nm.endsWith(".parquet") &&
+        !nm.startsWith("_") && !nm.startsWith(".")) found = true
     }
+    found
+  }
+
+  /** The bucket layout a curated sink was WRITTEN under, persisted
+    * beside the data (`_graft_bucket_spec.json`). The spec otherwise
+    * exists only as session-catalog metadata: a fresh JVM re-registering
+    * the table would stamp the CURRENT config's spec onto whatever
+    * files exist, and if bucket_count/bucket_by changed between
+    * sessions Spark would trust the bogus metadata — exchange-free
+    * joins then silently return wrong rows (keys hash to buckets that
+    * don't match the file tags). Persisting the written spec turns that
+    * into a loud re-register failure. */
+  private final case class BucketSpecOnDisk(
+      bucketBy: Seq[String], bucketCount: Int, sortedBy: Seq[String],
+      partitionBy: Seq[String])
+
+  private def bucketSpecPath(outPath: String) =
+    new Path(outPath, "_graft_bucket_spec.json")
+
+  private def writeBucketSpec(spark: SparkSession, outPath: String,
+      spec: BucketSpecOnDisk): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val bb = root.putArray("bucket_by"); spec.bucketBy.foreach(bb.add)
+    root.put("bucket_count", spec.bucketCount)
+    val sb = root.putArray("sorted_by"); spec.sortedBy.foreach(sb.add)
+    val pb = root.putArray("partition_by"); spec.partitionBy.foreach(pb.add)
+    val p = bucketSpecPath(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(root))
+    finally out.close()
+  }
+
+  private def readBucketSpec(spark: SparkSession,
+      outPath: String): Option[BucketSpecOnDisk] = {
+    val p = bucketSpecPath(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    import scala.jdk.CollectionConverters._
+    def arr(k: String): Seq[String] =
+      Option(root.get(k)).map(_.elements.asScala.map(_.asText).toSeq)
+        .getOrElse(Nil)
+    Some(BucketSpecOnDisk(arr("bucket_by"),
+      Option(root.get("bucket_count")).map(_.asInt).getOrElse(0),
+      arr("sorted_by"), arr("partition_by")))
   }
 
   /** Deterministic catalog name for a bucketed curated sink at a path —
@@ -171,7 +233,30 @@ object Loader {
     // + partition recovery), then take the normal append/overwrite
     // path. This is also what makes readBackBucketed work across
     // sessions once any write has run.
-    if (!spark.catalog.tableExists(name) && hasParquetFiles(outPath)) {
+    val specNow = BucketSpecOnDisk(bucketCols, n, sortCols, parts)
+    if (!spark.catalog.tableExists(name) && hasParquetFiles(spark, outPath)) {
+      // Never stamp the CURRENT config's bucket spec onto files whose
+      // layout it cannot vouch for: the persisted spec is the proof.
+      // Absent marker = data this sink did not write (or a pre-marker
+      // layout) — refuse loudly rather than register metadata that
+      // would make exchange-free joins silently wrong; a changed spec
+      // fails the same way instead of mis-tagging every bucket.
+      readBucketSpec(spark, outPath) match {
+        case None => sys.error(
+          s"curated output at $outPath has parquet files but no " +
+            "_graft_bucket_spec.json — cannot prove the on-disk bucket " +
+            "layout matches write.bucket_by, and registering a wrong " +
+            "spec silently corrupts every exchange-free join. Rewrite " +
+            "with write.mode=overwrite into an empty directory, or " +
+            "restore the marker if the files are known-good.")
+        case Some(disk) if disk != specNow => sys.error(
+          s"curated output at $outPath was written under bucket spec " +
+            s"$disk but the current config requests $specNow — " +
+            "re-registering would tag files with a layout they were " +
+            "not written under (silently wrong join results). Compact/" +
+            "rewrite the output under the new spec instead.")
+        case _ => ()
+      }
       val ddlCols = prepared.schema.toDDL
       val partClause =
         if (parts.nonEmpty) s"PARTITIONED BY (${parts.mkString(", ")})" else ""
@@ -194,6 +279,7 @@ object Loader {
         .option("path", outPath)
         .mode("overwrite")
         .saveAsTable(name)
+      writeBucketSpec(spark, outPath, specNow)
     } else if (cfg.write.mode != "overwrite") {
       prepared.write
         .partitionBy(parts: _*)

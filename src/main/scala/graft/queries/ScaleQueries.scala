@@ -386,11 +386,23 @@ object ScaleQueries {
         // integer on every engine (a decimal×bigint product would be
         // promoted to float by some engines); the only float ops are the
         // two mirrored final divisions.
-        // DECIMAL(26,0), not (38,0): v is DECIMAL(20,6) so v*1e6 always
-        // fits 26 digits, and the tighter bound leaves the product
-        // vu*dt_us (26+20+1 → capped 38) real headroom before Spark's
-        // non-ANSI decimal arithmetic would overflow.
+        // The micro-unit value rides a BIGINT into the native 128-bit
+        // accumulator (plans.Sum128ProductAgg): the r13 decimal form —
+        // DECIMAL(26,0) product into a precision-38 sum buffer — paid a
+        // BigDecimal allocation per input row in the partial aggregate
+        // (the same non-compact UnsafeRow regime the hourlyAgg Long
+        // buffer fix removed), which made this the slowest
+        // non-deliberate event shape at the x1000 deep point. The
+        // domain guard is explicit and LOUD: a |value| > ~9.2e12
+        // (micro-units past 2^63) raises instead of wrapping under the
+        // non-ANSI cast. dt_us always fits (2^63 us ~ 292k years).
         .withColumn("vu", expr("CAST(v * 1000000 AS DECIMAL(26,0))"))
+        .withColumn("vul", expr(
+          """if(vu IS NOT NULL AND abs(vu) > 9223372036854775807,
+             CAST(raise_error(
+               'q152: |value| exceeds the exact micro-unit domain (~9.2e12)')
+               AS BIGINT),
+             CAST(vu AS BIGINT))"""))
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_intervals"),
@@ -398,28 +410,18 @@ object ScaleQueries {
           // exact integer division down to micro-units FIRST, so no
           // float ever sees a >2^53 integer (BigDecimal→double casts
           // are not guaranteed correctly rounded up there); the final
-          // /1e6 is float-exact on the small quotient.
-          sum(expr("vu * dt_us")).as("swd"),
-          count(col("vu")).as("n_vu"),
-          count(expr("vu * dt_us")).as("n_prod"))
-        // Non-ANSI decimal multiply/sum silently yields NULL past 38
-        // digits; that would publish a NULL average with no signal.
-        // Two overflow shapes, both guarded: the whole SUM nulling out
-        // (swd NULL despite inputs), and a SINGLE product nulling out —
-        // which sum() then silently SKIPS, averaging over fewer
-        // intervals. The latter shows as count(vu*dt_us) < count(vu)
-        // (dt_us is non-null by filter, so a missing product can only
-        // be overflow). Unreachable below ~10^38 value-microseconds
-        // per user, but overflow raises instead of disappearing.
+          // /1e6 is float-exact on the small quotient. Exact to
+          // |sum| < 2^127 (wider than the old decimal-38 form), and
+          // the aggregate RAISES on overflow instead of nulling — the
+          // count-based null-detection scaffolding the decimal form
+          // needed is gone with its failure mode.
+          graft.plans.Sum128ProductAgg
+            .sum128Product(col("vul"), col("dt_us")).as("swd"))
         .withColumn("tw_avg_micro",
-          expr("""CAST(if((swd IS NULL AND n_vu > 0) OR n_prod < n_vu,
-                 CAST(raise_error(
-                   'q152: decimal overflow in time-weighted sum')
-                   AS DECIMAL(38,0)),
-                 swd) div total_us AS BIGINT)"""))
+          expr("CAST(swd div total_us AS BIGINT)"))
         .withColumn("tw_avg",
           expr("CAST(tw_avg_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)"))
-        .drop("swd", "n_vu", "n_prod")
+        .drop("swd")
     }),
 
     // Gini coefficient of per-user activity: the inequality measure

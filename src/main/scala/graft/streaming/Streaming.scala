@@ -144,12 +144,25 @@ object Streaming {
     * 5 s line). A Long buffer updates allocation-free inside codegen;
     * only the per-row cast still allocates (short-lived young-gen).
     * Domain: exact while a group's |sum| < 2^63 micro-units (~9.2e12
-    * in value units) — the same contract runningUserTotals carries. */
+    * in value units) — the same contract runningUserTotals carries.
+    * The PER-VALUE domain edge is guarded loudly: under non-ANSI, a
+    * single |value| > ~9.2e12 would cast to NULL and silently drop
+    * from the sum (the decimal-sum form kept it), so the projection
+    * raises instead — the stream fails visibly at the offending row
+    * rather than publishing a silently-short sum (StreamingSpec pins
+    * this). A group SUM past 2^63 micro-units remains the documented
+    * wrap domain, same as runningUserTotals. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .select(col("ts"), col("event_type"),
-        (col("value").cast(DecimalType(20, 6)) * lit(1000000L))
-          .cast(LongType).as("value_us"))
+        expr(
+          """if(value IS NOT NULL AND
+             abs(CAST(value AS DECIMAL(20,6))) > 9223372036854.775807,
+             CAST(raise_error(concat(
+               'hourlyAgg: |value| exceeds the exact Long micro-unit ',
+               'domain (~9.2e12)')) AS BIGINT),
+             CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))""")
+          .as("value_us"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -355,7 +368,19 @@ object Streaming {
     * [[releaseHarnessResults]] could not honor (it deleted the dirs
     * behind every previously returned lazy frame, enforcing its
     * "already consumed" precondition by comment alone). No-op for
-    * frames with no registered dirs (all non-streaming queries). */
+    * frames with no registered dirs (all non-streaming queries).
+    *
+    * MATCHING CONTRACT: the frame must still read its result dir
+    * through a file-source relation — i.e. callers force and release
+    * the frame runToCompletion RETURNED (or a narrow transformation of
+    * it). A harness query fn that routes the result through
+    * `localCheckpoint`/`cache` first replaces the plan's
+    * LogicalRelation with a LogicalRDD/InMemoryRelation that carries
+    * no path, so this matches nothing and the (tmpfs) dir parks until
+    * the JVM-exit sweep. None of the bench/verify query fns do that
+    * today (the only streaming checkpoint/cache uses are on INPUTS),
+    * and the shutdown-hook sweep bounds the cost of a future misuse to
+    * one run's output — but don't add one. */
   def releaseResult(df: DataFrame): Unit = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val roots: Set[String] = df.queryExecution.analyzed.collect {

@@ -219,6 +219,59 @@ class LoaderSpec extends SparkSpec {
     }
   }
 
+  test("bucketed sink: cross-session re-registration validates the " +
+    "persisted bucket spec and fails loudly on drift or a missing marker") {
+    val out = Files.createTempDirectory("graft-bucketed-spec").toString + "/out"
+    val cfg = PipelineConfig.default.copy(write =
+      PipelineConfig.default.write.copy(
+        partitionBy = Seq("date"),
+        bucketBy = Seq("sensor_id"), bucketCount = 4,
+        sortWithin = Seq("timestamp")))
+    Loader.write(cfg, out)(transformed())
+    // the written layout is recorded beside the data
+    assert(Files.exists(java.nio.file.Paths.get(out, "_graft_bucket_spec.json")))
+
+    // fresh catalog + CHANGED bucket count: re-registering would stamp
+    // 8-bucket metadata onto 4-bucket files — exchange-free joins
+    // would silently read wrong buckets, so the sink must refuse.
+    spark.sql(s"DROP TABLE `${Loader.curatedTableName(out)}`")
+    val drifted = cfg.copy(write = cfg.write.copy(
+      bucketCount = 8, mode = "append"))
+    val e1 = intercept[RuntimeException] {
+      Loader.write(drifted, out)(transformed())
+    }
+    assert(e1.getMessage.contains("written under bucket spec"))
+    // ...and the data underneath was not touched by the refusal
+    assert(spark.read.parquet(out).count() === 2)
+
+    // marker missing (data of unknown layout): refuse rather than
+    // vouch for a spec the sink cannot prove.
+    Files.delete(java.nio.file.Paths.get(out, "_graft_bucket_spec.json"))
+    val e2 = intercept[RuntimeException] {
+      Loader.write(cfg.copy(write = cfg.write.copy(mode = "append")),
+        out)(transformed())
+    }
+    assert(e2.getMessage.contains("no _graft_bucket_spec.json"))
+
+    // the refusal applies to overwrite mode too: fresh-catalog dynamic
+    // overwrite KEEPS untouched partitions, which requires trusting
+    // their layout — unprovable without the marker (full replacement =
+    // delete the dir first)
+    val e3 = intercept[RuntimeException] {
+      Loader.write(cfg, out)(transformed())
+    }
+    assert(e3.getMessage.contains("no _graft_bucket_spec.json"))
+
+    // matching spec + intact marker: the normal re-register path
+    // still works (the r13 fresh-catalog contract is unchanged)
+    val out2 = Files.createTempDirectory("graft-bucketed-spec2").toString + "/o"
+    Loader.write(cfg, out2)(transformed())
+    spark.sql(s"DROP TABLE `${Loader.curatedTableName(out2)}`")
+    Loader.write(cfg.copy(write = cfg.write.copy(mode = "append")),
+      out2)(transformed())
+    assert(Loader.readBackBucketed(spark, out2).count() === 4)
+  }
+
   test("S11 read-back prunes partitions") {
     val out = Files.createTempDirectory("graft-load3").toString + "/out"
     Loader.write(PipelineConfig.default, out)(transformed())

@@ -142,6 +142,34 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("streaming: hourlyAgg RAISES at the Long micro-unit domain edge " +
+    "instead of silently dropping the row") {
+    // Under non-ANSI, |value| > ~9.2e12 would cast to NULL micro-units
+    // and sum() would silently skip it — a silently-short published
+    // sum. The projection guard turns that into a loud failure at the
+    // offending row; values AT the domain edge still aggregate.
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val inDomain = Seq((ts, "a", 9.2e12), (ts, "a", -9.2e12), (ts, "a", 1.5))
+      .toDF("ts", "event_type", "value")
+    val ok = Streaming.hourlyAgg(inDomain).collect()
+    assert(ok.length === 1 && ok.head.getAs[Long]("n_events") === 3L)
+    val outOfDomain = Seq((ts, "a", 1.0), (ts, "a", 9.3e12))
+      .toDF("ts", "event_type", "value")
+    val e = intercept[Exception] {
+      Streaming.hourlyAgg(outOfDomain).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exceeds the exact Long micro-unit")))
+    // NULL values still pass through as skipped-by-sum, not as errors.
+    val withNull = Seq((ts, "a", Some(2.0)), (ts, "a", None))
+      .toDF("ts", "event_type", "value")
+    val r = Streaming.hourlyAgg(withNull).collect().head
+    assert(r.getAs[Long]("n_events") === 2L)
+    assert(r.getAs[Double]("sum_value") === 2.0)
+  }
+
   test("streaming: runToCompletion over an empty source yields an " +
     "empty frame with the query's schema") {
     // The harness sink lands per-batch parquet; a drain that emits
