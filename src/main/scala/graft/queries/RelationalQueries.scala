@@ -578,6 +578,93 @@ object RelationalQueries {
         .agg(
           exact.sumExact(col("l_extendedprice")).as("sum_price"),
           count(lit(1)).as("n_lineitems"))
+    }),
+
+    // Bucketed storage, the FULL incremental lifecycle under the
+    // oracle: ensure history + THREE date-sliced appends (each adds one
+    // file to every bucket its keys hash to — past the
+    // maxFilesPerBucket=2 policy) + compactIfNeeded (one rewrite back
+    // to a single sorted file per bucket, restoring the sort-free scan
+    // q193 relies on) + colocated join to orders. The oracle joins the
+    // flat table: the whole append/compact lifecycle must be
+    // answer-invisible, and BucketingSpec asserts the post-compaction
+    // join plan is exchange-free AND sort-free. drop() first for the
+    // same run-to-run self-containment as q198.
+    "q200_bucketed_compact" -> ((s, dir) => {
+      import graft.operators.Bucketed
+      Bucketed.drop(s, dir, "lineitem_cmp", Seq("l_orderkey"), 32)
+      val src = t(s, dir, "lineitem")
+      Bucketed.ensure(s, dir, "lineitem_cmp", Seq("l_orderkey"), 32)(
+        src.filter(col("l_shipdate") < "1995-01-01"))
+      Seq(("1995-01-01", "1995-07-01"), ("1995-07-01", "1996-01-01"))
+        .foreach { case (lo, hi) =>
+          Bucketed.append(s, dir, "lineitem_cmp", Seq("l_orderkey"), 32)(
+            src.filter(col("l_shipdate") >= lo && col("l_shipdate") < hi))
+        }
+      Bucketed.append(s, dir, "lineitem_cmp", Seq("l_orderkey"), 32)(
+        src.filter(col("l_shipdate") >= "1996-01-01"))
+      val li = Bucketed.compactIfNeeded(
+        s, dir, "lineitem_cmp", Seq("l_orderkey"), 32, maxFilesPerBucket = 2)
+      val o = Bucketed.ensure(s, dir, "orders", Seq("o_orderkey"), 32)(
+        t(s, dir, "orders"))
+      Bucketed.colocatedJoin(li, o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          exact.sumExact(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
+    // The curated PIPELINE output through the bucketed sink, end to
+    // end: transform events (tz shift + local-date derivation — the
+    // q06 semantics), land them via Loader.write with
+    // write.bucket_by=user_id (partitioned by date, bucketed by the
+    // key downstream work joins/groups on), read back THROUGH THE
+    // CATALOG TABLE (readBackBucketed — the bare path read sees the
+    // same rows but no bucket metadata), and aggregate on the bucket
+    // key. The oracle computes the same aggregate over the SOURCE
+    // table — proving the bucketed landing is answer-invisible — and
+    // LoaderSpec asserts the aggregation plan carries no exchange (the
+    // shuffle was pre-paid by the one load-time repartition). Fresh
+    // slate per run (drop table + dir) so file counts and the
+    // create-path marker are deterministic.
+    "q201_curated_bucketed" -> ((s, dir) => {
+      import graft.config.{PipelineConfig, ReadingCols}
+      import graft.load.Loader
+      import graft.transform.Transforms
+      val ec = ReadingCols.events
+      val outPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft-curated-" +
+          s"${System.getProperty("user.name", "anon")}-" +
+          Integer.toHexString(scala.util.hashing.MurmurHash3
+            .stringHash(dir) & 0x7fffffff)
+      val name = Loader.curatedTableName(outPath)
+      if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE `$name`")
+      val root = java.nio.file.Paths.get(outPath)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(root))(
+          _.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p)))
+      }
+      val cfg = PipelineConfig.default.copy(
+        cols = ec,
+        write = PipelineConfig.default.write.copy(
+          partitionBy = Seq("date"),
+          bucketBy = Seq("user_id"), bucketCount = 32,
+          sortWithin = Seq("ts")))
+      val curated = Transforms.deriveDate(ec)(
+        Transforms.shiftToLocal(330, ec)(t(s, dir, "events")))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("date"))
+      Loader.write(cfg, outPath)(curated)
+      Loader.readBackBucketed(s, outPath)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_readings"),
+          exact.sumExact(col("value")).as("sum_value"),
+          // the partition column round-trips as a yyyy-MM-dd string
+          // (hive partition value), so max is chronological
+          max(col("date")).as("last_date"))
     }))
 
   /** The q195/q197 dynamic-pruning day set: days whose exact (decimal)
@@ -968,5 +1055,28 @@ object RelationalQueries {
         |    AS sum_price,
         |  count(*) AS n_lineitems
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // Flat-table mirror: the ensure/append x3/compact lifecycle on the
+    // Spark side must be answer-invisible.
+    "q200_bucketed_compact" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  count(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // Source-table mirror of the curated bucketed landing: same tz
+    // shift + local date as q06, aggregated on the bucket key.
+    "q201_curated_bucketed" ->
+      """WITH curated AS (
+        |  SELECT user_id, value,
+        |    strftime(CAST(ts + INTERVAL 330 MINUTE AS DATE), '%Y-%m-%d')
+        |      AS date
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_readings,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+        |  max(date) AS last_date
+        |FROM curated GROUP BY user_id""".stripMargin)
 }

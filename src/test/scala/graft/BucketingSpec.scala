@@ -178,6 +178,43 @@ class BucketingSpec extends SparkSpec {
       expected.map(_.toString).sorted.toSeq)
   }
 
+  test("q200: multi-append past the policy + compaction — the join is " +
+    "exchange-free AND sort-free, and matches the flat-table result") {
+    val q = graft.queries.RelationalQueries.queries("q200_bucketed_compact")(
+      spark, dir)
+    val got = q.collect()
+    // three appends over a maxFilesPerBucket=2 policy must have fired
+    // the rewrite: the compacted table lives at a generation path and
+    // every bucket is ONE sorted file again, so the scan reports sort
+    // order and the SMJ needs neither exchange nor sort
+    val fin = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("SortMergeJoin".r.findAllIn(fin).length === 1,
+      s"expected one SMJ:\n$fin")
+    assert(!fin.contains("Exchange hashpartitioning(l_orderkey") &&
+      !fin.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join keys shuffled after compaction:\n$fin")
+    assert(!fin.contains("Sort "),
+      s"post-compaction join re-sorted (single-file sort-order lost):\n$fin")
+    // compaction actually happened: the catalog location moved to a
+    // generation path
+    val loc = spark.sql(
+      s"DESCRIBE TABLE EXTENDED `${Bucketed.tableName(
+        dir, "lineitem_cmp", Seq("l_orderkey"), 32)}`")
+      .filter(col("col_name") === "Location")
+      .select("data_type").head.getString(0)
+    assert(loc.contains("-g"), s"compaction did not rewrite: $loc")
+
+    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.functions.exact.sumExact(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_lineitems"))
+      .collect()
+    assert(got.map(_.toString).sorted.toSeq ===
+      expected.map(_.toString).sorted.toSeq)
+  }
+
   test("mismatched bucket counts coalesce in the join instead of shuffling") {
     val bli = Bucketed.ensure(spark, dir, "lineitem", Seq("l_orderkey"), 16)(li)
     val bo = Bucketed.ensure(spark, dir, "orders", Seq("o_orderkey"), 8)(ord)

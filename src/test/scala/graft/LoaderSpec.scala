@@ -272,6 +272,18 @@ class LoaderSpec extends SparkSpec {
     assert(Loader.readBackBucketed(spark, out2).count() === 4)
   }
 
+  test("q201: the curated bucketed landing aggregates on the bucket key " +
+    "with zero exchange") {
+    val q = graft.queries.RelationalQueries.queries("q201_curated_bucketed")(
+      spark, "/root/testdata/sf0.001")
+    assert(q.count() > 0)
+    val fin = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fin.contains("Exchange"),
+      s"bucket-keyed aggregation over the pipeline's own bucketed " +
+        s"output shuffled:\n$fin")
+  }
+
   test("S11 read-back prunes partitions") {
     val out = Files.createTempDirectory("graft-load3").toString + "/out"
     Loader.write(PipelineConfig.default, out)(transformed())
