@@ -163,6 +163,37 @@ object ScaleBench {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dest/events.parquet")
     }
+    // Documents replicate 10x deeper than the pair shapes (docs are
+    // tiny — 5k rows at sf0.1 — so the x100 point is only 500k docs;
+    // the banding-knob claim needs a corpus where the default key
+    // width actually starts to matter). The x100 rotation cipher
+    // cannot go this deep: 26 rotations repeat every 26 copies, so at
+    // 1000 copies each doc would have ~38 IDENTICAL versions and the
+    // near-dup output would grow quadratically in copies/26 — and a
+    // 1000-branch when-chain would be a codegen bomb anyway. Instead
+    // each copy gets a FULL deterministic alphabet permutation from a
+    // literal array (element_at + a non-foldable translate): distinct
+    // permutations per copy, so copies share no letter mapping, dup
+    // structure stays intra-copy, and work stays linear in copies by
+    // construction. Copy 0 is the identity (the x1 control reads the
+    // true corpus).
+    val docsCopies = sys.env.getOrElse(
+      "SPARK_GRAFT_SCALE_DOCS_COPIES", (10 * copies).toString).toInt
+    def replicateDocsPerm(n: Int, dest: String): Unit = {
+      val cp = explode(sequence(lit(0), lit(n - 1))).as("cp")
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      def perm(i: Int): String =
+        if (i == 0) alpha
+        else new scala.util.Random(i).shuffle(alpha.toList).mkString
+      val perms = array((0 until n).map(i => lit(perm(i))): _*)
+      spark.read.parquet(s"$base/documents.parquet")
+        .select(col("doc_id"), col("text")).select(cp, col("*"))
+        .withColumn("p", element_at(perms, col("cp").cast("int") + 1))
+        .select((col("doc_id") + col("cp") * docOff).as("doc_id"),
+          expr(s"translate(text, '$alpha', p)").as("text"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+    }
     // Embeddings replicate deep like events (2000 vectors at sf0.1 —
     // 10x only measures overhead): 100x = 200k vectors. Vectors are
     // reused verbatim across copies (offset ids); that is fine for
@@ -186,6 +217,8 @@ object ScaleBench {
     val dirEN = s"$work/ev_x$eventsCopies"
     val dirM1 = s"$work/emb_x1"
     val dirMN = s"$work/emb_x$embCopies"
+    val dirD1 = s"$work/doc_x1"
+    val dirDN = s"$work/doc_x$docsCopies"
     // SPARK_GRAFT_SCALE_REUSE=1 skips re-replicating a dest that was
     // completely written FROM THE SAME INPUTS — replication (especially
     // the 100M-row events decade) dominates wall time when iterating on
@@ -215,6 +248,9 @@ object ScaleBench {
     build(dirEN, Seq("events"), eventsCopies)(replicateEvents(eventsCopies, dirEN))
     build(dirM1, Seq("embeddings"), 1)(replicateEmb(1, dirM1))
     build(dirMN, Seq("embeddings"), embCopies)(replicateEmb(embCopies, dirMN))
+    build(dirD1, Seq("documents"), 1)(replicateDocsPerm(1, dirD1))
+    build(dirDN, Seq("documents"), docsCopies)(
+      replicateDocsPerm(docsCopies, dirDN))
 
     // ---- the shapes: same operators the oracle-checked queries call,
     // with id bounds rewritten per-copy (doc_id % docOff, part % pkOff)
@@ -333,6 +369,32 @@ object ScaleBench {
           .agg(count(col("purchase_event_id")).as("n_matched"),
             sum(col("gap_us")).as("total_gap_us"))
           .where(col("n_matched") >= 0)))
+
+    // Documents-deep shapes (10x past the pair shapes' corpus): the
+    // operators whose 100 TB story depends on candidate growth staying
+    // output-sized as the corpus grows.
+    def docsD(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+    val docShapes: Seq[(String, String => DataFrame)] = Seq(
+      // The banding knob MOVED as the design says it must: at 5M docs
+      // the default 30-bit key's expected random collisions are
+      // C(6,3)*n^2/2^30 ~ 470k (already 100x the true pairs; quadratic
+      // from here), so this deep point runs the WIDENED key — b=8,
+      // k=5, ~37-bit tables, C(8,5)=56 tables — whose collisions stay
+      // ~10k out to 50M docs. The knob-probe section below records the
+      // measured candidate counts for BOTH settings at this corpus.
+      "simhash_deep" -> (dir =>
+        Dedup.simhashDupBlocked(docsD(dir), "doc_id", "text",
+          maxHamming = 3, blocks = 8)),
+      // PPJoin-class prefix-filter join: oracle-covered (q138) but
+      // previously without a deep point — its candidate growth is the
+      // next most likely hidden wall of the same class the simhash
+      // x100 extension caught (r13). Exact Jaccard >= 0.6, candidates
+      // from rare-prefix tokens only; the cipher keeps vocab disjoint
+      // per copy, so candidates scale linearly by construction and a
+      // superlinear exponent here is a real algorithmic wall.
+      "ppjoin_prefix" -> (dir =>
+        Dedup.prefixFilterPairs(docsD(dir), "doc_id", "text",
+          thresholdBp = 6000)))
 
     // Similarity shapes: a FIXED 100-query set against the replicated
     // corpus — query work constant, corpus work xN. Brute force is the
@@ -506,12 +568,20 @@ object ScaleBench {
     // (least-noise attribution of WHERE time goes); the runs list
     // shows the spread.
     val samplesPerPoint = 3
+    // The two streaming shapes take FIVE samples (r13 verdict: one of
+    // three stream_hourly GC draws landed above the 5 s bar — the
+    // median was under, but a 3-draw margin is thin for the noisiest
+    // shapes in the suite and they are also its cheapest, so widening
+    // the sample count costs minutes and buys an adjudicable margin).
     final case class Job(name: String, fn: String => DataFrame,
-        lo: String, hi: String, n: Int)
+        lo: String, hi: String, n: Int, samples: Int = samplesPerPoint)
     val jobs: Seq[Job] =
       (shapes.map { case (nm, fn) => Job(nm, fn, dir1, dirN, copies) } ++
         eventShapes.map { case (nm, fn) =>
-          Job(nm, fn, dirE1, dirEN, eventsCopies) } ++
+          Job(nm, fn, dirE1, dirEN, eventsCopies,
+            samples = if (nm.startsWith("stream_")) 5 else samplesPerPoint) } ++
+        docShapes.map { case (nm, fn) =>
+          Job(nm, fn, dirD1, dirDN, docsCopies) } ++
         embShapes.map { case (nm, fn) =>
           Job(nm, fn, dirM1, dirMN, embCopies) })
         .filter(j => shapeFilter.forall(_.contains(j.name)))
@@ -519,7 +589,8 @@ object ScaleBench {
     val runsN = scala.collection.mutable.Map.empty[String, Vector[(Double, String)]]
     val rowsOf = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val failed = scala.collection.mutable.Map.empty[String, String]
-    for (round <- 0 until samplesPerPoint if jobs.nonEmpty) {
+    val maxSamples = jobs.map(_.samples).maxOption.getOrElse(0)
+    for (round <- 0 until maxSamples if jobs.nonEmpty) {
       // Deterministic round-dependent PERMUTATION, not a rotation. A
       // rotation preserves cyclic adjacency — every shape keeps the
       // SAME predecessor in every round except at the seam — so a
@@ -536,7 +607,8 @@ object ScaleBench {
       val step = strides(math.min(round, strides.size - 1))
       val off = (round * math.max(1, n / samplesPerPoint)) % n
       val ordered = (0 until n).map(i => jobs((off + i * step) % n))
-      for (job <- ordered if !failed.contains(job.name)) {
+      for (job <- ordered
+           if !failed.contains(job.name) && round < job.samples) {
         try {
           // Per-sample JIT warmup at the LO scale, discarded: the
           // interleaved rounds deliberately run 17 other shapes between
@@ -563,6 +635,32 @@ object ScaleBench {
         }
       }
     }
+    // ---- banding-knob probe: candidates vs key width at the deep
+    // documents corpus. The 100 TB simhash story is "widen k*60/b as n
+    // grows, paying more tables for candidates that stay output-sized";
+    // this measures the movement instead of arguing it — the SAME
+    // signature pass and join keys as simhashDupBlocked, counting in
+    // place of verification, for the default 30-bit key (b=6) vs the
+    // widened ~37-bit key (b=8) the simhash_deep shape runs. Skipped
+    // under a shape filter unless named (never in the artifact of
+    // record from a partial run).
+    val knobFrag =
+      if (!shapeFilter.forall(_.contains("simhash_knob"))) ""
+      else {
+        val pts = Seq(6, 8).map { b =>
+          val t0 = System.nanoTime()
+          val r = Dedup.simhashBlockedCandidateProfile(
+            docsD(dirDN), "doc_id", "text", maxHamming = 3, blocks = b)
+            .head()
+          val sec = r4((System.nanoTime() - t0) / 1e9)
+          try releaseAll() catch { case _: Throwable => () }
+          val j = s"""{"blocks":$b,"k":${b - 3},"n_tables":${r.getAs[Int]("n_tables")},"key_bits":${r.getAs[Int]("key_bits")},"n_docs":${r.getAs[Long]("n_docs")},"raw_candidates":${r.getAs[Long]("raw_candidates")},"distinct_pairs":${r.getAs[Long]("distinct_pairs")},"sec":$sec}"""
+          System.err.println(s"""{"simhash_knob":$j}""")
+          j
+        }
+        s""","simhash_knob":{"corpus":"doc_x$docsCopies","max_hamming":3,"points":[${pts.mkString(",")}]}"""
+      }
+
     val entries = jobs.map { job =>
       val name = job.name
       val n = job.n
@@ -631,7 +729,7 @@ object ScaleBench {
       }
     }
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}},"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"docs_copies":$docsCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}}$knobFrag,"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
     println(out)
     // A shape-filtered run covers a subset — never let it replace the
     // artifact of record.

@@ -306,6 +306,27 @@ object Dedup {
       contentCol: String,
       maxHamming: Int = 3,
       blocks: Int = 6): DataFrame = {
+    val sh = simhash(df, idCol, contentCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = blockedKeyed(sh, maxHamming, blocks)
+    val pairs = keyed.as("l").join(keyed.as("r"),
+      col("l.ck") === col("r.ck") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.simhash").as("h_a"), col("r.simhash").as("h_b")).distinct()
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    val out = pairs.localCheckpoint()
+    sh.unpersist()
+    out
+  }
+
+  /** The multi-block banding key frame: one (id, simhash, ck) row per
+    * k-subset of blocks, ck = (combo_id, concatenated k-block value).
+    * Shared by [[simhashDupBlocked]] and the candidate-count probe so
+    * the probe measures exactly the operator's join keys. */
+  private def blockedKeyed(sh: DataFrame, maxHamming: Int,
+      blocks: Int): DataFrame = {
     val bits = 60
     require(maxHamming >= 0 && blocks > maxHamming && blocks <= bits,
       s"need maxHamming < blocks <= $bits (got h=$maxHamming b=$blocks)")
@@ -325,17 +346,44 @@ object Dedup {
       }._1
       struct(lit(ci).as("combo_id"), packed.cast(LongType).as("combo_key"))
     }
+    sh.withColumn("ck", explode(array(keys: _*)))
+  }
+
+  /** Banding-efficiency probe for [[simhashDupBlocked]]'s (blocks,
+    * maxHamming) knob — the "widen the key as n grows" claim the 100 TB
+    * story rides on, measured instead of argued. Returns ONE row:
+    * (n_docs, n_tables=C(b,k), key_bits≈60k/b, raw_candidates =
+    * equi-join output across all combo tables BEFORE pair-dedup — the
+    * rows the shuffle and verifier actually carry, expected
+    * C(b,k)·n²/2^(60k/b) random collisions plus true near-dup
+    * structure, and the quantity that goes quadratic when the key is
+    * too narrow for the corpus; distinct_pairs = after id-pair dedup).
+    * Same signature pass and join keys as the operator (shared
+    * [[blockedKeyed]]); counting replaces verification. */
+  def simhashBlockedCandidateProfile(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6): DataFrame = {
+    val k = blocks - maxHamming
+    val keyBits = 60 * k / blocks
+    val nTables = (0 until blocks).combinations(k).size
     val sh = simhash(df, idCol, contentCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keyed = sh.withColumn("ck", explode(array(keys: _*)))
-    val pairs = keyed.as("l").join(keyed.as("r"),
+    val n = sh.count()
+    val keyed = blockedKeyed(sh, maxHamming, blocks)
+    val joined = keyed.as("l").join(keyed.as("r"),
       col("l.ck") === col("r.ck") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.simhash").as("h_a"), col("r.simhash").as("h_b")).distinct()
-      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast(LongType))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-    val out = pairs.localCheckpoint()
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val counts = joined.agg(
+      count(lit(1)).as("raw_candidates"),
+      count_distinct(struct(col("id_a"), col("id_b"))).as("distinct_pairs"))
+    val out = counts.select(
+      lit(n).as("n_docs"), lit(blocks).as("blocks"),
+      lit(maxHamming).as("max_hamming"), lit(nTables).as("n_tables"),
+      lit(keyBits).as("key_bits"),
+      col("raw_candidates"), col("distinct_pairs")).localCheckpoint()
     sh.unpersist()
     out
   }
