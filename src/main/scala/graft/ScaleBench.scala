@@ -384,17 +384,33 @@ object ScaleBench {
       // measured candidate counts for BOTH settings at this corpus.
       "simhash_deep" -> (dir =>
         Dedup.simhashDupBlocked(docsD(dir), "doc_id", "text",
-          maxHamming = 3, blocks = 8)),
-      // PPJoin-class prefix-filter join: oracle-covered (q138) but
-      // previously without a deep point — its candidate growth is the
-      // next most likely hidden wall of the same class the simhash
-      // x100 extension caught (r13). Exact Jaccard >= 0.6, candidates
-      // from rare-prefix tokens only; the cipher keeps vocab disjoint
-      // per copy, so candidates scale linearly by construction and a
-      // superlinear exponent here is a real algorithmic wall.
+          maxHamming = 3, blocks = 8)))
+    // PPJoin-class prefix-filter join: oracle-covered (q138/q202) but
+    // previously without a deep point — its candidate growth is the
+    // next most likely hidden wall of the same class the simhash x100
+    // extension caught (r13). The SHINGLED form (q202's exact
+    // configuration: 3-word xxhash64 shingles, Jaccard >= 0.6) — the
+    // word-token form is structurally quadratic on this corpus (31-word
+    // vocabulary → word df Θ(n), random word-Jaccard ~0.59, TRUE output
+    // Θ(n²); the first smoke of it measured 68 GB of shuffle scratch at
+    // 500k docs before being killed — the probe caught a mis-specified
+    // shape, not a broken operator). Shingled, the cipher keeps shingle
+    // vocab disjoint per copy, so candidates (~300k/copy, measured in
+    // DuckDB) scale linearly by construction and a superlinear exponent
+    // here is a real algorithmic wall. Runs at its OWN corpus cap —
+    // x100 docs (500k) — because its verify stage carries two ~52-long
+    // arrays per candidate (~25 GB at x100; x1000 would be a 250 GB
+    // verify for no extra signal about candidate growth).
+    val ppjoinCopies = math.min(docsCopies, 100)
+    val dirDP =
+      if (ppjoinCopies == docsCopies) dirDN else s"$work/doc_x$ppjoinCopies"
+    if (ppjoinCopies != docsCopies)
+      build(dirDP, Seq("documents"), ppjoinCopies)(
+        replicateDocsPerm(ppjoinCopies, dirDP))
+    val ppjoinShapes: Seq[(String, String => DataFrame)] = Seq(
       "ppjoin_prefix" -> (dir =>
         Dedup.prefixFilterPairs(docsD(dir), "doc_id", "text",
-          thresholdBp = 6000)))
+          thresholdBp = 6000, shingle = 3)))
 
     // Similarity shapes: a FIXED 100-query set against the replicated
     // corpus — query work constant, corpus work xN. Brute force is the
@@ -582,6 +598,8 @@ object ScaleBench {
             samples = if (nm.startsWith("stream_")) 5 else samplesPerPoint) } ++
         docShapes.map { case (nm, fn) =>
           Job(nm, fn, dirD1, dirDN, docsCopies) } ++
+        ppjoinShapes.map { case (nm, fn) =>
+          Job(nm, fn, dirD1, dirDP, ppjoinCopies) } ++
         embShapes.map { case (nm, fn) =>
           Job(nm, fn, dirM1, dirMN, embCopies) })
         .filter(j => shapeFilter.forall(_.contains(j.name)))

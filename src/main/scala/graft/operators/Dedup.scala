@@ -398,18 +398,44 @@ object Dedup {
     * only if the first `sz - ceil(t*sz) + 1` tokens of each side share
     * an element, so candidates come from an equi-join on PREFIX tokens
     * only — rare tokens by construction, which keeps the per-token
-    * candidate buckets small. Verification is exact integer Jaccard on
-    * the full sets. Shuffles: DF count, two per-id windows, the prefix
-    * equi-join, and the candidate-verify joins — all keyed, no cross
-    * join anywhere. */
+    * candidate buckets small. The candidate join also carries the
+    * LENGTH filter (J >= t forces t·max(sz) <= min(sz)) — pure
+    * pruning, no false negatives. Verification is exact integer
+    * Jaccard on the full sets. Shuffles: DF count, two per-id windows,
+    * the prefix equi-join, and the candidate-verify joins — all keyed,
+    * no cross join anywhere.
+    *
+    * `shingle` > 1 swaps the set elements from words to word-n-gram
+    * shingles hashed to longs (xxhash64 — codegen'd, and the verify
+    * arrays shrink from strings to 8-byte longs). This is the form a
+    * near-dup corpus needs: on a corpus whose WORD vocabulary is tiny
+    * relative to n (this repo's synthetic docs: 31 words), every
+    * word's document frequency is Θ(n), the prefix inverted lists are
+    * corpus-sized, and — worse — random word-level Jaccard sits near
+    * the threshold, so the TRUE output is Θ(n²): no exact algorithm
+    * can be subquadratic on that shape. Shingling restores the regime
+    * prefix filtering is built for (vocab grows with the corpus, df
+    * per shingle small, output = genuine near-dups). Results equal the
+    * string-shingle form modulo xxhash64 collisions (~|vocab|²/2⁶⁴ —
+    * q202's all-pairs string-based DuckDB oracle would hash-mismatch
+    * on any collision). */
   def prefixFilterPairs(
       df: DataFrame,
       idCol: String,
       contentCol: String,
-      thresholdBp: Int = 6000): DataFrame = {
-    val lists = df.select(col(idCol).as("id"),
-      sort_array(array_distinct(text.tokens(col(contentCol)))).as("ts"))
-      .withColumn("sz", size(col("ts")).cast(LongType))
+      thresholdBp: Int = 6000,
+      shingle: Int = 1): DataFrame = {
+    require(shingle >= 1, s"shingle must be >= 1 (got $shingle)")
+    val lists = {
+      // stage the token split once per row (see text.shinglesOf)
+      val tok = df.select(col(idCol).as("id"),
+        text.tokens(col(contentCol)).as("tok"))
+      val set =
+        if (shingle == 1) col("tok")
+        else text.fastShingleHashesOf(col("tok"), shingle)
+      tok.select(col("id"), sort_array(array_distinct(set)).as("ts"))
+        .withColumn("sz", size(col("ts")).cast(LongType))
+    }
     val ex = lists.select(col("id"), col("sz"), explode(col("ts")).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byId = Window.partitionBy(col("id"))
@@ -419,10 +445,12 @@ object Dedup {
       .withColumn("rnk", row_number().over(byId))
       .filter(col("rnk") <=
         col("sz") - expr(s"($thresholdBp * sz + 9999) div 10000") + lit(1))
-      .select(col("id"), col("tok"))
+      .select(col("id"), col("sz"), col("tok"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("a.sz") * lit(10000L) >= lit(thresholdBp.toLong) * col("b.sz") &&
+          col("b.sz") * lit(10000L) >= lit(thresholdBp.toLong) * col("a.sz"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand

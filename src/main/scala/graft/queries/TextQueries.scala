@@ -367,6 +367,22 @@ object TextQueries {
         t(s, dir, "documents").filter(col("doc_id") < 500),
         "doc_id", "text", thresholdBp = 9500)),
 
+    // The SHINGLED PPJoin — the form that scales on THIS corpus (and
+    // any near-dup corpus): set elements are 3-word shingles hashed to
+    // longs, so the vocabulary grows with the corpus, per-shingle df
+    // stays small, and the output is the planted near-dups instead of
+    // the word-level soup (q138's comment: 57% of ALL word-level pairs
+    // exceed 0.6). Full table, no slice — candidates are prefix-
+    // bounded. The oracle is an ALL-PAIRS DuckDB mirror over STRING
+    // shingles (no prefix filter, no hashing), so both a dropped
+    // candidate (prefix/length-filter bug) and an xxhash64 collision
+    // hash-mismatch. ScaleBench's ppjoin_prefix deep shape runs this
+    // exact form at a 500k-doc corpus.
+    "q202_ppjoin_shingled" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(
+        t(s, dir, "documents"),
+        "doc_id", "text", thresholdBp = 6000, shingle = 3)),
+
     // Directed containment: docs whose token set is >=95% inside
     // another doc (quotes/excerpts/concatenations — high containment,
     // low Jaccard). Asymmetric prefix-filter candidates, exact verify,
@@ -1002,6 +1018,36 @@ object TextQueries {
          |JOIN sz sa ON id_a = sa.doc_id
          |JOIN sz sb ON id_b = sb.doc_id
          |WHERE (n_shared * 10000) // (sa.sz + sb.sz - n_shared) >= 9500"""
+        .stripMargin,
+
+    // All-pairs STRING-shingle mirror of the hashed prefix-filter join:
+    // no banding, no prefix filter, no hashing in the oracle — a
+    // recall bug or an xxhash64 collision on the Spark side mismatches.
+    // Shingle construction mirrors text.shinglesOf exactly: docs under
+    // 3 words produce one whole-text shingle.
+    "q202_ppjoin_shingled" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, $dTok AS w FROM documents),
+         |toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) < 3 THEN list_distinct([array_to_string(w, ' ')])
+         |         ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+         |                             FOR i IN range(1, CAST(len(w) AS BIGINT) - 1)])
+         |    END AS ts
+         |  FROM ws),
+         |sz AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS sz FROM toks),
+         |ex AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |  (n_shared * 10000) // (sa.sz + sb.sz - n_shared) AS jaccard_bp
+         |FROM inter
+         |JOIN sz sa ON id_a = sa.doc_id
+         |JOIN sz sb ON id_b = sb.doc_id
+         |WHERE (n_shared * 10000) // (sa.sz + sb.sz - n_shared) >= 6000"""
         .stripMargin,
 
     "q163_containment" ->

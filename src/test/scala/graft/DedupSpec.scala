@@ -208,6 +208,36 @@ class DedupSpec extends SparkSpec {
     assert(at90.toSeq === Seq((1L, 3L))) // only the identical pair
   }
 
+  test("prefixFilterPairs shingled == brute-force string-shingle Jaccard") {
+    // real documents: the shingled (xxhash64) prefix-filter join must
+    // equal the all-pairs STRING-shingle Jaccard — a prefix/length
+    // filter that drops a candidate, or a hash collision, shows up as
+    // a missing/extra pair. Same construction q202's DuckDB oracle
+    // mirrors cross-engine.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val got = Dedup.prefixFilterPairs(docs, "doc_id", "text",
+      thresholdBp = 6000, shingle = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    val sets = docs.select($"doc_id",
+      array_distinct(graft.functions.text.shingles($"text", 3)).as("ts"))
+    val brute = sets.as("a").crossJoin(sets.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        size(array_intersect($"a.ts", $"b.ts")).cast("long").as("n_shared"),
+        (size($"a.ts") + size($"b.ts")).cast("long").as("szsum"))
+      .withColumn("jaccard_bp",
+        expr("(n_shared * 10000) div (szsum - n_shared)"))
+      .filter($"jaccard_bp" >= 6000)
+      .select($"id_a", $"id_b", $"n_shared", $"jaccard_bp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    assert(got.nonEmpty) // the corpus plants near-dups; empty = broken
+    assert(got.toSeq === brute.toSeq)
+  }
+
   test("sortedNeighborhoodPairs compares only in-block neighbors, exact bp Jaccard") {
     val df = Seq(
       // block "thequick": three near-identical docs sort adjacent
