@@ -453,13 +453,27 @@ object Dedup {
           col("b.sz") * lit(10000L) >= lit(thresholdBp.toLong) * col("a.sz"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // Verify joins are hinted shuffle_hash: candidates outnumber docs
+    // ~60:1 here and each carries two full token arrays once joined, so
+    // the default SMJ pays an n·log n SORT of the candidate side on
+    // 400-byte rows — the x100 deep point measured task_exponent 1.12
+    // with SMJ, the artifact's only >1.1; the hash side is the
+    // doc-list table, whose per-partition build stays bounded.
+    // n_shared: the composable size(array_intersect(..)) allocates a
+    // hash set + result array PER CANDIDATE ROW — at the x100 deep
+    // point (30M candidates) that churn billed 27-89 s of GC per draw.
+    // The shingled path's arrays are sorted distinct longs by
+    // construction, so the triangle counter's zero-allocation
+    // two-pointer expression applies verbatim.
+    def nShared(a: Column, b: Column): Column =
+      if (shingle == 1) size(array_intersect(a, b)).cast(LongType)
+      else graft.plans.SortedLongIntersectCount(a, b).cast(LongType)
     cand
       .join(lists.select(col("id").as("id_a"), col("ts").as("ts_a"),
-        col("sz").as("sz_a")), "id_a")
+        col("sz").as("sz_a")).hint("shuffle_hash"), "id_a")
       .join(lists.select(col("id").as("id_b"), col("ts").as("ts_b"),
-        col("sz").as("sz_b")), "id_b")
-      .withColumn("n_shared",
-        size(array_intersect(col("ts_a"), col("ts_b"))).cast(LongType))
+        col("sz").as("sz_b")).hint("shuffle_hash"), "id_b")
+      .withColumn("n_shared", nShared(col("ts_a"), col("ts_b")))
       .withColumn("jaccard_bp", expr(
         "(n_shared * 10000) div (sz_a + sz_b - n_shared)"))
       .filter(col("jaccard_bp") >= thresholdBp)
