@@ -375,16 +375,22 @@ object ScaleBench {
     // output-sized as the corpus grows.
     def docsD(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
     val docShapes: Seq[(String, String => DataFrame)] = Seq(
-      // The banding knob MOVED as the design says it must: at 5M docs
-      // the default 30-bit key's expected random collisions are
-      // C(6,3)*n^2/2^30 ~ 470k (already 100x the true pairs; quadratic
-      // from here), so this deep point runs the WIDENED key — b=8,
-      // k=5, ~37-bit tables, C(8,5)=56 tables — whose collisions stay
-      // ~10k out to 50M docs. The knob-probe section below records the
-      // measured candidate counts for BOTH settings at this corpus.
+      // The DEFAULT key (b=6, 30-bit tables) — a choice the knob probe
+      // below justifies with measured counts instead of the n²/2^k
+      // model alone: at 5M docs the widened b=8 key does cut distinct
+      // candidates 2.8x (36.1M -> 13.0M), but its C(8,5)=56-table
+      // explode carries 2.8x the rows through the banding join and
+      // costs ~3x the wall (the r14 first cut ran b=8 here: 205-297 s
+      // vs b=6, with the exchange of 280M keyed rows dominating —
+      // paying explode volume to suppress collisions that are not yet
+      // the bottleneck). Candidates at b=6 are 21x the true pairs and
+      // output-bounded; the crossover to b=8 sits where random
+      // collisions C(6,3)·n²/2^30 overtake the explode cost (~50M
+      // docs by the model SCALE.md derives from the two measured
+      // probe points).
       "simhash_deep" -> (dir =>
         Dedup.simhashDupBlocked(docsD(dir), "doc_id", "text",
-          maxHamming = 3, blocks = 8)))
+          maxHamming = 3, blocks = 6)))
     // PPJoin-class prefix-filter join: oracle-covered (q138/q202) but
     // previously without a deep point — its candidate growth is the
     // next most likely hidden wall of the same class the simhash x100

@@ -308,7 +308,14 @@ object Dedup {
       blocks: Int = 6): DataFrame = {
     val sh = simhash(df, idCol, contentCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keyed = blockedKeyed(sh, maxHamming, blocks)
+    // The banding self-join is hinted shuffle_hash: at the 5M-doc deep
+    // point the keyed frame is C(b,k)·n rows (280M at b=8) and the
+    // default SMJ SORTS both sides — measured 17.7 GB memory / 13.6 GB
+    // disk spill and 205 s wall for a join whose output is only ~13M
+    // candidates. A hash join builds one ~40-byte-row partition of one
+    // side (bounded by AQE partition sizing) and streams the other:
+    // no sort, no spill. Same fix class as prefixFilterPairs' verify.
+    val keyed = blockedKeyed(sh, maxHamming, blocks).hint("shuffle_hash")
     val pairs = keyed.as("l").join(keyed.as("r"),
       col("l.ck") === col("r.ck") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
@@ -316,6 +323,7 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    if (sys.env.contains("GRAFT_DEBUG_PLAN")) pairs.explain("formatted")
     val out = pairs.localCheckpoint()
     sh.unpersist()
     out
@@ -372,7 +380,8 @@ object Dedup {
     val sh = simhash(df, idCol, contentCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = sh.count()
-    val keyed = blockedKeyed(sh, maxHamming, blocks)
+    // same shuffle_hash rationale as the operator's own banding join
+    val keyed = blockedKeyed(sh, maxHamming, blocks).hint("shuffle_hash")
     val joined = keyed.as("l").join(keyed.as("r"),
       col("l.ck") === col("r.ck") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))

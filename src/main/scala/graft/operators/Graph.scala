@@ -175,41 +175,30 @@ object Graph {
     // 15-35 s of GC per run. Same ObjectHashAggregate plan shape, same
     // sorted-array result (the spec pins equality), zero boxing.
     //
-    // PAST the broadcast gate the aggregation is additionally
-    // pre-partitioned by src and the result localCheckpoint'd — two
-    // problems with the plain partial+final form at ~node-count group
-    // cardinality, both r13-measured:
-    // (1) map-side combine cannot reduce (groups ~ rows per map task —
-    //     the q173 lesson), so the partial aggregate pays one LongVec
-    //     SERIALIZE per oriented edge (~90M byte[] allocations at
-    //     x100) plus the ObjectHashAggregate 65k-group sort fallback's
-    //     external sorter, for a shuffle no smaller than the raw rows.
-    //     Repartitioning by src first moves raw 16-byte rows instead
-    //     and aggregates ONCE on co-located input: ~35k groups per
-    //     reduce task stays under the fallback threshold (hash, no
-    //     sorter), and serialize/deserialize drop from per-ROW to
-    //     per-GROUP.
-    // (2) adj feeds BOTH join sides: exchange reuse dedups everything
-    //     BELOW the exchange, but with the repartition form the whole
-    //     build sits ABOVE it and would run twice — localCheckpoint
-    //     materializes the node-sized adjacency once (UnsafeRow blocks,
-    //     MEMORY_AND_DISK) and PRESERVES its hash(src) partitioning,
-    //     so both joins still see the co-located layout without
-    //     re-shuffling.
-    // Under the gate the whole closure is one broadcast-reused
-    // map-local stage — the plain form stays (a checkpoint would only
-    // add block-store traffic to sub-gate graphs).
-    val pastGate = nEdges > maxBroadcastEdges
-    val adjGrouped =
-      if (integralIds) {
-        val src = if (pastGate) oriented.repartition(col("src")) else oriented
-        src.groupBy(col("src")).agg(
+    // The plain partial+final form is DELIBERATE, adjudicated by a
+    // measured counterfactual (r14): pre-partitioning `oriented` by src
+    // before the groupBy and localCheckpoint-ing the node-sized result
+    // — the "serialize per-group instead of per-edge" hypothesis from
+    // the r13 verdict — was built and measured at the 90M-edge x100
+    // point, and it regressed EVERY axis: task time 1095→1280 s,
+    // shuffle 4.2→5.3 GB (the added explicit exchange of raw edges),
+    // runs_gc_ms median 15.3→47.6 s (the checkpoint's block-store
+    // materialization of 9M array rows churns more than the partial
+    // aggregate's buffer serialization ever did), identical sorter
+    // spill (3.3 GB mem / 178 MB disk — the ObjectHashAggregate
+    // fallback sorts either way at ~node-count groups). The ~15 s GC
+    // floor of the plain form is serialization+sort inherent to
+    // TypedImperativeAggregate at this group cardinality, not
+    // allocation this plan shape can remove; numbers pinned in
+    // PLANS.md §triangles-adjacency (r14).
+    val adj =
+      if (integralIds)
+        oriented.groupBy(col("src")).agg(
           graft.plans.SortedLongListAgg.sortedLongList(
             col("dst").cast("long")).as("nbrs"))
-      } else
+      else
         oriented.groupBy(col("src"))
           .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val adj = if (pastGate) adjGrouped.localCheckpoint() else adjGrouped
     def adjSide(renameTo: String, arr: String): DataFrame = {
       val a = adj.select(col("src").as(renameTo), col("nbrs").as(arr))
       if (nEdges <= maxBroadcastEdges) broadcast(a) else a.hint("shuffle_hash")
