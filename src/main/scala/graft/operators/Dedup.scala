@@ -428,6 +428,12 @@ object Dedup {
     * string-shingle form modulo xxhash64 collisions (~|vocab|²/2⁶⁴ —
     * q202's all-pairs string-based DuckDB oracle would hash-mismatch
     * on any collision). */
+  /** Doc-count gate for prefixFilterPairs' verify-join strategy:
+    * ≤ this, the doc-list side broadcasts (~45 MB at the gate — token
+    * arrays included); above it, shuffle_hash. See the comment at the
+    * verify joins. */
+  val maxBroadcastDocs = 100000L
+
   def prefixFilterPairs(
       df: DataFrame,
       idCol: String,
@@ -435,6 +441,14 @@ object Dedup {
       thresholdBp: Int = 6000,
       shingle: Int = 1): DataFrame = {
     require(shingle >= 1, s"shingle must be >= 1 (got $shingle)")
+    // The tokenized set table feeds SIX subplans (df-count, the
+    // exploded token stream, both prefix sides, both verify sides);
+    // exchange reuse dedups only the identical self-join exchanges, so
+    // without a persist the tokenize+shingle scan re-runs per subplan
+    // (measured: the whole-query wall at sf0.1 dropped ~8.4 -> ~2.6 s
+    // from this persist alone). Doc-count-sized, unpersisted before
+    // return; the output-sized result is localCheckpoint'd first, the
+    // same lifecycle simhashDupBlocked uses.
     val lists = {
       // stage the token split once per row (see text.shinglesOf)
       val tok = df.select(col(idCol).as("id"),
@@ -444,6 +458,7 @@ object Dedup {
         else text.fastShingleHashesOf(col("tok"), shingle)
       tok.select(col("id"), sort_array(array_distinct(set)).as("ts"))
         .withColumn("sz", size(col("ts")).cast(LongType))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val ex = lists.select(col("id"), col("sz"), explode(col("ts")).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -462,12 +477,18 @@ object Dedup {
           col("b.sz") * lit(10000L) >= lit(thresholdBp.toLong) * col("a.sz"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // Verify joins are hinted shuffle_hash: candidates outnumber docs
-    // ~60:1 here and each carries two full token arrays once joined, so
-    // the default SMJ pays an n·log n SORT of the candidate side on
-    // 400-byte rows — the x100 deep point measured task_exponent 1.12
-    // with SMJ, the artifact's only >1.1; the hash side is the
-    // doc-list table, whose per-partition build stays bounded.
+    // Verify joins: candidates outnumber docs ~60:1 here and each
+    // carries two full token arrays once joined, so the default SMJ
+    // pays an n·log n SORT of the candidate side on 400-byte rows —
+    // the x100 deep point measured task_exponent 1.12 with SMJ, the
+    // artifact's only >1.1. Above the gate the doc-list side is hinted
+    // shuffle_hash (per-partition build stays bounded, candidate
+    // stream never sorted); under it the doc-list table is simply
+    // BROADCAST — Catalyst never auto-broadcasts an aggregate/window
+    // output (the size estimate inherits the child's), and forcing the
+    // shuffle on a 5k-doc corpus measured 8.4 s for a query whose
+    // broadcast form runs in ~2 s. Same count-gated pattern as
+    // Graph.trianglesProfile's maxBroadcastEdges.
     // n_shared: the composable size(array_intersect(..)) allocates a
     // hash set + result array PER CANDIDATE ROW — at the x100 deep
     // point (30M candidates) that churn billed 27-89 s of GC per draw.
@@ -477,16 +498,23 @@ object Dedup {
     def nShared(a: Column, b: Column): Column =
       if (shingle == 1) size(array_intersect(a, b)).cast(LongType)
       else graft.plans.SortedLongIntersectCount(a, b).cast(LongType)
-    cand
-      .join(lists.select(col("id").as("id_a"), col("ts").as("ts_a"),
-        col("sz").as("sz_a")).hint("shuffle_hash"), "id_a")
-      .join(lists.select(col("id").as("id_b"), col("ts").as("ts_b"),
-        col("sz").as("sz_b")).hint("shuffle_hash"), "id_b")
+    val nDocs = lists.count() // materializes the persist; gates the join
+    def docSide(frame: DataFrame): DataFrame =
+      if (nDocs <= maxBroadcastDocs) broadcast(frame)
+      else frame.hint("shuffle_hash")
+    val verified = cand
+      .join(docSide(lists.select(col("id").as("id_a"), col("ts").as("ts_a"),
+        col("sz").as("sz_a"))), "id_a")
+      .join(docSide(lists.select(col("id").as("id_b"), col("ts").as("ts_b"),
+        col("sz").as("sz_b"))), "id_b")
       .withColumn("n_shared", nShared(col("ts_a"), col("ts_b")))
       .withColumn("jaccard_bp", expr(
         "(n_shared * 10000) div (sz_a + sz_b - n_shared)"))
       .filter(col("jaccard_bp") >= thresholdBp)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_bp"))
+    val out = verified.localCheckpoint()
+    lists.unpersist()
+    out
   }
 
   /** Directed token-set CONTAINMENT join: pairs (a, b) where at least
