@@ -323,7 +323,6 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
-    if (sys.env.contains("GRAFT_DEBUG_PLAN")) pairs.explain("formatted")
     val out = pairs.localCheckpoint()
     sh.unpersist()
     out
@@ -427,12 +426,25 @@ object Dedup {
     * per shingle small, output = genuine near-dups). Results equal the
     * string-shingle form modulo xxhash64 collisions (~|vocab|²/2⁶⁴ —
     * q202's all-pairs string-based DuckDB oracle would hash-mismatch
-    * on any collision). */
-  /** Doc-count gate for prefixFilterPairs' verify-join strategy:
-    * ≤ this, the doc-list side broadcasts (~45 MB at the gate — token
-    * arrays included); above it, shuffle_hash. See the comment at the
+    * on any collision).
+    *
+    * EAGER: construction runs Spark jobs (a sizing aggregate over the
+    * persisted token-set table that also picks the verify-join
+    * strategy, then the full pipeline into a `localCheckpoint`).
+    * Callers get a materialized, lineage-free result — downstream
+    * filters do NOT prune work that already ran. Same contract as
+    * [[simhashDupBlocked]]; motivated by the persist lifecycle (the
+    * doc-count-sized cache must be released before returning). */
+  /** Byte-estimate gate for prefixFilterPairs' verify-join strategy:
+    * BOTH renamed doc-side frames broadcast in full, so the gate
+    * bounds the estimated serialized size of the token-set table
+    * (per-element payload + per-row overhead) rather than its row
+    * count — a small-count corpus of very LONG documents must not
+    * broadcast just because it slips under a row gate. 48 MB sits at
+    * the old 100k-doc boundary for the shingled synthetic corpus
+    * (~50 longs/doc). Above it, shuffle_hash. See the comment at the
     * verify joins. */
-  val maxBroadcastDocs = 100000L
+  val maxBroadcastBytes = 48L << 20
 
   def prefixFilterPairs(
       df: DataFrame,
@@ -498,9 +510,20 @@ object Dedup {
     def nShared(a: Column, b: Column): Column =
       if (shingle == 1) size(array_intersect(a, b)).cast(LongType)
       else graft.plans.SortedLongIntersectCount(a, b).cast(LongType)
-    val nDocs = lists.count() // materializes the persist; gates the join
+    // Materializes the persist AND sizes the broadcast decision in one
+    // aggregate: estimated per-row bytes = element payload (octet
+    // length + ~16 B UnsafeArrayData slot for strings; 8 B for long
+    // shingles) + ~48 B row overhead. Gating on BYTES, not doc count,
+    // so long-document corpora can't blow the driver under a row gate.
+    val elemBytes =
+      if (shingle == 1)
+        aggregate(col("ts"), lit(0L),
+          (acc: Column, x: Column) => acc + octet_length(x) + lit(16L))
+      else col("sz") * lit(8L)
+    val sizing = lists.agg(sum(elemBytes + lit(48L)).as("bytes")).head()
+    val estBytes = if (sizing.isNullAt(0)) 0L else sizing.getLong(0)
     def docSide(frame: DataFrame): DataFrame =
-      if (nDocs <= maxBroadcastDocs) broadcast(frame)
+      if (estBytes <= maxBroadcastBytes) broadcast(frame)
       else frame.hint("shuffle_hash")
     val verified = cand
       .join(docSide(lists.select(col("id").as("id_a"), col("ts").as("ts_a"),

@@ -99,12 +99,16 @@ object syntax {
       Curation.sessionize(df, userCol, tsCol, tieCol, gapMinutes)
 
     /** Exact-recall prefix-filter similarity self-join — see
-      * [[Dedup.prefixFilterPairs]]. */
+      * [[Dedup.prefixFilterPairs]]. EAGER (runs jobs at call time and
+      * returns a materialized result). `shingle` > 1 selects the
+      * hashed word-n-gram-shingle form — the scalable configuration
+      * for near-dup corpora (see the operator's scaladoc). */
     def similarPairs(
         idCol: String,
         contentCol: String,
-        thresholdBp: Int = 6000): DataFrame =
-      Dedup.prefixFilterPairs(df, idCol, contentCol, thresholdBp)
+        thresholdBp: Int = 6000,
+        shingle: Int = 1): DataFrame =
+      Dedup.prefixFilterPairs(df, idCol, contentCol, thresholdBp, shingle)
 
     /** Native as-of (point-in-time) left join — the custom merge
       * operator, see [[graft.plans.AsOfNative.asofJoinLeft]]. Right

@@ -42,8 +42,19 @@ class SyntaxSpec extends SparkSpec {
     samePlan(
       docs.contaminationAgainst(col("doc_id") === 1L, "doc_id", "text"),
       Curation.contamination(docs, "doc_id", "text", col("doc_id") === 1L))
-    samePlan(docs.similarPairs("doc_id", "text"),
-      Dedup.prefixFilterPairs(docs, "doc_id", "text"))
+    // prefixFilterPairs is EAGER (localCheckpoint at construction), so
+    // two invocations yield two distinct LogicalRDDs that can never
+    // canonicalize equal — delegation is asserted on RESULTS, the same
+    // convention the eager Graph ops use below. Both shingle forms.
+    locally {
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      assert(rows(docs.similarPairs("doc_id", "text")) ===
+        rows(Dedup.prefixFilterPairs(docs, "doc_id", "text")))
+      assert(rows(docs.similarPairs("doc_id", "text",
+          thresholdBp = 5000, shingle = 3)) ===
+        rows(Dedup.prefixFilterPairs(docs, "doc_id", "text", 5000, 3)))
+    }
     locally {
       val right = docs.select($"doc_id".as("rid"),
         lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("rt"))
