@@ -66,6 +66,30 @@ object Bench {
     Option(java.lang.management.ManagementFactory.getCompilationMXBean)
       .filter(_.isCompilationTimeMonitoringSupported)
 
+  /** Code-cache + metaspace occupancy (MB used / MB max for the three
+    * CodeHeap pools summed, plus Metaspace used). The r14 adjudication
+    * gap: q188's in-suite task time grew run-over-run (20.5 -> 35.1 s
+    * on untouched code, flat GC, flat shuffle) with no counter that
+    * could tell "code cache pressure de-optimized the hot loops" from
+    * weather. A full code cache disables further compilation and hot
+    * methods of LATER queries run interpreted/profiled — the exact
+    * failure sized at 512 MB in build.sbt; this records whether a
+    * suite actually approaches that ceiling, per query. */
+  private def codeHeapMb(): (Double, Double, Double) = {
+    import scala.jdk.CollectionConverters._
+    var used, max, meta = 0.0
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .foreach { p =>
+        val n = p.getName
+        if (n.startsWith("CodeHeap")) {
+          used += p.getUsage.getUsed / 1048576.0
+          max += p.getUsage.getMax / 1048576.0
+        } else if (n == "Metaspace") meta = p.getUsage.getUsed / 1048576.0
+      }
+    (math.rint(used * 10) / 10, math.rint(max * 10) / 10,
+      math.rint(meta * 10) / 10)
+  }
+
   /** Sums task-level executor metrics between reset() and snapshot().
     * Queries run one at a time, so everything the listener sees between
     * the two calls belongs to the in-flight query. Registered once;
@@ -74,7 +98,7 @@ object Bench {
     */
   final class MetricsListener extends SparkListener {
     private var shufRead, shufWrite, memSpill, diskSpill = 0L
-    private var gcMs, peakMem, nTasks, taskMs = 0L
+    private var gcMs, peakMem, nTasks, taskMs, cpuNs = 0L
     override def onTaskEnd(end: SparkListenerTaskEnd): Unit = synchronized {
       val m = end.taskMetrics
       if (m != null) {
@@ -86,11 +110,12 @@ object Bench {
         peakMem = math.max(peakMem, m.peakExecutionMemory)
         nTasks += 1
         taskMs += m.executorRunTime
+        cpuNs += m.executorCpuTime
       }
     }
     def reset(): Unit = synchronized {
       shufRead = 0; shufWrite = 0; memSpill = 0; diskSpill = 0
-      gcMs = 0; peakMem = 0; nTasks = 0; taskMs = 0
+      gcMs = 0; peakMem = 0; nTasks = 0; taskMs = 0; cpuNs = 0
     }
     def json(): String = synchronized {
       def mb(b: Long): Double = math.rint(b / 1048.576) / 1000 // MB, 3dp
@@ -98,7 +123,14 @@ object Bench {
       // wall-time moves: a slow sample with FLAT task time is driver-
       // side or ambient-JVM cost, not a plan regression (r9's q143
       // flags were unadjudicable without it).
-      s"""{"shuffle_read_mb":${mb(shufRead)},"shuffle_write_mb":${mb(shufWrite)},"spill_mem_mb":${mb(memSpill)},"spill_disk_mb":${mb(diskSpill)},"gc_ms":$gcMs,"peak_task_mem_mb":${mb(peakMem)},"tasks":$nTasks,"task_time_ms":$taskMs}"""
+      // task_cpu_ms: executorRunTime is ELAPSED wall inside the task,
+      // so on a shared box it inflates when something else steals the
+      // cores — r14's q188 flag (task time 20.5 -> 35.1 s on untouched
+      // code, flat GC/shuffle; unreproducible in isolation or in r15's
+      // re-run) was exactly that shape, but without CPU time recorded
+      // it took a full re-run to adjudicate. run >> cpu = starvation
+      // weather; run ~ cpu and both high = real work.
+      s"""{"shuffle_read_mb":${mb(shufRead)},"shuffle_write_mb":${mb(shufWrite)},"spill_mem_mb":${mb(memSpill)},"spill_disk_mb":${mb(diskSpill)},"gc_ms":$gcMs,"peak_task_mem_mb":${mb(peakMem)},"tasks":$nTasks,"task_time_ms":$taskMs,"task_cpu_ms":${cpuNs / 1000000}}"""
     }
     def taskTimeMs(): Long = synchronized(taskMs)
   }
@@ -493,7 +525,14 @@ object Bench {
           case p => "," + p
         }
         val m = metrics.json()
-        val extra = phase + phases
+        val (ccUsed, ccMax, metaUsed) = codeHeapMb()
+        // os_load: the host's 1-min load average at sample end. On a
+        // shared box, load >> this JVM's own core use marks the sample
+        // as contention weather (pairs with task_cpu_ms above).
+        val osLoad = math.rint(java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage * 10) / 10
+        val ccJson = s""","code_cache_mb":$ccUsed,"code_cache_max_mb":$ccMax,"metaspace_mb":$metaUsed,"os_load":$osLoad"""
+        val extra = phase + phases + ccJson
         val merged =
           if (extra.isEmpty) m else m.dropRight(1) + extra + "}"
         val taskMs = metrics.taskTimeMs()

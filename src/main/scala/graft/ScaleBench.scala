@@ -684,6 +684,31 @@ object ScaleBench {
         }
         s""","simhash_knob":{"corpus":"doc_x$docsCopies","max_hamming":3,"points":[${pts.mkString(",")}]}"""
       }
+    // ---- PPJoin positional-filter probe: candidate volume with the
+    // positional filter off vs on at the deep documents corpus. Wall
+    // A/B at the deep points is GC-weather-noisy (r15: three same-code
+    // draws spread 42.6-134.4 s); candidate counts are exact and
+    // deterministic — the adjudicator for what the filter buys (r15
+    // x100: raw 20.4M -> 7.26M, 2.81x). Same tokenize/prefix/join code
+    // as prefixFilterPairs (shared ppjoinCandidates). Skipped unless
+    // named in the shape filter, like simhash_knob.
+    val ppjoinKnobFrag =
+      if (!shapeFilter.forall(_.contains("ppjoin_knob"))) ""
+      else {
+        val pts = Seq(false, true).map { positional =>
+          val t0 = System.nanoTime()
+          val r = Dedup.prefixFilterCandidateProfile(
+            docsD(dirDN), "doc_id", "text",
+            thresholdBp = 6000, shingle = 3, positional = positional)
+            .head()
+          val sec = r4((System.nanoTime() - t0) / 1e9)
+          try releaseAll() catch { case _: Throwable => () }
+          val j = s"""{"positional":$positional,"n_docs":${r.getAs[Long]("n_docs")},"raw_candidates":${r.getAs[Long]("raw_candidates")},"distinct_pairs":${r.getAs[Long]("distinct_pairs")},"sec":$sec}"""
+          System.err.println(s"""{"ppjoin_knob":$j}""")
+          j
+        }
+        s""","ppjoin_knob":{"corpus":"doc_x$docsCopies","threshold_bp":6000,"shingle":3,"points":[${pts.mkString(",")}]}"""
+      }
 
     val entries = jobs.map { job =>
       val name = job.name
@@ -753,7 +778,7 @@ object ScaleBench {
       }
     }
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"docs_copies":$docsCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}}$knobFrag,"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"docs_copies":$docsCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}}$knobFrag$ppjoinKnobFrag,"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
     println(out)
     // A shape-filtered run covers a subset — never let it replace the
     // artifact of record.

@@ -446,12 +446,16 @@ object Dedup {
     * verify joins. */
   val maxBroadcastBytes = 48L << 20
 
-  def prefixFilterPairs(
+  /** The shared candidate machinery of [[prefixFilterPairs]] and its
+    * probe: returns (persisted token-set table, raw candidate rows
+    * BEFORE pair dedup). Caller owns the persist lifecycle. */
+  private def ppjoinCandidates(
       df: DataFrame,
       idCol: String,
       contentCol: String,
-      thresholdBp: Int = 6000,
-      shingle: Int = 1): DataFrame = {
+      thresholdBp: Int,
+      shingle: Int,
+      positional: Boolean): (DataFrame, DataFrame) = {
     require(shingle >= 1, s"shingle must be >= 1 (got $shingle)")
     // The tokenized set table feeds SIX subplans (df-count, the
     // exploded token stream, both prefix sides, both verify sides);
@@ -481,14 +485,79 @@ object Dedup {
       .withColumn("rnk", row_number().over(byId))
       .filter(col("rnk") <=
         col("sz") - expr(s"($thresholdBp * sz + 9999) div 10000") + lit(1))
-      .select(col("id"), col("sz"), col("tok"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          col("a.sz") * lit(10000L) >= lit(thresholdBp.toLong) * col("b.sz") &&
-          col("b.sz") * lit(10000L) >= lit(thresholdBp.toLong) * col("a.sz"))
+      .select(col("id"), col("sz"), col("tok"), col("rnk"))
+    // POSITIONAL filter (PPJoin proper, not just prefix filtering):
+    // when the shared token sits at position rnk_a in a's sorted set
+    // and rnk_b in b's, the overlap can't exceed
+    //   1 + min(sz_a - rnk_a, sz_b - rnk_b)
+    // (one for the match, plus only the suffixes after each position
+    // can contribute). Jaccard >= t forces overlap >=
+    // t/(1+t)·(sz_a+sz_b), so candidates whose bound falls short are
+    // dropped IN the join, before the pair dedup and the verify joins
+    // ever see them. Lossless: let w be the FIRST common token in the
+    // global order, at positions p_a/p_b. Everything before w in each
+    // set is non-shared, so p <= sz - O + 1 <= sz - ceil(t*sz) + 1
+    // (O >= t*union >= t*sz), i.e. w is inside BOTH prefixes — its
+    // join row exists. And its bound counts w plus both suffixes,
+    // which contain every other common token, so bound >= O >=
+    // required — that row always passes and `distinct()` keeps the
+    // pair. (Later common tokens may fail the filter; only one
+    // surviving row per pair is needed.) Integer-exact:
+    // bound·(10000+t) >= t·(sz_a+sz_b), all longs. Pruning measured
+    // by [[prefixFilterCandidateProfile]] (PLANS.md §ppjoin r15).
+    val posBound = lit(1L) +
+      least(col("a.sz") - col("a.rnk"), col("b.sz") - col("b.rnk"))
+    val baseCond =
+      col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        col("a.sz") * lit(10000L) >= lit(thresholdBp.toLong) * col("b.sz") &&
+        col("b.sz") * lit(10000L) >= lit(thresholdBp.toLong) * col("a.sz")
+    val cond =
+      if (positional)
+        baseCond && posBound * lit(10000L + thresholdBp) >=
+          lit(thresholdBp.toLong) * (col("a.sz") + col("b.sz"))
+      else baseCond
+    val raw = prefix.as("a").join(prefix.as("b"), cond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    (lists, raw)
+  }
+
+  /** Candidate-volume probe for [[prefixFilterPairs]]' filter ladder:
+    * ONE row (n_docs, positional, raw_candidates = prefix-join output
+    * rows BEFORE pair dedup — what the shuffle and dedup actually
+    * carry, distinct_pairs = after pair dedup). Toggling `positional`
+    * measures exactly what the PPJoin positional filter buys on a
+    * given corpus — same tokenize/prefix/join code as the operator
+    * (shared [[ppjoinCandidates]]); counting replaces verification. */
+  def prefixFilterCandidateProfile(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      thresholdBp: Int = 6000,
+      shingle: Int = 1,
+      positional: Boolean = true): DataFrame = {
+    val (lists, raw) = ppjoinCandidates(
+      df, idCol, contentCol, thresholdBp, shingle, positional)
+    val n = lists.count()
+    val out = raw.agg(
+      count(lit(1)).as("raw_candidates"),
+      count_distinct(struct(col("id_a"), col("id_b"))).as("distinct_pairs"))
+      .select(lit(n).as("n_docs"), lit(thresholdBp).as("threshold_bp"),
+        lit(shingle).as("shingle"), lit(positional).as("positional"),
+        col("raw_candidates"), col("distinct_pairs"))
+      .localCheckpoint()
+    lists.unpersist()
+    out
+  }
+
+  def prefixFilterPairs(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      thresholdBp: Int = 6000,
+      shingle: Int = 1): DataFrame = {
+    val (lists, raw) = ppjoinCandidates(
+      df, idCol, contentCol, thresholdBp, shingle, positional = true)
+    val cand = raw.distinct()
     // Verify joins: candidates outnumber docs ~60:1 here and each
     // carries two full token arrays once joined, so the default SMJ
     // pays an n·log n SORT of the candidate side on 400-byte rows —
