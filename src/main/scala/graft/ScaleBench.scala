@@ -84,8 +84,16 @@ object ScaleBench {
       // too early. The hot high-cardinality shapes (cdc_apply argmax,
       // exact percentiles) no longer ride this knob — they are
       // declarative/primitive HashAggregates (see ArgMaxPackedAgg).
+      // Env-overridable for measured A/Bs. r15 ran 65536 vs 8388608 on
+      // triangles x100 (the hypothesis: the partial adjacency
+      // aggregate's ~350k distinct src per task demotes to the sorter
+      // and that sort is the GC driver) — NULL RESULT: min-run task
+      // time 911 s vs 910 s, task_cpu 875 s vs 879 s, identical 3.3 GB
+      // spill (which therefore belongs to the edge-build distinct, not
+      // the OHA partial). The triangles x100 spread (41-84 s draws) is
+      // GC/contention weather, adjudicated by task_cpu_ms; 65536 stays.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "65536")
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OHA_THRESHOLD", "65536"))
       // Same cached-plan AQE policy as Bench (see the comment there).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("GRAFT_CACHE_AQE", "true"))
