@@ -383,6 +383,22 @@ object TextQueries {
         t(s, dir, "documents"),
         "doc_id", "text", thresholdBp = 6000, shingle = 3)),
 
+    // PPJoin CANDIDATE semantics pinned cross-engine: q138/q202 check
+    // the RESULT (all-pairs oracles catch recall bugs), but a filter
+    // that silently prunes too little still hash-matches them while
+    // quietly going quadratic. This oracle re-implements the whole
+    // candidate ladder — global df-order, prefix length, length
+    // filter, the r15 POSITIONAL filter — in DuckDB SQL and compares
+    // exact candidate counts, so the pruning itself is the checked
+    // contract. Word-level (shingle=1): word tokens order identically
+    // in both engines; hashed shingles would not (xxhash64 longs sort
+    // differently than shingle strings, so prefix sets would differ).
+    "q203_ppjoin_candidates" -> ((s, dir) =>
+      Dedup.prefixFilterCandidateProfile(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", thresholdBp = 6000, shingle = 1,
+        positional = true)),
+
     // Directed containment: docs whose token set is >=95% inside
     // another doc (quotes/excerpts/concatenations — high containment,
     // low Jaccard). Asymmetric prefix-filter candidates, exact verify,
@@ -1048,6 +1064,43 @@ object TextQueries {
          |JOIN sz sa ON id_a = sa.doc_id
          |JOIN sz sb ON id_b = sb.doc_id
          |WHERE (n_shared * 10000) // (sa.sz + sb.sz - n_shared) >= 6000"""
+        .stripMargin,
+
+    // Full candidate-ladder mirror: same df-ascending global token
+    // order (ties on the token string — identical lexicographic order
+    // for ASCII word tokens in both engines), same ceil-div prefix
+    // bound, same length filter, same positional filter, all in exact
+    // integer arithmetic.
+    "q203_ppjoin_candidates" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, list_distinct($dTok) AS ts
+         |  FROM documents WHERE doc_id < 500),
+         |szt AS (SELECT id, CAST(len(ts) AS BIGINT) AS sz, ts FROM toks),
+         |ex AS (SELECT id, sz, unnest(ts) AS tok FROM szt),
+         |dfreq AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok),
+         |ranked AS (
+         |  SELECT ex.id, ex.sz, ex.tok,
+         |    row_number() OVER (PARTITION BY ex.id ORDER BY d.df, ex.tok)
+         |      AS rnk
+         |  FROM ex JOIN dfreq d ON ex.tok = d.tok),
+         |prefix AS (
+         |  SELECT id, sz, tok, CAST(rnk AS BIGINT) AS rnk FROM ranked
+         |  WHERE rnk <= sz - ((6000 * sz + 9999) // 10000) + 1),
+         |raw AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id
+         |    AND a.sz * 10000 >= 6000 * b.sz
+         |    AND b.sz * 10000 >= 6000 * a.sz
+         |    AND (1 + least(a.sz - a.rnk, b.sz - b.rnk)) * 16000
+         |        >= 6000 * (a.sz + b.sz))
+         |SELECT
+         |  (SELECT count(*) FROM toks) AS n_docs,
+         |  CAST(6000 AS INTEGER) AS threshold_bp,
+         |  CAST(1 AS INTEGER) AS shingle,
+         |  TRUE AS positional,
+         |  (SELECT count(*) FROM raw) AS raw_candidates,
+         |  (SELECT count(*) FROM (SELECT DISTINCT id_a, id_b FROM raw))
+         |    AS distinct_pairs"""
         .stripMargin,
 
     "q163_containment" ->
