@@ -623,15 +623,35 @@ object Dedup {
     * cost is sum over prefix tokens of document frequency, never
     * all-pairs. Verification computes the exact intersection in integer
     * basis points. Returns directed (id_a, id_b, n_shared,
-    * containment_bp): id_a is the contained side. */
+    * containment_bp): id_a is the contained side.
+    *
+    * `shingle` > 1 swaps set elements from words to hashed word-n-gram
+    * shingles, exactly as [[prefixFilterPairs]] does — the scale form:
+    * shingle vocabulary grows with the corpus (short inverted lists on
+    * real data where the 31-word synthetic vocabulary has none), and
+    * the verify intersection runs through the zero-allocation sorted
+    * two-pointer expression instead of size(array_intersect)'s
+    * per-candidate hash set + result array (the churn that billed
+    * 27-89 s GC/draw on PPJoin's x100 verify before its rewrite).
+    * Directed semantics sharpen too: shingle containment means A's
+    * PHRASES (not just its words) appear in B — the actual
+    * quote/excerpt signal. */
   def containmentPairs(
       df: DataFrame,
       idCol: String,
       contentCol: String,
-      thresholdBp: Int = 9000): DataFrame = {
-    val lists = df.select(col(idCol).as("id"),
-      sort_array(array_distinct(text.tokens(col(contentCol)))).as("ts"))
-      .withColumn("sz", size(col("ts")).cast(LongType))
+      thresholdBp: Int = 9000,
+      shingle: Int = 1): DataFrame = {
+    require(shingle >= 1, s"shingle must be >= 1 (got $shingle)")
+    val lists = {
+      val tok = df.select(col(idCol).as("id"),
+        text.tokens(col(contentCol)).as("tok"))
+      val set =
+        if (shingle == 1) col("tok")
+        else text.fastShingleHashesOf(col("tok"), shingle)
+      tok.select(col("id"), sort_array(array_distinct(set)).as("ts"))
+        .withColumn("sz", size(col("ts")).cast(LongType))
+    }
     val ex = lists.select(col("id"), col("sz"), explode(col("ts")).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byId = Window.partitionBy(col("id"))
@@ -647,12 +667,16 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.id") =!= col("id_b"))
       .select(col("a.id").as("id_a"), col("id_b"))
       .distinct()
+    val nShared =
+      if (shingle == 1)
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast(LongType)
+      else graft.plans.SortedLongIntersectCount(
+        col("ts_a"), col("ts_b")).cast(LongType)
     cand
       .join(lists.select(col("id").as("id_a"), col("ts").as("ts_a"),
         col("sz").as("sz_a")), "id_a")
       .join(lists.select(col("id").as("id_b"), col("ts").as("ts_b")), "id_b")
-      .withColumn("n_shared",
-        size(array_intersect(col("ts_a"), col("ts_b"))).cast(LongType))
+      .withColumn("n_shared", nShared)
       .withColumn("containment_bp", expr("(n_shared * 10000) div sz_a"))
       .filter(col("containment_bp") >= thresholdBp)
       .select(col("id_a"), col("id_b"), col("n_shared"),

@@ -399,6 +399,20 @@ object TextQueries {
         "doc_id", "text", thresholdBp = 6000, shingle = 1,
         positional = true)),
 
+    // SHINGLED directed containment — the scale form of q163 (r15):
+    // set elements are hashed 3-word shingles, so containment means
+    // A's PHRASES live in B (the real quote/excerpt signal), the
+    // shingle vocabulary grows with the corpus (short inverted lists
+    // where word-level has none), and the verify intersection is the
+    // zero-allocation sorted-long two-pointer. Full table, no slice.
+    // Oracle: all-pairs STRING-shingle DuckDB mirror (no prefix
+    // filter, no hashing) — a recall bug or xxhash64 collision
+    // mismatches, same contract as q202's.
+    "q204_containment_shingled" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        t(s, dir, "documents"),
+        "doc_id", "text", thresholdBp = 6000, shingle = 3)),
+
     // Directed containment: docs whose token set is >=95% inside
     // another doc (quotes/excerpts/concatenations — high containment,
     // low Jaccard). Asymmetric prefix-filter candidates, exact verify,
@@ -1101,6 +1115,32 @@ object TextQueries {
          |  (SELECT count(*) FROM raw) AS raw_candidates,
          |  (SELECT count(*) FROM (SELECT DISTINCT id_a, id_b FROM raw))
          |    AS distinct_pairs"""
+        .stripMargin,
+
+    // All-pairs string-shingle directed containment mirror (same
+    // shingle construction as q202's oracle; containment over sz_a).
+    "q204_containment_shingled" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, $dTok AS w FROM documents),
+         |toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) < 3 THEN list_distinct([array_to_string(w, ' ')])
+         |         ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+         |                             FOR i IN range(1, CAST(len(w) AS BIGINT) - 1)])
+         |    END AS ts
+         |  FROM ws),
+         |sz AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS sz FROM toks),
+         |ex AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |  (n_shared * 10000) // sa.sz AS containment_bp
+         |FROM inter
+         |JOIN sz sa ON id_a = sa.doc_id
+         |WHERE (n_shared * 10000) // sa.sz >= 6000"""
         .stripMargin,
 
     "q163_containment" ->
