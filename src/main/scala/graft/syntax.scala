@@ -110,6 +110,17 @@ object syntax {
         shingle: Int = 1): DataFrame =
       Dedup.prefixFilterPairs(df, idCol, contentCol, thresholdBp, shingle)
 
+    /** Directed containment join (quote/excerpt detection: id_a's set
+      * >= threshold inside id_b's) — see [[Dedup.containmentPairs]].
+      * `shingle` > 1 = hashed-shingle scale form (phrase containment,
+      * zero-allocation verify). */
+    def containedInPairs(
+        idCol: String,
+        contentCol: String,
+        thresholdBp: Int = 9000,
+        shingle: Int = 1): DataFrame =
+      Dedup.containmentPairs(df, idCol, contentCol, thresholdBp, shingle)
+
     /** Native as-of (point-in-time) left join — the custom merge
       * operator, see [[graft.plans.AsOfNative.asofJoinLeft]]. Right
       * columns must not collide with the left's (alias them first).

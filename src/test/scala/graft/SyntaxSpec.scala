@@ -42,6 +42,8 @@ class SyntaxSpec extends SparkSpec {
     samePlan(
       docs.contaminationAgainst(col("doc_id") === 1L, "doc_id", "text"),
       Curation.contamination(docs, "doc_id", "text", col("doc_id") === 1L))
+    samePlan(docs.containedInPairs("doc_id", "text", 6000, shingle = 3),
+      Dedup.containmentPairs(docs, "doc_id", "text", 6000, 3))
     // prefixFilterPairs is EAGER (localCheckpoint at construction), so
     // two invocations yield two distinct LogicalRDDs that can never
     // canonicalize equal — delegation is asserted on RESULTS, the same
