@@ -635,7 +635,12 @@ object Dedup {
     * 27-89 s GC/draw on PPJoin's x100 verify before its rewrite).
     * Directed semantics sharpen too: shingle containment means A's
     * PHRASES (not just its words) appear in B — the actual
-    * quote/excerpt signal. */
+    * quote/excerpt signal.
+    *
+    * EAGER since r15 (same contract and reasons as
+    * [[prefixFilterPairs]]): construction runs the sizing aggregate
+    * and materializes the result through a localCheckpoint so the
+    * doc-count-sized persist can be released before returning. */
   def containmentPairs(
       df: DataFrame,
       idCol: String,
@@ -643,6 +648,12 @@ object Dedup {
       thresholdBp: Int = 9000,
       shingle: Int = 1): DataFrame = {
     require(shingle >= 1, s"shingle must be >= 1 (got $shingle)")
+    // Same lifecycle as prefixFilterPairs (EAGER): the token-set table
+    // feeds five subplans (the exploded index twice, both verify
+    // sides, the sizing aggregate) — unpersisted, the tokenize+shingle
+    // scan re-ran per subplan, and the default SMJ sorted the
+    // candidate side in the verify joins. The q204 bench draw measured
+    // the lazy form at 8.7 s vs ~2 s rebuilt this way at sf0.1.
     val lists = {
       val tok = df.select(col(idCol).as("id"),
         text.tokens(col(contentCol)).as("tok"))
@@ -651,6 +662,7 @@ object Dedup {
         else text.fastShingleHashesOf(col("tok"), shingle)
       tok.select(col("id"), sort_array(array_distinct(set)).as("ts"))
         .withColumn("sz", size(col("ts")).cast(LongType))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val ex = lists.select(col("id"), col("sz"), explode(col("ts")).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -672,15 +684,32 @@ object Dedup {
         size(array_intersect(col("ts_a"), col("ts_b"))).cast(LongType)
       else graft.plans.SortedLongIntersectCount(
         col("ts_a"), col("ts_b")).cast(LongType)
-    cand
-      .join(lists.select(col("id").as("id_a"), col("ts").as("ts_a"),
-        col("sz").as("sz_a")), "id_a")
-      .join(lists.select(col("id").as("id_b"), col("ts").as("ts_b")), "id_b")
+    // Same byte-gated verify strategy as prefixFilterPairs: broadcast
+    // the doc-list side under the estimated-size gate, shuffle_hash
+    // above it (never SMJ — the candidate stream must not be sorted).
+    val elemBytes =
+      if (shingle == 1)
+        aggregate(col("ts"), lit(0L),
+          (acc: Column, x: Column) => acc + octet_length(x) + lit(16L))
+      else col("sz") * lit(8L)
+    val sizing = lists.agg(sum(elemBytes + lit(48L)).as("bytes")).head()
+    val estBytes = if (sizing.isNullAt(0)) 0L else sizing.getLong(0)
+    def docSide(frame: DataFrame): DataFrame =
+      if (estBytes <= maxBroadcastBytes) broadcast(frame)
+      else frame.hint("shuffle_hash")
+    val verified = cand
+      .join(docSide(lists.select(col("id").as("id_a"), col("ts").as("ts_a"),
+        col("sz").as("sz_a"))), "id_a")
+      .join(docSide(lists.select(col("id").as("id_b"),
+        col("ts").as("ts_b"))), "id_b")
       .withColumn("n_shared", nShared)
       .withColumn("containment_bp", expr("(n_shared * 10000) div sz_a"))
       .filter(col("containment_bp") >= thresholdBp)
       .select(col("id_a"), col("id_b"), col("n_shared"),
         col("containment_bp"))
+    val out = verified.localCheckpoint()
+    lists.unpersist()
+    out
   }
 
   /** Sorted-neighborhood candidate generation (the classic

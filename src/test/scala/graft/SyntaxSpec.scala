@@ -42,8 +42,14 @@ class SyntaxSpec extends SparkSpec {
     samePlan(
       docs.contaminationAgainst(col("doc_id") === 1L, "doc_id", "text"),
       Curation.contamination(docs, "doc_id", "text", col("doc_id") === 1L))
-    samePlan(docs.containedInPairs("doc_id", "text", 6000, shingle = 3),
-      Dedup.containmentPairs(docs, "doc_id", "text", 6000, 3))
+    // containmentPairs is EAGER (r15) — result equality, like
+    // similarPairs below.
+    locally {
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      assert(rows(docs.containedInPairs("doc_id", "text", 6000, shingle = 3)) ===
+        rows(Dedup.containmentPairs(docs, "doc_id", "text", 6000, 3)))
+    }
     // prefixFilterPairs is EAGER (localCheckpoint at construction), so
     // two invocations yield two distinct LogicalRDDs that can never
     // canonicalize equal — delegation is asserted on RESULTS, the same
