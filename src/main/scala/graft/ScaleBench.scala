@@ -424,6 +424,16 @@ object ScaleBench {
     val ppjoinShapes: Seq[(String, String => DataFrame)] = Seq(
       "ppjoin_prefix" -> (dir =>
         Dedup.prefixFilterPairs(docsD(dir), "doc_id", "text",
+          thresholdBp = 6000, shingle = 3)),
+      // Directed containment (q204's exact configuration) at the same
+      // corpus cap and for the same reason: its candidate join probes
+      // the FULL token index with A-prefix tokens (the B side cannot
+      // be prefix-limited), so its hidden-wall risk is strictly higher
+      // than the symmetric join's — r15 gives it a measured deep point
+      // instead of an argument. Same verify lifecycle/strategy as
+      // prefixFilterPairs since r15.
+      "containment" -> (dir =>
+        Dedup.containmentPairs(docsD(dir), "doc_id", "text",
           thresholdBp = 6000, shingle = 3)))
 
     // Similarity shapes: a FIXED 100-query set against the replicated

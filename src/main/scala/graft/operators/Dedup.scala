@@ -614,33 +614,43 @@ object Dedup {
     * asymmetric cousin of the Jaccard prefix join that symmetric
     * near-dup misses: quotes, excerpts, and concatenations where a
     * small doc lives inside a big one score high containment but low
-    * Jaccard.
+    * Jaccard. Returns directed (id_a, id_b, n_shared, containment_bp):
+    * id_a is the contained side.
     *
-    * Zero-false-negative pruning by the containment prefix principle:
-    * if b holds >= ceil(t*|A|) of A's tokens, then among A's
-    * (|A| - ceil(t*|A|) + 1) globally-RAREST tokens at least one is in
-    * b. So only A-prefix tokens probe the (full) token index — probe
-    * cost is sum over prefix tokens of document frequency, never
-    * all-pairs. Verification computes the exact intersection in integer
-    * basis points. Returns directed (id_a, id_b, n_shared,
-    * containment_bp): id_a is the contained side.
+    * Exact, by CO-OCCURRENCE COUNTING on the inverted token index:
+    * n_shared(a,b) = the number of index rows the pair shares, so one
+    * self-equi-join of the (id, token) index on token, one map-side-
+    * combined count aggregate, and a doc-size join produce every score
+    * with NO arrays ever shuffled. Join volume is Σ_w df(w)² — the
+    * co-occurrence mass itself, the irreducible lower bound for exact
+    * containment, because unlike Jaccard there is no length filter
+    * (|A| ≪ |B| is the signal, not noise) and the contained side's
+    * tokens can sit anywhere in B, so B-side probing cannot be
+    * prefix-limited. r15 MEASURED the alternative — containment-prefix
+    * candidates + array verify, prefixFilterPairs-style — at the 500k
+    * doc deep point: task_exponent 1.50, 39 GB shuffle, 27 GB spill,
+    * because every candidate pair dragged two ~52-element token arrays
+    * through the verify exchange (~30 GB of array traffic for 16 bytes
+    * of answer per pair), while this corpus's co-occurrence mass is
+    * 2.5M 16-byte rows per 5k docs (max shingle df 25). A df-heavy
+    * corpus (boilerplate shingles in thousands of docs) inflates BOTH
+    * forms — Σ df_prefix(w)·df(w) vs Σ df(w)² differ only by the
+    * prefix fraction while the array verify multiplies its side by
+    * ~50x row width — so the counting form is the scale path
+    * unconditionally; corpora with genuinely degenerate heads need
+    * boilerplate removal first (see Curation.boilerplateProfile),
+    * which is a curation decision, not a join strategy.
     *
     * `shingle` > 1 swaps set elements from words to hashed word-n-gram
-    * shingles, exactly as [[prefixFilterPairs]] does — the scale form:
-    * shingle vocabulary grows with the corpus (short inverted lists on
-    * real data where the 31-word synthetic vocabulary has none), and
-    * the verify intersection runs through the zero-allocation sorted
-    * two-pointer expression instead of size(array_intersect)'s
-    * per-candidate hash set + result array (the churn that billed
-    * 27-89 s GC/draw on PPJoin's x100 verify before its rewrite).
-    * Directed semantics sharpen too: shingle containment means A's
-    * PHRASES (not just its words) appear in B — the actual
+    * shingles, exactly as [[prefixFilterPairs]] does — the scale form
+    * (vocabulary grows with the corpus, per-shingle df small), and
+    * containment then means A's PHRASES appear in B — the actual
     * quote/excerpt signal.
     *
     * EAGER since r15 (same contract and reasons as
-    * [[prefixFilterPairs]]): construction runs the sizing aggregate
-    * and materializes the result through a localCheckpoint so the
-    * doc-count-sized persist can be released before returning. */
+    * [[prefixFilterPairs]]): construction materializes the result
+    * through a localCheckpoint so the doc-count-sized persist can be
+    * released before returning. */
   def containmentPairs(
       df: DataFrame,
       idCol: String,
@@ -648,12 +658,10 @@ object Dedup {
       thresholdBp: Int = 9000,
       shingle: Int = 1): DataFrame = {
     require(shingle >= 1, s"shingle must be >= 1 (got $shingle)")
-    // Same lifecycle as prefixFilterPairs (EAGER): the token-set table
-    // feeds five subplans (the exploded index twice, both verify
-    // sides, the sizing aggregate) — unpersisted, the tokenize+shingle
-    // scan re-ran per subplan, and the default SMJ sorted the
-    // candidate side in the verify joins. The q204 bench draw measured
-    // the lazy form at 8.7 s vs ~2 s rebuilt this way at sf0.1.
+    // Persisted: the token-set table feeds the index (whose self-join
+    // exchange is reused across both sides), the doc-size dimension,
+    // and the sizing count — unpersisted, the tokenize+shingle scan
+    // re-runs per subplan.
     val lists = {
       val tok = df.select(col(idCol).as("id"),
         text.tokens(col(contentCol)).as("tok"))
@@ -664,45 +672,43 @@ object Dedup {
         .withColumn("sz", size(col("ts")).cast(LongType))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val ex = lists.select(col("id"), col("sz"), explode(col("ts")).as("tok"))
-    val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val byId = Window.partitionBy(col("id"))
-      .orderBy(col("df"), col("tok"))
-    val prefix = ex
-      .join(dfreq, "tok") // vocab-sized dim: no broadcast hint, AQE decides
-      .withColumn("rnk", row_number().over(byId))
-      .filter(col("rnk") <=
-        col("sz") - expr(s"($thresholdBp * sz + 9999) div 10000") + lit(1))
-      .select(col("id"), col("tok"))
-    val cand = prefix.as("a")
-      .join(ex.select(col("id").as("id_b"), col("tok")).as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") =!= col("id_b"))
-      .select(col("a.id").as("id_a"), col("id_b"))
-      .distinct()
-    val nShared =
-      if (shingle == 1)
-        size(array_intersect(col("ts_a"), col("ts_b"))).cast(LongType)
-      else graft.plans.SortedLongIntersectCount(
-        col("ts_a"), col("ts_b")).cast(LongType)
-    // Same byte-gated verify strategy as prefixFilterPairs: broadcast
-    // the doc-list side under the estimated-size gate, shuffle_hash
-    // above it (never SMJ — the candidate stream must not be sorted).
-    val elemBytes =
-      if (shingle == 1)
-        aggregate(col("ts"), lit(0L),
-          (acc: Column, x: Column) => acc + octet_length(x) + lit(16L))
-      else col("sz") * lit(8L)
-    val sizing = lists.agg(sum(elemBytes + lit(48L)).as("bytes")).head()
-    val estBytes = if (sizing.isNullAt(0)) 0L else sizing.getLong(0)
-    def docSide(frame: DataFrame): DataFrame =
-      if (estBytes <= maxBroadcastBytes) broadcast(frame)
+    val ex = lists.select(col("id"), explode(col("ts")).as("tok"))
+    // Partition the index join by its OUTPUT mass, not its input: AQE
+    // coalesces the tok exchange by input bytes (~24 B/occurrence),
+    // but the join fans each token out to df(w)² rows, so on a
+    // co-occurrence-heavy corpus the coalesced partitions each carry
+    // 10x their input and the partial count aggregate spills (measured
+    // at the 500k-doc deep point: 40 GB spill accounting, per-copy
+    // task time 1.9x the x1 rate). Σ df(w)² is one cheap aggregate
+    // over the persisted index and IS the join's output row count —
+    // explicit repartition by it is the user-specified partitioning
+    // AQE respects. 24 B/row, ~64 MB per partition target.
+    val coMassRow = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df"))).head()
+    val coMass = if (coMassRow.isNullAt(0)) 0L else coMassRow.getLong(0)
+    val parts = math.max(
+      df.sparkSession.sparkContext.defaultParallelism,
+      math.min(4096L, coMass * 24L / (64L << 20) + 1L).toInt)
+    val exP = ex.repartition(parts, col("tok"))
+    // Identical subtrees on both sides: the exchange on tok plans once
+    // and is reused. Partial count aggregation runs in the join's own
+    // stage, so what shuffles after it is pair-count-sized (24 B/row),
+    // never join-output-sized.
+    val co = exP.select(col("id").as("id_a"), col("tok"))
+      .join(exP.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // The doc-size dimension is 16 B/doc; gate its broadcast on the
+    // doc count (the arrays never travel, so the byte estimate is just
+    // row count — 48 MB covers ~1M docs at ~56 B/row in the relation).
+    val nDocs = lists.count()
+    def szSide(frame: DataFrame): DataFrame =
+      if (nDocs * 56L <= maxBroadcastBytes) broadcast(frame)
       else frame.hint("shuffle_hash")
-    val verified = cand
-      .join(docSide(lists.select(col("id").as("id_a"), col("ts").as("ts_a"),
-        col("sz").as("sz_a"))), "id_a")
-      .join(docSide(lists.select(col("id").as("id_b"),
-        col("ts").as("ts_b"))), "id_b")
-      .withColumn("n_shared", nShared)
+    val verified = co
+      .join(szSide(lists.select(col("id").as("id_a"), col("sz").as("sz_a"))),
+        "id_a")
       .withColumn("containment_bp", expr("(n_shared * 10000) div sz_a"))
       .filter(col("containment_bp") >= thresholdBp)
       .select(col("id_a"), col("id_b"), col("n_shared"),
