@@ -190,4 +190,64 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // Random-corpus generator for the exact similarity joins: 6-12 docs,
+  // each 3-12 words from a 10-word vocabulary — small enough that the
+  // driver-side brute force is trivially correct, adversarial enough
+  // that set sizes collide with every ceil/floor boundary of the
+  // integer-bp threshold math (the r15 positional filter's losslessness
+  // rides exactly that arithmetic).
+  private val corpusGen: Gen[(List[String], Int)] = for {
+    n <- Gen.choose(6, 12)
+    docs <- Gen.listOfN(n, for {
+      k <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(k, Gen.oneOf(
+        "ash", "birch", "cedar", "dew", "elm", "fern",
+        "gale", "hazel", "iris", "juno"))
+    } yield ws.mkString(" "))
+    t <- Gen.oneOf(5000, 6000, 6666, 7500, 9000, 10000)
+  } yield (docs, t)
+
+  private def tokSet(s: String): Set[String] =
+    s.trim.split("\\s+").toSet
+
+  test("property: prefixFilterPairs == driver brute force on random corpora") {
+    forAllN(corpusGen, n = 8) { case (docs, t) =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .prefixFilterPairs(df, "doc_id", "text", thresholdBp = t)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val sets = docs.map(tokSet).zipWithIndex
+      val want = (for {
+        (a, i) <- sets; (b, j) <- sets if i < j
+        inter = (a & b).size.toLong
+        bp = inter * 10000L / (a.size + b.size - inter)
+        if bp >= t
+      } yield (i.toLong, j.toLong, inter, bp)).toSet
+      assert(got === want, s"threshold=$t docs=$docs")
+    }
+  }
+
+  test("property: containmentPairs == driver brute force on random corpora") {
+    forAllN(corpusGen, n = 8) { case (docs, t) =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .containmentPairs(df, "doc_id", "text", thresholdBp = t)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val sets = docs.map(tokSet).zipWithIndex
+      val want = (for {
+        (a, i) <- sets; (b, j) <- sets if i != j
+        inter = (a & b).size.toLong if inter > 0
+        bp = inter * 10000L / a.size
+        if bp >= t
+      } yield (i.toLong, j.toLong, inter, bp)).toSet
+      assert(got === want, s"threshold=$t docs=$docs")
+    }
+  }
 }
