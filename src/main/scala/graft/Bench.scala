@@ -83,7 +83,10 @@ object Bench {
         val n = p.getName
         if (n.startsWith("CodeHeap")) {
           used += p.getUsage.getUsed / 1048576.0
-          max += p.getUsage.getMax / 1048576.0
+          // getMax is -1 when the pool is unbounded/undefined — clamp so
+          // the artifact's max can't silently go negative and be misread
+          // as a real measurement by the adjudication counters.
+          max += math.max(0L, p.getUsage.getMax) / 1048576.0
         } else if (n == "Metaspace") meta = p.getUsage.getUsed / 1048576.0
       }
     (math.rint(used * 10) / 10, math.rint(max * 10) / 10,
@@ -529,8 +532,14 @@ object Bench {
         // os_load: the host's 1-min load average at sample end. On a
         // shared box, load >> this JVM's own core use marks the sample
         // as contention weather (pairs with task_cpu_ms above).
-        val osLoad = math.rint(java.lang.management.ManagementFactory
-          .getOperatingSystemMXBean.getSystemLoadAverage * 10) / 10
+        // getSystemLoadAverage returns -1.0 on unsupported platforms —
+        // record null there so an absent measurement can't be misread
+        // as a (negative) real one.
+        val osLoadRaw = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        val osLoad =
+          if (osLoadRaw < 0) "null"
+          else (math.rint(osLoadRaw * 10) / 10).toString
         val ccJson = s""","code_cache_mb":$ccUsed,"code_cache_max_mb":$ccMax,"metaspace_mb":$metaUsed,"os_load":$osLoad"""
         val extra = phase + phases + ccJson
         val merged =

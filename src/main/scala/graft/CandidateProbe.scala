@@ -26,6 +26,9 @@ object CandidateProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // JSON-escape the interpolated path: a quote or backslash in a
+    // caller-supplied path must not produce an invalid artifact line.
+    val pathJson = path.replace("\\", "\\\\").replace("\"", "\\\"")
     try {
       val docs = spark.read.parquet(path)
       for (positional <- Seq(false, true)) {
@@ -33,7 +36,7 @@ object CandidateProbe {
         val row = operators.Dedup.prefixFilterCandidateProfile(
           docs, "doc_id", "text", thresholdBp, shingle, positional).head()
         val sec = math.rint((System.nanoTime() - t0) / 1e7) / 100
-        println(s"""{"path":"$path","threshold_bp":$thresholdBp,"shingle":$shingle,"positional":$positional,"n_docs":${row.getLong(0)},"raw_candidates":${row.getLong(4)},"distinct_pairs":${row.getLong(5)},"sec":$sec}""")
+        println(s"""{"path":"$pathJson","threshold_bp":$thresholdBp,"shingle":$shingle,"positional":$positional,"n_docs":${row.getLong(0)},"raw_candidates":${row.getLong(4)},"distinct_pairs":${row.getLong(5)},"sec":$sec}""")
       }
     } finally spark.stop()
   }

@@ -74,15 +74,59 @@ object Dedup {
       bands: Int = 4,
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    val (base, _, raw) = lshCandidates(df, idCol, contentCol, k, bands, shingleN)
+    try {
+      val cand = raw.distinct() // a pair may collide in several bands
+      val a = base.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("sh").as("sh_a"))
+      val b = base.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("sh").as("sh_b"))
+      val pairs = cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("est_jaccard",
+          aggregate(
+            zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") / k)
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+      // Eagerly materialize the (small) verified-pair list so the returned
+      // plan no longer references `base`, then release it — otherwise the
+      // signature+shingle cache outlives the call and accumulates across
+      // queries in a long-lived session. NOTE: the returned frame is
+      // itself backed by locally-checkpointed blocks (that is what makes
+      // dropping `base` safe); a long-lived session accumulating many
+      // results should release them once consumed — e.g. unpersist via
+      // sparkContext.getPersistentRDDs, as the bench harness does
+      // between queries.
+      pairs.localCheckpoint()
+    } finally base.unpersist()
+  }
+
+  /** The shared signature+banding machinery of [[minhashLsh]] and its
+    * candidate probe: (persisted signature table, banded frame, raw
+    * band-join candidate rows BEFORE pair dedup). Caller owns the
+    * persist lifecycle (release `base` in a finally — the probe and the
+    * operator both localCheckpoint their outputs first).
+    *
+    * Signatures+shingle-hash sets are consumed three times (banding,
+    * then both sides of the verify join) — materialize once instead of
+    * recomputing the md5 pass per use. Shingles travel as 32-bit hash
+    * sets, not strings: Jaccard over the hash sets is identical modulo
+    * md5 collisions (mirrored by the oracle), and the verify join
+    * shuffles long arrays instead of text. This is the standard shape
+    * at scale too: the signature table is tiny next to the corpus. */
+  private def lshCandidates(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      k: Int,
+      bands: Int,
+      shingleN: Int): (DataFrame, DataFrame, DataFrame) = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    // Signatures+shingle-hash sets are consumed three times (banding,
-    // then both sides of the verify join) — materialize once instead of
-    // recomputing the md5 pass per use. Shingles travel as 32-bit hash
-    // sets, not strings: Jaccard over the hash sets is identical modulo
-    // md5 collisions (mirrored by the oracle), and the verify join
-    // shuffles long arrays instead of text. This is the standard shape
-    // at scale too: the signature table is tiny next to the corpus.
     val base = df
       .select(col(idCol).as("id"),
         text.shingleHashes(col(contentCol), shingleN).as("hs"))
@@ -90,45 +134,59 @@ object Dedup {
         text.minhashFromHashes(col("hs"), k).as("sig"),
         array_distinct(col("hs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
     // band value = the rows-per-band slice of the signature, stringified
     val banded = base.select(col("id"), explode(array((0 until bands).map(b =>
       struct(lit(b).as("band_id"),
         concat_ws("_", transform(slice(col("sig"), b * rows + 1, rows),
           x => x.cast("string"))).as("band_key"))): _*)).as("band"))
-
-    val cand = banded.as("l").join(banded.as("r"),
+    val raw = banded.as("l").join(banded.as("r"),
       col("l.band") === col("r.band") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct() // a pair may collide in several bands
+    (base, banded, raw)
+  }
 
-    val a = base.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("sh").as("sh_a"))
-    val b = base.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("sh").as("sh_b"))
-    val pairs = cand.join(a, "id_a").join(b, "id_b")
-      .withColumn("est_jaccard",
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / k)
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
-    // Eagerly materialize the (small) verified-pair list so the returned
-    // plan no longer references `base`, then release it — otherwise the
-    // signature+shingle cache outlives the call and accumulates across
-    // queries in a long-lived session. NOTE: the returned frame is
-    // itself backed by locally-checkpointed blocks (that is what makes
-    // dropping `base` safe); a long-lived session accumulating many
-    // results should release them once consumed — e.g. unpersist via
-    // sparkContext.getPersistentRDDs, as the bench harness does
-    // between queries.
-    val out = pairs.localCheckpoint()
-    base.unpersist()
-    out
+  /** Candidate-volume probe for [[minhashLsh]]'s banding — the same
+    * honesty contract as [[prefixFilterCandidateProfile]] /
+    * [[simhashBlockedCandidateProfile]]: ONE row of exact counts from
+    * the operator's own signature pass and join keys (shared
+    * [[lshCandidates]]), counting in place of verification.
+    *
+    * Columns: n_docs; raw_candidates (band-join output rows BEFORE pair
+    * dedup — what the shuffle and the distinct actually carry; each
+    * band bucket of size s contributes s·(s-1)/2 of these, so a
+    * duplicate-heavy corpus goes QUADRATIC in its largest near-dup
+    * group with no warning from the recall math); distinct_pairs (after
+    * pair dedup — the verify-join input); max_bucket (largest single
+    * band bucket — the skew signal: one mega-bucket serializes into one
+    * task even when totals look fine). Run this on a corpus slice
+    * before trusting the LSH path at scale, and COLLAPSE EXACT
+    * DUPLICATES FIRST ([[exactByHash]]): exact copies share every band
+    * by construction, so a group of m copies inflates raw_candidates by
+    * bands·m²/2 while telling the near-dup search nothing. */
+  def lshCandidateProfile(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      k: Int = 16,
+      bands: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    val (base, banded, raw) = lshCandidates(
+      df, idCol, contentCol, k, bands, shingleN)
+    try {
+      val n = base.count()
+      val maxRow = banded
+        .groupBy(col("band")).agg(count(lit(1)).as("s"))
+        .agg(max(col("s"))).head()
+      val maxBucket = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      raw.agg(
+        count(lit(1)).as("raw_candidates"),
+        count_distinct(struct(col("id_a"), col("id_b"))).as("distinct_pairs"))
+        .select(lit(n).as("n_docs"), lit(k).as("k"), lit(bands).as("bands"),
+          lit(shingleN).as("shingle_n"),
+          col("raw_candidates"), col("distinct_pairs"),
+          lit(maxBucket).as("max_bucket"))
+        .localCheckpoint()
+    } finally base.unpersist()
   }
 
   /** Incremental corpus dedup — classify each INCOMING document against
@@ -177,40 +235,41 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inc = sigs(incoming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exactIdx = cor.groupBy(col("h")).agg(min(col("id")).as("exact_id"))
 
-    val exactIdx = cor.groupBy(col("h")).agg(min(col("id")).as("exact_id"))
+      // Band-bucket equi-join: only (id, band) pairs shuffle; a candidate
+      // pair exists iff some band collides (LSH OR-construction).
+      val cand = banded(inc).as("l")
+        .join(banded(cor).withColumnRenamed("id", "cid").as("r"),
+          col("l.band") === col("r.band"))
+        .select(col("id"), col("cid"))
+        .distinct()
+      val near = cand
+        .join(inc.select(col("id"), col("sh")), "id")
+        .join(cor.select(col("id").as("cid"), col("sh").as("csh")), "cid")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh"), col("csh"))).cast("double") /
+            size(array_union(col("sh"), col("csh"))))
+        .filter(col("jaccard") >= threshold)
+        .groupBy(col("id")).agg(min(col("cid")).as("near_id"))
 
-    // Band-bucket equi-join: only (id, band) pairs shuffle; a candidate
-    // pair exists iff some band collides (LSH OR-construction).
-    val cand = banded(inc).as("l")
-      .join(banded(cor).withColumnRenamed("id", "cid").as("r"),
-        col("l.band") === col("r.band"))
-      .select(col("id"), col("cid"))
-      .distinct()
-    val near = cand
-      .join(inc.select(col("id"), col("sh")), "id")
-      .join(cor.select(col("id").as("cid"), col("sh").as("csh")), "cid")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh"), col("csh"))).cast("double") /
-          size(array_union(col("sh"), col("csh"))))
-      .filter(col("jaccard") >= threshold)
-      .groupBy(col("id")).agg(min(col("cid")).as("near_id"))
-
-    val out = inc.select(col("id"), col("h"))
-      .join(exactIdx, Seq("h"), "left")
-      .join(near, Seq("id"), "left")
-      .select(col("id"),
-        when(col("exact_id").isNotNull, lit("exact_dup"))
-          .when(col("near_id").isNotNull, lit("near_dup"))
-          .otherwise(lit("unique")).as("status"),
-        coalesce(col("exact_id"), col("near_id")).as("match_id"))
-    // Materialize (batch-classification-sized) so the returned plan
-    // drops its reference to the persisted signature tables, then
-    // release them — same lifecycle discipline as minhashLsh above.
-    val res = out.localCheckpoint()
-    cor.unpersist()
-    inc.unpersist()
-    res
+      val out = inc.select(col("id"), col("h"))
+        .join(exactIdx, Seq("h"), "left")
+        .join(near, Seq("id"), "left")
+        .select(col("id"),
+          when(col("exact_id").isNotNull, lit("exact_dup"))
+            .when(col("near_id").isNotNull, lit("near_dup"))
+            .otherwise(lit("unique")).as("status"),
+          coalesce(col("exact_id"), col("near_id")).as("match_id"))
+      // Materialize (batch-classification-sized) so the returned plan
+      // drops its reference to the persisted signature tables, then
+      // release them — same lifecycle discipline as minhashLsh above.
+      out.localCheckpoint()
+    } finally {
+      cor.unpersist()
+      inc.unpersist()
+    }
   }
 
   /** Per-document 60-bit SimHash over whitespace tokens: tokens hash to
@@ -261,23 +320,23 @@ object Dedup {
     // across the aliased subtrees, verified via Explain).
     val sh = simhash(df, idCol, contentCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunked = sh.withColumn("chunk",
-      explode(array((0 until 4).map(i => struct(
-        lit(i).as("chunk_id"),
-        shiftright(col("simhash"), i * 15).bitwiseAND(0x7FFF)
-          .as("chunk_val"))): _*)))
-    val pairs = chunked.as("l").join(chunked.as("r"),
-      col("l.chunk") === col("r.chunk") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.simhash").as("h_a"), col("r.simhash").as("h_b")).distinct()
-      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast(LongType))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-    // Materialize the (small) verified-pair list, then release the
-    // signature cache — same contract as minhashLsh above.
-    val out = pairs.localCheckpoint()
-    sh.unpersist()
-    out
+    try {
+      val chunked = sh.withColumn("chunk",
+        explode(array((0 until 4).map(i => struct(
+          lit(i).as("chunk_id"),
+          shiftright(col("simhash"), i * 15).bitwiseAND(0x7FFF)
+            .as("chunk_val"))): _*)))
+      val pairs = chunked.as("l").join(chunked.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          col("l.simhash").as("h_a"), col("r.simhash").as("h_b")).distinct()
+        .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast(LongType))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      // Materialize the (small) verified-pair list, then release the
+      // signature cache — same contract as minhashLsh above.
+      pairs.localCheckpoint()
+    } finally sh.unpersist()
   }
 
   /** SimHash near-dup pairs via MULTI-BLOCK banding (the Manku/Jain/
@@ -308,24 +367,24 @@ object Dedup {
       blocks: Int = 6): DataFrame = {
     val sh = simhash(df, idCol, contentCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The banding self-join is hinted shuffle_hash: at the 5M-doc deep
-    // point the keyed frame is C(b,k)·n rows (280M at b=8) and the
-    // default SMJ SORTS both sides — measured 17.7 GB memory / 13.6 GB
-    // disk spill and 205 s wall for a join whose output is only ~13M
-    // candidates. A hash join builds one ~40-byte-row partition of one
-    // side (bounded by AQE partition sizing) and streams the other:
-    // no sort, no spill. Same fix class as prefixFilterPairs' verify.
-    val keyed = blockedKeyed(sh, maxHamming, blocks).hint("shuffle_hash")
-    val pairs = keyed.as("l").join(keyed.as("r"),
-      col("l.ck") === col("r.ck") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.simhash").as("h_a"), col("r.simhash").as("h_b")).distinct()
-      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast(LongType))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-    val out = pairs.localCheckpoint()
-    sh.unpersist()
-    out
+    try {
+      // The banding self-join is hinted shuffle_hash: at the 5M-doc deep
+      // point the keyed frame is C(b,k)·n rows (280M at b=8) and the
+      // default SMJ SORTS both sides — measured 17.7 GB memory / 13.6 GB
+      // disk spill and 205 s wall for a join whose output is only ~13M
+      // candidates. A hash join builds one ~40-byte-row partition of one
+      // side (bounded by AQE partition sizing) and streams the other:
+      // no sort, no spill. Same fix class as prefixFilterPairs' verify.
+      val keyed = blockedKeyed(sh, maxHamming, blocks).hint("shuffle_hash")
+      val pairs = keyed.as("l").join(keyed.as("r"),
+        col("l.ck") === col("r.ck") && col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          col("l.simhash").as("h_a"), col("r.simhash").as("h_b")).distinct()
+        .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast(LongType))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      pairs.localCheckpoint()
+    } finally sh.unpersist()
   }
 
   /** The multi-block banding key frame: one (id, simhash, ck) row per
@@ -378,22 +437,22 @@ object Dedup {
     val nTables = (0 until blocks).combinations(k).size
     val sh = simhash(df, idCol, contentCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = sh.count()
-    // same shuffle_hash rationale as the operator's own banding join
-    val keyed = blockedKeyed(sh, maxHamming, blocks).hint("shuffle_hash")
-    val joined = keyed.as("l").join(keyed.as("r"),
-      col("l.ck") === col("r.ck") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-    val counts = joined.agg(
-      count(lit(1)).as("raw_candidates"),
-      count_distinct(struct(col("id_a"), col("id_b"))).as("distinct_pairs"))
-    val out = counts.select(
-      lit(n).as("n_docs"), lit(blocks).as("blocks"),
-      lit(maxHamming).as("max_hamming"), lit(nTables).as("n_tables"),
-      lit(keyBits).as("key_bits"),
-      col("raw_candidates"), col("distinct_pairs")).localCheckpoint()
-    sh.unpersist()
-    out
+    try {
+      val n = sh.count()
+      // same shuffle_hash rationale as the operator's own banding join
+      val keyed = blockedKeyed(sh, maxHamming, blocks).hint("shuffle_hash")
+      val joined = keyed.as("l").join(keyed.as("r"),
+        col("l.ck") === col("r.ck") && col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      val counts = joined.agg(
+        count(lit(1)).as("raw_candidates"),
+        count_distinct(struct(col("id_a"), col("id_b"))).as("distinct_pairs"))
+      counts.select(
+        lit(n).as("n_docs"), lit(blocks).as("blocks"),
+        lit(maxHamming).as("max_hamming"), lit(nTables).as("n_tables"),
+        lit(keyBits).as("key_bits"),
+        col("raw_candidates"), col("distinct_pairs")).localCheckpoint()
+    } finally sh.unpersist()
   }
 
   /** Direct n-gram Jaccard similarity over a bounded id set (exact,
@@ -537,16 +596,16 @@ object Dedup {
       positional: Boolean = true): DataFrame = {
     val (lists, raw) = ppjoinCandidates(
       df, idCol, contentCol, thresholdBp, shingle, positional)
-    val n = lists.count()
-    val out = raw.agg(
-      count(lit(1)).as("raw_candidates"),
-      count_distinct(struct(col("id_a"), col("id_b"))).as("distinct_pairs"))
-      .select(lit(n).as("n_docs"), lit(thresholdBp).as("threshold_bp"),
-        lit(shingle).as("shingle"), lit(positional).as("positional"),
-        col("raw_candidates"), col("distinct_pairs"))
-      .localCheckpoint()
-    lists.unpersist()
-    out
+    try {
+      val n = lists.count()
+      raw.agg(
+        count(lit(1)).as("raw_candidates"),
+        count_distinct(struct(col("id_a"), col("id_b"))).as("distinct_pairs"))
+        .select(lit(n).as("n_docs"), lit(thresholdBp).as("threshold_bp"),
+          lit(shingle).as("shingle"), lit(positional).as("positional"),
+          col("raw_candidates"), col("distinct_pairs"))
+        .localCheckpoint()
+    } finally lists.unpersist()
   }
 
   def prefixFilterPairs(
@@ -557,6 +616,7 @@ object Dedup {
       shingle: Int = 1): DataFrame = {
     val (lists, raw) = ppjoinCandidates(
       df, idCol, contentCol, thresholdBp, shingle, positional = true)
+    try {
     val cand = raw.distinct()
     // Verify joins: candidates outnumber docs ~60:1 here and each
     // carries two full token arrays once joined, so the default SMJ
@@ -604,9 +664,8 @@ object Dedup {
         "(n_shared * 10000) div (sz_a + sz_b - n_shared)"))
       .filter(col("jaccard_bp") >= thresholdBp)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_bp"))
-    val out = verified.localCheckpoint()
-    lists.unpersist()
-    out
+    verified.localCheckpoint()
+    } finally lists.unpersist()
   }
 
   /** Directed token-set CONTAINMENT join: pairs (a, b) where at least
@@ -647,6 +706,26 @@ object Dedup {
     * containment then means A's PHRASES appear in B — the actual
     * quote/excerpt signal.
     *
+    * ==Co-occurrence mass is the cost model — budget it==
+    * The default `shingle = 1` on a NATURAL-LANGUAGE corpus is the
+    * degenerate regime: stopwords have df ≈ n_docs, so Σ df(w)² alone
+    * is ~k·n_docs² for the k head words — quadratic in the corpus no
+    * matter how rare every other token is. (The r15 measurement that
+    * justified this form used a shingled synthetic corpus with max df
+    * 25; word-level natural text does NOT look like that.) The
+    * operator computes the mass BEFORE committing to the join (one
+    * cheap aggregate over the index) and enforces `coMassBudget`:
+    * above it, it throws with the measured mass instead of silently
+    * launching a join that shuffles mass × 24 bytes; above a tenth of
+    * it, it logs a warning. The fixes, in order: `shingle >= 2`
+    * (per-shingle df small, phrase containment — the actual
+    * quote/excerpt signal), or strip the boilerplate head first (see
+    * Curation.boilerplateProfile), or raise the budget deliberately if
+    * mass × 24 B of shuffle is genuinely intended. The default budget
+    * (2e9 rows ≈ 48 GB of join traffic) is cluster-sized headroom that
+    * still catches n² blowups early: 1M docs × a df≈n stopword alone
+    * would be 1e12.
+    *
     * EAGER since r15 (same contract and reasons as
     * [[prefixFilterPairs]]): construction materializes the result
     * through a localCheckpoint so the doc-count-sized persist can be
@@ -656,7 +735,8 @@ object Dedup {
       idCol: String,
       contentCol: String,
       thresholdBp: Int = 9000,
-      shingle: Int = 1): DataFrame = {
+      shingle: Int = 1,
+      coMassBudget: Long = 2000000000L): DataFrame = {
     require(shingle >= 1, s"shingle must be >= 1 (got $shingle)")
     // Persisted: the token-set table feeds the index (whose self-join
     // exchange is reused across both sides), the doc-size dimension,
@@ -672,50 +752,63 @@ object Dedup {
         .withColumn("sz", size(col("ts")).cast(LongType))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val ex = lists.select(col("id"), explode(col("ts")).as("tok"))
-    // Partition the index join by its OUTPUT mass, not its input: AQE
-    // coalesces the tok exchange by input bytes (~24 B/occurrence),
-    // but the join fans each token out to df(w)² rows, so on a
-    // co-occurrence-heavy corpus the coalesced partitions each carry
-    // 10x their input and the partial count aggregate spills (measured
-    // at the 500k-doc deep point: 40 GB spill accounting, per-copy
-    // task time 1.9x the x1 rate). Σ df(w)² is one cheap aggregate
-    // over the persisted index and IS the join's output row count —
-    // explicit repartition by it is the user-specified partitioning
-    // AQE respects. 24 B/row, ~64 MB per partition target.
-    val coMassRow = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .agg(sum(col("df") * col("df"))).head()
-    val coMass = if (coMassRow.isNullAt(0)) 0L else coMassRow.getLong(0)
-    val parts = math.max(
-      df.sparkSession.sparkContext.defaultParallelism,
-      math.min(4096L, coMass * 24L / (64L << 20) + 1L).toInt)
-    val exP = ex.repartition(parts, col("tok"))
-    // Identical subtrees on both sides: the exchange on tok plans once
-    // and is reused. Partial count aggregation runs in the join's own
-    // stage, so what shuffles after it is pair-count-sized (24 B/row),
-    // never join-output-sized.
-    val co = exP.select(col("id").as("id_a"), col("tok"))
-      .join(exP.select(col("id").as("id_b"), col("tok")), Seq("tok"))
-      .filter(col("id_a") =!= col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    // The doc-size dimension is 16 B/doc; gate its broadcast on the
-    // doc count (the arrays never travel, so the byte estimate is just
-    // row count — 48 MB covers ~1M docs at ~56 B/row in the relation).
-    val nDocs = lists.count()
-    def szSide(frame: DataFrame): DataFrame =
-      if (nDocs * 56L <= maxBroadcastBytes) broadcast(frame)
-      else frame.hint("shuffle_hash")
-    val verified = co
-      .join(szSide(lists.select(col("id").as("id_a"), col("sz").as("sz_a"))),
-        "id_a")
-      .withColumn("containment_bp", expr("(n_shared * 10000) div sz_a"))
-      .filter(col("containment_bp") >= thresholdBp)
-      .select(col("id_a"), col("id_b"), col("n_shared"),
-        col("containment_bp"))
-    val out = verified.localCheckpoint()
-    lists.unpersist()
-    out
+    try {
+      val ex = lists.select(col("id"), explode(col("ts")).as("tok"))
+      // Σ df(w)² is one cheap aggregate over the persisted index and IS
+      // the join's output row count — the cost model, the budget gate,
+      // and (below) the partitioning in one number.
+      val coMassRow = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .agg(sum(col("df") * col("df"))).head()
+      val coMass = if (coMassRow.isNullAt(0)) 0L else coMassRow.getLong(0)
+      if (coMass > coMassBudget) throw new IllegalArgumentException(
+        s"containmentPairs: co-occurrence mass Σ df(w)² = $coMass rows " +
+          s"exceeds coMassBudget = $coMassBudget (the index self-join " +
+          s"would shuffle ~${coMass * 24L >> 20} MB). The corpus has a " +
+          "degenerate document-frequency head for this element size — " +
+          "use shingle >= 2 (phrase containment; per-shingle df stays " +
+          "small), strip boilerplate first (Curation.boilerplateProfile " +
+          "locates it), or raise coMassBudget deliberately.")
+      if (coMass > coMassBudget / 10)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"containmentPairs: co-occurrence mass $coMass rows is within " +
+            s"10x of coMassBudget $coMassBudget — the df head of this " +
+            "corpus is getting expensive; consider shingle >= 2 or " +
+            "boilerplate removal before the next scale-up.")
+      // Partition the index join by its OUTPUT mass, not its input: AQE
+      // coalesces the tok exchange by input bytes (~24 B/occurrence),
+      // but the join fans each token out to df(w)² rows, so on a
+      // co-occurrence-heavy corpus the coalesced partitions each carry
+      // 10x their input and the partial count aggregate spills (measured
+      // at the 500k-doc deep point: 40 GB spill accounting, per-copy
+      // task time 1.9x the x1 rate). Explicit repartition by the output
+      // mass is the user-specified partitioning AQE respects (helper
+      // extracted to [[OutputMass]]). 24 B/row, ~64 MB per partition.
+      val exP = OutputMass.repartitionByOutputMass(ex, coMass, 24L, col("tok"))
+      // Identical subtrees on both sides: the exchange on tok plans once
+      // and is reused. Partial count aggregation runs in the join's own
+      // stage, so what shuffles after it is pair-count-sized (24 B/row),
+      // never join-output-sized.
+      val co = exP.select(col("id").as("id_a"), col("tok"))
+        .join(exP.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      // The doc-size dimension is 16 B/doc; gate its broadcast on the
+      // doc count (the arrays never travel, so the byte estimate is just
+      // row count — 48 MB covers ~1M docs at ~56 B/row in the relation).
+      val nDocs = lists.count()
+      def szSide(frame: DataFrame): DataFrame =
+        if (nDocs * 56L <= maxBroadcastBytes) broadcast(frame)
+        else frame.hint("shuffle_hash")
+      val verified = co
+        .join(szSide(lists.select(col("id").as("id_a"), col("sz").as("sz_a"))),
+          "id_a")
+        .withColumn("containment_bp", expr("(n_shared * 10000) div sz_a"))
+        .filter(col("containment_bp") >= thresholdBp)
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          col("containment_bp"))
+      verified.localCheckpoint()
+    } finally lists.unpersist()
   }
 
   /** Sorted-neighborhood candidate generation (the classic
@@ -836,12 +929,12 @@ object Dedup {
     val materialized = pairs
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val nEdges = materialized.count()
     if (nEdges <= driverEdgeThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val edges = materialized.collect().map(r => (r.getLong(0), r.getLong(1)))
-      materialized.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var root = x
@@ -866,11 +959,11 @@ object Dedup {
       return parent.keys.toSeq.sorted.map(id => (id, find(id)))
         .toDF("id", "label")
     }
-    val out = connectedComponentsDistributed(materialized, maxIter)
-    // `out` is localCheckpoint-ed inside the loop, so its plan no longer
-    // references the edge list — safe to release here.
-    materialized.unpersist()
-    out
+    // The distributed result is localCheckpoint-ed inside the loop, so
+    // its plan no longer references the edge list — safe for the finally
+    // to release it (and a thrown job no longer leaks the cache either).
+    connectedComponentsDistributed(materialized, maxIter)
+    } finally materialized.unpersist()
   }
 
   /** Distributed fallback: iterative min-label propagation with path

@@ -112,14 +112,99 @@ object syntax {
 
     /** Directed containment join (quote/excerpt detection: id_a's set
       * >= threshold inside id_b's) — see [[Dedup.containmentPairs]].
-      * `shingle` > 1 = hashed-shingle scale form (phrase containment,
-      * zero-allocation verify). */
+      *
+      * PREFER `shingle >= 2` on natural-language corpora: the cost is
+      * the co-occurrence mass Σ df(w)², and at word level stopwords
+      * have df ≈ corpus size, so the default `shingle = 1` goes
+      * quadratic in n_docs regardless of how rare the rest of the
+      * vocabulary is. The operator measures the mass before joining
+      * and fails loudly above `coMassBudget` (with a pointer to
+      * [[boilerplateProfile]] for corpora whose head is removable);
+      * shingling is the structural fix — phrase containment is also
+      * the actual quote/excerpt signal. */
     def containedInPairs(
         idCol: String,
         contentCol: String,
         thresholdBp: Int = 9000,
-        shingle: Int = 1): DataFrame =
-      Dedup.containmentPairs(df, idCol, contentCol, thresholdBp, shingle)
+        shingle: Int = 1,
+        coMassBudget: Long = 2000000000L): DataFrame =
+      Dedup.containmentPairs(
+        df, idCol, contentCol, thresholdBp, shingle, coMassBudget)
+
+    /** Incremental corpus dedup: classify THIS frame (the incoming
+      * batch) against `corpus` — exact_dup / near_dup / unique with the
+      * smallest matching corpus id. EAGER; see [[Dedup.dedupAgainst]]
+      * (per-batch cost scales with the batch plus index size, never
+      * corpus²). */
+    def dedupAgainst(
+        corpus: DataFrame,
+        idCol: String,
+        contentCol: String,
+        k: Int = 8,
+        bands: Int = 4,
+        shingleN: Int = 1,
+        threshold: Double = 0.5): DataFrame =
+      Dedup.dedupAgainst(
+        corpus, df, idCol, contentCol, k, bands, shingleN, threshold)
+
+    /** Sorted-neighborhood blocking pairs (shared-prefix duplicate
+      * families at linear cost) — see
+      * [[Dedup.sortedNeighborhoodPairs]]. Lazy, single shuffle. */
+    def sortedNeighborhoodPairs(
+        idCol: String,
+        contentCol: String,
+        blockPrefixLen: Int = 8,
+        windowSize: Int = 3,
+        thresholdBp: Int = 5000): DataFrame =
+      Dedup.sortedNeighborhoodPairs(
+        df, idCol, contentCol, blockPrefixLen, windowSize, thresholdBp)
+
+    /** SimHash near-dup pairs via Manku multi-block banding — the scale
+      * form of the simhash family (recall-complete by pigeonhole, key
+      * width grows with the corpus). EAGER; see
+      * [[Dedup.simhashDupBlocked]]. */
+    def simhashDupPairs(
+        idCol: String,
+        contentCol: String,
+        maxHamming: Int = 3,
+        blocks: Int = 6): DataFrame =
+      Dedup.simhashDupBlocked(df, idCol, contentCol, maxHamming, blocks)
+
+    /** Candidate-volume probe for [[similarPairs]]' PPJoin filter
+      * ladder (exact counts, no verification) — see
+      * [[Dedup.prefixFilterCandidateProfile]]. EAGER, one row. */
+    def similarPairsProfile(
+        idCol: String,
+        contentCol: String,
+        thresholdBp: Int = 6000,
+        shingle: Int = 1,
+        positional: Boolean = true): DataFrame =
+      Dedup.prefixFilterCandidateProfile(
+        df, idCol, contentCol, thresholdBp, shingle, positional)
+
+    /** Candidate-volume probe for [[simhashDupPairs]]' (blocks,
+      * maxHamming) banding knob — see
+      * [[Dedup.simhashBlockedCandidateProfile]]. EAGER, one row. */
+    def simhashDupProfile(
+        idCol: String,
+        contentCol: String,
+        maxHamming: Int = 3,
+        blocks: Int = 6): DataFrame =
+      Dedup.simhashBlockedCandidateProfile(
+        df, idCol, contentCol, maxHamming, blocks)
+
+    /** Candidate-volume probe for [[nearDupPairs]]' LSH banding —
+      * raw/distinct candidate counts plus the largest band bucket (the
+      * quadratic-group warning [[Dedup.lshCandidateProfile]]'s scaladoc
+      * explains; collapse exact duplicates with [[dedupExact]] first).
+      * EAGER, one row. */
+    def nearDupProfile(
+        idCol: String,
+        contentCol: String,
+        k: Int = 16,
+        bands: Int = 4,
+        shingleN: Int = 3): DataFrame =
+      Dedup.lshCandidateProfile(df, idCol, contentCol, k, bands, shingleN)
 
     /** Native as-of (point-in-time) left join — the custom merge
       * operator, see [[graft.plans.AsOfNative.asofJoinLeft]]. Right

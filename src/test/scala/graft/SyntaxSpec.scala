@@ -63,6 +63,29 @@ class SyntaxSpec extends SparkSpec {
           thresholdBp = 5000, shingle = 3)) ===
         rows(Dedup.prefixFilterPairs(docs, "doc_id", "text", 5000, 3)))
     }
+    // r16 additions: the remaining Dedup operators and candidate
+    // probes. Lazy ones assert plan identity; eager ones (localCheckpoint
+    // at construction) assert result equality, per the convention above.
+    samePlan(
+      docs.sortedNeighborhoodPairs("doc_id", "text", windowSize = 2),
+      Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text", windowSize = 2))
+    locally {
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy(d.columns.head, d.columns(1)).collect().map(_.toSeq).toSeq
+      val corpus = docs.filter($"doc_id" < 3)
+      val incoming = docs.filter($"doc_id" >= 3)
+      assert(rows(incoming.dedupAgainst(corpus, "doc_id", "text")) ===
+        rows(Dedup.dedupAgainst(corpus, incoming, "doc_id", "text")))
+      assert(rows(docs.simhashDupPairs("doc_id", "text")) ===
+        rows(Dedup.simhashDupBlocked(docs, "doc_id", "text")))
+      assert(rows(docs.similarPairsProfile("doc_id", "text", shingle = 3)) ===
+        rows(Dedup.prefixFilterCandidateProfile(
+          docs, "doc_id", "text", shingle = 3)))
+      assert(rows(docs.simhashDupProfile("doc_id", "text")) ===
+        rows(Dedup.simhashBlockedCandidateProfile(docs, "doc_id", "text")))
+      assert(rows(docs.nearDupProfile("doc_id", "text", k = 8)) ===
+        rows(Dedup.lshCandidateProfile(docs, "doc_id", "text", k = 8)))
+    }
     locally {
       val right = docs.select($"doc_id".as("rid"),
         lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("rt"))
