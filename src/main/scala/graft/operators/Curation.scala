@@ -257,6 +257,52 @@ object Curation {
         (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Apply a planned source mixture, INCLUDING upsampling — the missing
+    * half of mixture planning (the planner caps nothing here: a source
+    * whose rate is 25000 bp contributes each document 2 or 3 times).
+    *
+    * `plan` is a tiny (source, rate_bp) table — the output of a
+    * planning step (q188's shape, uncapped). Each document's copy
+    * count is exact integer arithmetic with a deterministic md5
+    * residue for the fractional part:
+    *
+    *   copies = rate_bp div 10000
+    *            + (1 if md5_32(seed:text) mod 10000 < rate_bp mod 10000)
+    *
+    * so E[copies] = rate_bp/10000 per document, reproducible across
+    * runs/engines/partitionings (the same integer discipline as the
+    * systematic sampler), downsampling (rate < 10000: copies ∈ {0,1})
+    * and upsampling (rate > 10000) through ONE formula. Output = input
+    * rows replicated with a `copy_idx` column (0-based) so downstream
+    * packing/shuffling can tell copies apart.
+    *
+    * Scale shape: the plan joins as a broadcast (it is bounded by the
+    * number of sources); the replication is a narrow explode of a
+    * row-local sequence — ZERO shuffles, output size exactly the
+    * planned mass. Unmatched sources get rate 10000 (pass-through) —
+    * planning decided the mixture; silence dropping a source the plan
+    * never saw would be a data-loss trap. */
+  def applyMixture(
+      df: DataFrame,
+      sourceCol: String,
+      plan: DataFrame,
+      contentCol: String,
+      seed: Int = 11): DataFrame = {
+    val rated = df.join(
+      broadcast(plan.select(col(sourceCol), col("rate_bp"))),
+      Seq(sourceCol), "left")
+      .withColumn("__rate", coalesce(col("rate_bp"), lit(10000L)))
+      .withColumn("__copies",
+        (col("__rate") / 10000L).cast(LongType) +
+          when(text.md5Hash32(col(contentCol), seed) % 10000L <
+            col("__rate") % 10000L, 1L).otherwise(0L))
+    rated
+      .filter(col("__copies") > 0L)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__rate", "__copies", "rate_bp")
+  }
+
   /** Sequence-packing manifest: concatenate documents shard-by-shard in
     * a deterministic order and record, per document, which fixed-size
     * context bin its tokens start in and at what offset — the greedy

@@ -106,6 +106,44 @@ object CurationQueries {
             .as("deficit_tokens"))
     }),
 
+    // Mixture plan → APPLY, with upsampling — the loop q188 leaves
+    // open: a weighted target mixture (source weight = index + 1, so
+    // heavy sources upsample past 20000 bp and light ones downsample
+    // below 1000) is planned UNCAPPED and then applied by
+    // Curation.applyMixture — each doc replicated
+    // rate_bp div 10000 (+1 by md5 residue) times, deterministic
+    // integer arithmetic end to end, zero shuffles in the apply
+    // (broadcast plan join + narrow explode). Verified per source:
+    // rows out, distinct docs kept, token mass delivered, and the
+    // largest copy index (proof the multi-copy path actually ran).
+    "q205_mixture_apply" -> ((s, dir) => {
+      val docs = CoreQueries.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("text"),
+          text.tokenCount(col("text")).cast(LongType).as("tok"))
+      val per = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_in"), sum(col("tok")).as("n_tokens"))
+        .withColumn("w", substring(col("source"), 4, 10).cast(LongType) + 1L)
+      val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+        sum(col("w")).as("w_sum"))
+      val plan = per.crossJoin(broadcast(tot))
+        .withColumn("target_tokens", expr("total_tokens * w div w_sum"))
+        .withColumn("rate_bp", expr("target_tokens * 10000 div n_tokens"))
+      val applied = Curation.applyMixture(
+        docs, "source", plan.select(col("source"), col("rate_bp")),
+        "text", seed = 11)
+      applied.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_rows_out"),
+          countDistinct(col("doc_id")).as("n_docs_kept"),
+          sum(col("tok")).as("tokens_out"),
+          max(col("copy_idx")).as("max_copy_idx"))
+        .join(broadcast(plan.select(
+          col("source"), col("n_docs_in"), col("rate_bp"))), Seq("source"))
+        .select(col("source"), col("n_docs_in"), col("rate_bp"),
+          col("n_docs_kept"), col("n_rows_out"), col("tokens_out"),
+          col("max_copy_idx"))
+    }),
+
     // Stratified deterministic sample: 10 docs per lang, ordered by
     // content md5 (reproducible "random" with no RNG state).
     "q65_stratified_sample" -> ((s, dir) => {
@@ -514,6 +552,40 @@ object CurationQueries {
          |  CAST(greatest(0, target_tokens - n_tokens * rate_bp // 10000)
          |    AS BIGINT) AS deficit_tokens
          |FROM p""".stripMargin,
+
+    "q205_mixture_apply" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len($dTok) AS BIGINT) AS tok
+         |  FROM documents),
+         |per AS (
+         |  SELECT source, count(*) AS n_docs_in, sum(tok) AS n_tokens,
+         |    CAST(substr(source, 4) AS BIGINT) + 1 AS w
+         |  FROM d GROUP BY source),
+         |tot AS (SELECT sum(n_tokens) AS total_tokens, sum(w) AS w_sum
+         |        FROM per),
+         |plan AS (
+         |  SELECT source, n_docs_in,
+         |    CAST((total_tokens * w // w_sum) * 10000 // n_tokens AS BIGINT)
+         |      AS rate_bp
+         |  FROM per CROSS JOIN tot),
+         |ap AS (
+         |  SELECT d.source, d.doc_id, d.tok,
+         |    rate_bp // 10000 +
+         |      CASE WHEN ${dHash32(11, "d.text")} % 10000 < rate_bp % 10000
+         |        THEN 1 ELSE 0 END AS copies
+         |  FROM d JOIN plan USING (source)),
+         |agg AS (
+         |  SELECT source,
+         |    CAST(sum(copies) AS BIGINT) AS n_rows_out,
+         |    CAST(count(CASE WHEN copies > 0 THEN 1 END) AS BIGINT)
+         |      AS n_docs_kept,
+         |    CAST(sum(tok * copies) AS BIGINT) AS tokens_out,
+         |    CAST(max(copies) - 1 AS BIGINT) AS max_copy_idx
+         |  FROM ap GROUP BY source HAVING sum(copies) > 0)
+         |SELECT p.source, p.n_docs_in, p.rate_bp,
+         |  n_docs_kept, n_rows_out, tokens_out, max_copy_idx
+         |FROM agg JOIN plan p USING (source)""".stripMargin,
 
     "q62_sessionize" ->
       """WITH s AS (

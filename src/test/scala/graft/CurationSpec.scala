@@ -181,6 +181,42 @@ class CurationSpec extends SparkSpec {
         isBenchmark = col("doc_id") === 1L, n = 3, minShared = 2)))
   }
 
+  test("applyMixture: upsampling, downsampling, and pass-through in one plan") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, if (i < 20) "up" else if (i < 30) "down" else "other",
+        s"doc $i content"))
+      .toDF("doc_id", "source", "text")
+    val plan = Seq(("up", 25000L), ("down", 5000L)).toDF("source", "rate_bp")
+    val out = Curation.applyMixture(docs, "source", plan, "text", seed = 11)
+      .select($"source", $"doc_id", $"copy_idx")
+      .as[(String, Long, Long)].collect().toSeq
+    val bySrc = out.groupBy(_._1)
+    // rate 25000 bp: every doc appears 2 or 3 times, copy_idx 0..copies-1
+    val up = bySrc("up")
+    val upCopies = up.groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+    assert(upCopies.keySet === (0L until 20L).toSet) // no doc dropped
+    upCopies.values.foreach { idx =>
+      assert(idx.size == 2 || idx.size == 3)
+      assert(idx === (0L until idx.size.toLong)) // dense 0-based copy_idx
+    }
+    assert(up.size >= 40 && up.size <= 60) // E = 50
+    // rate 5000 bp: copies in {0, 1} — a strict subset survives once
+    val down = bySrc("down")
+    assert(down.map(_._2).distinct.size === down.size)
+    assert(down.forall(_._3 === 0L))
+    assert(down.size < 10)
+    // source absent from the plan: pass-through (rate 10000)
+    val other = bySrc("other")
+    assert(other.map(_._2).sorted === (30L until 40L))
+    assert(other.forall(_._3 === 0L))
+    // determinism: same output on a different partitioning
+    val out2 = Curation.applyMixture(
+      docs.repartition(7), "source", plan, "text", seed = 11)
+      .select($"source", $"doc_id", $"copy_idx")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out2.sorted === out.sorted)
+  }
+
   test("kmvDistinct: exact below k, estimate within 2x at 25 values") {
     val small = (1 to 5).map(i => ("g1", s"v$i")) // 5 distinct < k=8
     val big = (1 to 25).map(i => ("g2", s"w$i"))
