@@ -611,6 +611,63 @@ object TextQueries {
           wav, "doc_id", "payload", kind = "audio"))
         .toDF()
         .withColumnRenamed("media_id", "doc_id")
+    }),
+
+    // PPM round-trip + REAL pixel math: fabricate P6 images in-plan
+    // (header + raster bytes, pixel i = (doc_id*3 + i) mod 256, odd
+    // dimensions so the margin-drop path runs), box-filter downscale
+    // by 2 (Multimodal.resizePpm — exact integer floor-means), then
+    // re-parse the resized container (ppmInfo). The oracle computes
+    // every output dimension and the full resized pixel SUM
+    // arithmetically — any off-by-one in header parse, stride walk, or
+    // block indexing shifts the sum.
+    "q206_ppm_resize" -> ((s, dir) => {
+      val dims = t(s, dir, "documents").select(
+        col("doc_id"),
+        (lit(7) + col("doc_id") % 5).cast("long").as("w"),
+        (lit(5) + col("doc_id") % 4).cast("long").as("h"))
+      val header = concat(lit("P6\n"), col("w").cast("string"), lit(" "),
+        col("h").cast("string"), lit("\n255\n"))
+      val pixHex = concat_ws("", transform(
+        sequence(lit(0L), col("w") * col("h") * 3L - 1L),
+        i => lpad(hex(pmod(col("doc_id") * 3L + i, lit(256L))), 2, "0")))
+      val img = dims.select(col("doc_id"),
+        concat(encode(header, "US-ASCII"), unhex(pixHex)).as("payload"))
+      graft.multimodal.Multimodal.ppmInfo(
+        graft.multimodal.Multimodal.resizePpm(
+          graft.multimodal.Multimodal.asMediaTable(img, "doc_id", "payload"),
+          factor = 2))
+        .toDF()
+        .withColumnRenamed("media_id", "doc_id")
+    }),
+
+    // PPM-stream frame sampling: fabricate concatenated P6 frames (the
+    // image2pipe wire format; 3-7 frames per doc, frame f pixel i =
+    // (doc_id + f*7 + i) mod 256), keep every 2nd frame
+    // (Multimodal.sampleFrames' real header-walk — each frame's offset
+    // advances by its own parsed raster size). Oracle mirrors the kept
+    // frame set and each frame's pixel sum arithmetically.
+    "q207_frame_sample" -> ((s, dir) => {
+      val dims = t(s, dir, "documents").select(
+        col("doc_id"),
+        (lit(3) + col("doc_id") % 5).cast("long").as("nf"),
+        (lit(3) + col("doc_id") % 3).cast("long").as("w"),
+        (lit(2) + col("doc_id") % 2).cast("long").as("h"))
+      val headerHex = hex(encode(concat(lit("P6\n"),
+        col("w").cast("string"), lit(" "),
+        col("h").cast("string"), lit("\n255\n")), "US-ASCII"))
+      val framesHex = concat_ws("", transform(
+        sequence(lit(0L), col("nf") - 1L),
+        f => concat(headerHex, concat_ws("", transform(
+          sequence(lit(0L), col("w") * col("h") * 3L - 1L),
+          i => lpad(hex(pmod(col("doc_id") + f * 7L + i, lit(256L))),
+            2, "0"))))))
+      val vid = dims.select(col("doc_id"), unhex(framesHex).as("payload"))
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.asMediaTable(
+          vid, "doc_id", "payload", kind = "video"),
+        stride = 2)
+        .withColumnRenamed("media_id", "doc_id")
     }))
 
   /** Shared CTE chain producing MinHash LSH candidate pairs with exact
@@ -1243,5 +1300,40 @@ object TextQueries {
         |SELECT doc_id, channels, sample_rate, bits_per_sample, data_bytes,
         |  (data_bytes * 8000) // (CAST(sample_rate AS BIGINT)
         |    * channels * bits_per_sample) AS duration_ms
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin,
+
+    "q206_ppm_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 7 + doc_id % 5 AS w, 5 + doc_id % 4 AS h
+        |  FROM documents),
+        |opix AS (
+        |  SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh,
+        |    unnest(generate_series(0, (w // 2) * (h // 2) * 3 - 1)) AS o
+        |  FROM dims),
+        |v AS (
+        |  SELECT doc_id, ow, oh,
+        |    list_sum(list_transform(generate_series(0, 3), d ->
+        |      (doc_id * 3 + (((o // (ow * 3)) * 2 + d // 2) * w
+        |        + ((o % (ow * 3)) // 3) * 2 + d % 2) * 3 + o % 3) % 256))
+        |      // 4 AS px
+        |  FROM opix)
+        |SELECT doc_id, CAST(max(ow) AS INT) AS width,
+        |  CAST(max(oh) AS INT) AS height, CAST(255 AS INT) AS maxval,
+        |  CAST(max(ow) * max(oh) * 3 AS BIGINT) AS data_bytes,
+        |  CAST(sum(px) AS BIGINT) AS pix_sum
+        |FROM v GROUP BY doc_id""".stripMargin,
+
+    "q207_frame_sample" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 3 + doc_id % 5 AS nf, 3 + doc_id % 3 AS w,
+        |    2 + doc_id % 2 AS h
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS f
+        |  FROM dims)
+        |SELECT doc_id, CAST(f AS INT) AS frame_no, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, CAST(w * h * 3 AS INT) AS frame_bytes,
+        |  CAST(list_sum(list_transform(generate_series(0, w * h * 3 - 1),
+        |    i -> (doc_id + f * 7 + i) % 256)) AS BIGINT) AS pix_sum
+        |FROM fr WHERE f % 2 = 0""".stripMargin)
 }

@@ -110,23 +110,95 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(info.head.duration_ms === 500L)
   }
 
-  test("multimodal: resize stub downsamples deterministically with size contract") {
-    val df = Seq((1L, "abcdefghij")).toDF("id", "payload") // 10 bytes
-    val media = Multimodal.asMediaTable(df, "id", "payload")
-    val resized = Multimodal.resize(media, factor = 4).collect().head
-    assert(resized.payload.length === 3) // ceil(10/4)
-    assert(new String(resized.payload) === "aei") // every 4th byte
-    assert(resized.declared_format.endsWith("resized/4"))
+  /** Build a P6 payload: header + the given raster bytes. */
+  private def ppm(w: Int, h: Int, pix: Array[Byte], maxval: Int = 255,
+      header: String = null): Array[Byte] = {
+    val hdr = Option(header).getOrElse(s"P6\n$w $h\n$maxval\n")
+    hdr.getBytes("US-ASCII") ++ pix
   }
 
-  test("multimodal: frame sampling yields every stride-th chunk") {
-    val payload = ("x" * 640)
-    val df = Seq((1L, payload)).toDF("id", "payload")
-    val media = Multimodal.asMediaTable(df, "id", "payload", kind = "video")
-    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+  test("multimodal: PPM header parse — whitespace forms, comments, rejects") {
+    val pix = Array.fill[Byte](2 * 2 * 3)(7)
+    // canonical header
+    assert(Multimodal.parsePpmHeader(ppm(2, 2, pix)) ===
+      Some((2, 2, 255, 11))) // "P6\n2 2\n255\n" is 11 header bytes
+    // comments and mixed whitespace between tokens (netpbm-legal)
+    val weird = ppm(2, 2, pix,
+      header = "P6 # a comment\n 2\t# another\n2 \r\n255\n")
+    assert(Multimodal.parsePpmHeader(weird).map(t => (t._1, t._2, t._3)) ===
+      Some((2, 2, 255)))
+    // rejects: wrong magic, 2-byte maxval, zero dims, truncated header
+    assert(Multimodal.parsePpmHeader(ppm(2, 2, pix,
+      header = "P5\n2 2\n255\n")) === None)
+    assert(Multimodal.parsePpmHeader(ppm(2, 2, pix,
+      header = "P6\n2 2\n65535\n")) === None)
+    assert(Multimodal.parsePpmHeader(ppm(2, 2, pix,
+      header = "P6\n0 2\n255\n")) === None)
+    assert(Multimodal.parsePpmHeader("P6\n2 2".getBytes) === None)
+  }
+
+  test("multimodal: resizePpm is an exact integer box filter") {
+    // 4x2 image, factor 2 -> 2x1. Channel values chosen so the
+    // floor-mean is hand-checkable per block and channel.
+    // Block A pixels (R,G,B): (0,10,255) (1,20,255) (4,30,254) (7,40,252)
+    //   -> R (0+1+4+7)/4 = 3, G (10+20+30+40)/4 = 25, B 1016/4 = 254
+    // Block B pixels: (100,0,1) (101,1,2) (102,2,3) (107,3,6)
+    //   -> R 410/4 = 102 (floor of 102.5), G 6/4 = 1, B 12/4 = 3
+    val pix = Array[Int](
+      0, 10, 255, 1, 20, 255, 100, 0, 1, 101, 1, 2, // row 0
+      4, 30, 254, 7, 40, 252, 102, 2, 3, 107, 3, 6 // row 1
+    ).map(_.toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", ppm(4, 2, pix), "image/ppm"),
+      Multimodal.MediaRow(2L, "image", "not an image".getBytes, "raw"))
+      .toDS()
+    val out = Multimodal.resizePpm(media, factor = 2).collect()
+    assert(out.map(_.media_id).toSeq === Seq(1L)) // non-PPM rows drop
+    val r = out.head
+    assert(r.declared_format === "ppm;resized/2")
+    val Some((ow, oh, m, off)) = Multimodal.parsePpmHeader(r.payload)
+    assert((ow, oh, m) === ((2, 1, 255)))
+    assert(r.payload.drop(off).map(_ & 0xff).toSeq ===
+      Seq(3, 25, 254, 102, 1, 3))
+    // odd margins truncate: 5x3 at factor 2 -> 2x1 (not 3x2)
+    val pix53 = Array.tabulate[Byte](5 * 3 * 3)(i => (i % 251).toByte)
+    val m53 = Seq(Multimodal.MediaRow(3L, "image", ppm(5, 3, pix53),
+      "image/ppm")).toDS()
+    val Some((w2, h2, _, _)) = Multimodal.parsePpmHeader(
+      Multimodal.resizePpm(m53, factor = 2).collect().head.payload)
+    assert((w2, h2) === ((2, 1)))
+    // truncated raster is excluded, never half-summed
+    val trunc = Seq(Multimodal.MediaRow(4L, "image",
+      ppm(4, 2, pix).dropRight(5), "image/ppm")).toDS()
+    assert(Multimodal.resizePpm(trunc, factor = 2).isEmpty)
+    // ppmInfo round-trips the resized asset
+    val info = Multimodal.ppmInfo(
+      Multimodal.resizePpm(media, factor = 2)).collect().head
+    assert(info.width === 2 && info.height === 1)
+    assert(info.pix_sum === (3 + 25 + 254 + 102 + 1 + 3).toLong)
+  }
+
+  test("multimodal: sampleFrames walks a concatenated P6 stream") {
+    // three frames of DIFFERENT dimensions (the offset walk must use
+    // each frame's own raster size), stride 2 keeps frames 0 and 2
+    val f0 = ppm(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))
+    val f1 = ppm(1, 1, Array[Byte](9, 9, 9))
+    val f2 = ppm(1, 2, Array[Byte](10, 20, 30, 40, 50, 60))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", f0 ++ f1 ++ f2, "video/ppm-stream"))
+      .toDS()
+    val frames = Multimodal.sampleFrames(media, stride = 2)
       .orderBy("frame_no").collect()
-    assert(frames.map(_.getInt(1)).toSeq === Seq(0, 4, 8)) // 10 chunks, stride 4
-    assert(frames.forall(_.getInt(2) === 64))
+    assert(frames.map(_.getInt(1)).toSeq === Seq(0, 2))
+    assert(frames.map(r => (r.getInt(2), r.getInt(3))).toSeq ===
+      Seq((2, 1), (1, 2)))
+    assert(frames.map(_.getLong(5)).toSeq === Seq(21L, 210L))
+    // a truncated trailing frame stops the walk; prior frames emit
+    val cut = Seq(Multimodal.MediaRow(2L, "video",
+      f0 ++ f1 ++ f2.dropRight(2), "video/ppm-stream")).toDS()
+    val partial = Multimodal.sampleFrames(cut, stride = 1)
+      .orderBy("frame_no").collect()
+    assert(partial.map(_.getInt(1)).toSeq === Seq(0, 1))
   }
 
   test("streaming: hourly windowed agg equals batch group-by") {
