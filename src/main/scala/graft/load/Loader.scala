@@ -173,6 +173,63 @@ object Loader {
       arr("sorted_by"), arr("partition_by")))
   }
 
+  /** Advisory single-writer lease for the bucketed sink. The bucketed
+    * write sequence (existence probe → spec check/register → write →
+    * spec marker) is not atomic: two simultaneous writers can both see
+    * "no table, no files", both take the CREATE branch, and interleave
+    * mode(overwrite) output — or one appends while the other
+    * overwrites. The lease makes the race loud instead of silent: a
+    * `_graft_bucket_lock` marker is created atomically
+    * (create-if-absent; atomic on HDFS and local filesystems — object
+    * stores without atomic create narrow the window but keep the loud
+    * failure for any overlap longer than one round-trip) and deleted
+    * in a finally.
+    *
+    * CONTRACT: one writer per curated path at a time. A writer that
+    * DIED between create and delete leaves a stale lock; the error
+    * message carries the lock's pid/timestamp so an operator can
+    * verify the writer is gone and delete the marker. This sink
+    * deliberately does NOT auto-expire leases — guessing wrong about a
+    * slow-but-alive writer corrupts the table the lease exists to
+    * protect. */
+  private def bucketLockPath(outPath: String) =
+    new Path(outPath, "_graft_bucket_lock")
+
+  private def acquireBucketLease(spark: SparkSession, outPath: String): Unit = {
+    val p = bucketLockPath(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out =
+      try fs.create(p, false) // overwrite=false: atomic create-if-absent
+      catch {
+        case e: java.io.IOException =>
+          val held = try {
+            val in = fs.open(p)
+            try {
+              val buf = new Array[Byte](256)
+              val n = in.read(buf)
+              if (n > 0) new String(buf, 0, n, "UTF-8") else ""
+            } finally in.close()
+          } catch { case _: Throwable => "" }
+          sys.error(
+            s"bucketed curated sink at $outPath is locked by a " +
+              s"concurrent writer ($held). The sink is single-writer: " +
+              "wait for it to finish, or — if it crashed and left this " +
+              s"lease stale — verify the process is gone and delete $p. " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+      }
+    try out.write(
+      s"""{"pid":${ProcessHandle.current.pid},"acquired_utc_ms":${System.currentTimeMillis}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def releaseBucketLease(spark: SparkSession, outPath: String): Unit = {
+    val p = bucketLockPath(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+  }
+
   /** Deterministic catalog name for a bucketed curated sink at a path —
     * the bucket spec only exists as catalog metadata, so bucketed
     * output is table-backed (files still land at `outPath`). */
@@ -217,6 +274,10 @@ object Loader {
       "write.zorder_by is incompatible with write.bucket_by (bucket sort " +
         "keys are plain columns); use sort_within for the in-bucket tail")
     val spark = df.sparkSession
+    // Single-writer lease around the whole probe→register→write→marker
+    // sequence — see [[acquireBucketLease]] for the contract.
+    acquireBucketLease(spark, outPath)
+    try {
     val prepared = parts
       .foldLeft(df) { (d, p) =>
         if (p == "date") d.withColumn("date", col("date").cast(StringType)) else d
@@ -307,6 +368,7 @@ object Loader {
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+    } finally releaseBucketLease(spark, outPath)
   }
 
   /** S12 — storage stats via recursive listing (reference loading.py:238-273). */

@@ -219,6 +219,41 @@ class LoaderSpec extends SparkSpec {
     }
   }
 
+  test("bucketed sink: single-writer lease — a held lock fails the " +
+    "write loudly, a finished write releases it, a failed write too") {
+    val out = Files.createTempDirectory("graft-bucketed-lease").toString + "/out"
+    val cfg = PipelineConfig.default.copy(write =
+      PipelineConfig.default.write.copy(
+        partitionBy = Seq("date"),
+        bucketBy = Seq("sensor_id"), bucketCount = 4,
+        sortWithin = Seq("timestamp")))
+    // simulate a concurrent writer: its lease marker is present
+    val lock = new org.apache.hadoop.fs.Path(out, "_graft_bucket_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    val o = fs.create(lock, false)
+    o.write("""{"pid":424242,"acquired_utc_ms":0}""".getBytes("UTF-8"))
+    o.close()
+    val e = intercept[RuntimeException] {
+      Loader.write(cfg, out)(transformed())
+    }
+    assert(e.getMessage.contains("locked by a concurrent writer"))
+    assert(e.getMessage.contains("424242")) // holder's pid surfaces
+    assert(fs.exists(lock), "the contending writer must NOT steal the lease")
+    // the holder finishes: lease released, our write proceeds and
+    // releases its own lease afterwards
+    fs.delete(lock, false)
+    Loader.write(cfg, out)(transformed())
+    assert(!fs.exists(lock), "lease not released after a successful write")
+    assert(Loader.readBackBucketed(spark, out).count() === 2)
+    // a FAILING write also releases (the lease is in a finally): the
+    // spec-drift rejection path throws after acquisition
+    val drift = cfg.copy(write = cfg.write.copy(bucketCount = 8))
+    spark.sql(s"DROP TABLE `${Loader.curatedTableName(out)}`")
+    intercept[RuntimeException] { Loader.write(drift, out)(transformed()) }
+    assert(!fs.exists(lock), "lease leaked after a failed write")
+  }
+
   test("bucketed sink: cross-session re-registration validates the " +
     "persisted bucket spec and fails loudly on drift or a missing marker") {
     val out = Files.createTempDirectory("graft-bucketed-spec").toString + "/out"
