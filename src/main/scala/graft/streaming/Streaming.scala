@@ -200,7 +200,36 @@ object Streaming {
       agg: DataFrame,
       name: String,
       outputMode: String = "complete",
-      requireSingleBatch: Boolean = false): DataFrame = {
+      requireSingleBatch: Boolean = false): DataFrame =
+    runToCompletionWithHandle(
+      spark, agg, name, outputMode, requireSingleBatch)._1
+
+  /** Opaque handle to the scratch dir backing a [[runToCompletion]]
+    * result — releasable via [[release]] regardless of what the caller
+    * did to the frame's plan (the plan-matching [[releaseResult]]
+    * cannot see through a localCheckpoint/cache). Idempotent: the
+    * backing dir is deleted at most once, by whichever of release /
+    * releaseResult / the JVM-exit sweep gets there first. */
+  final class ResultHandle private[streaming] (
+      private[streaming] val dir: java.nio.file.Path)
+
+  /** Eagerly free a result by its handle. Works even when the returned
+    * frame was routed through localCheckpoint/cache (which strips the
+    * file-source relation releaseResult matches on) — the caller holds
+    * the dir identity directly, so no plan inspection is involved.
+    * Safe no-op if the result was already released by any path. */
+  def release(handle: ResultHandle): Unit =
+    if (resultDirs.remove(handle.dir)) deleteRecursively(handle.dir)
+
+  /** [[runToCompletion]], additionally returning the [[ResultHandle]]
+    * for the result's backing dir — take this form whenever the frame
+    * may be checkpointed/cached before release time. */
+  def runToCompletionWithHandle(
+      spark: SparkSession,
+      agg: DataFrame,
+      name: String,
+      outputMode: String = "complete",
+      requireSingleBatch: Boolean = false): (DataFrame, ResultHandle) = {
     val setup0 = System.nanoTime()
     // Scratch state off the disk: every state-store commit writes delta
     // files under the checkpoint, and on a harness running stateful
@@ -315,17 +344,19 @@ object Streaming {
       // empty frame with the query's schema instead of a scan error.
       val hasFiles = scala.util.Using.resource(Files.list(outDir))(
         _.anyMatch(p => p.getFileName.toString.endsWith(".parquet")))
-      if (hasFiles) spark.read.parquet(outDir.toString)
+      if (hasFiles)
+        (spark.read.parquet(outDir.toString), new ResultHandle(outDir))
       else {
         // No files -> the returned frame is a LocalRelation that
         // references no path, so releaseResult could never match the
         // registered dir; free it now instead of parking an empty
-        // entry until shutdown.
+        // entry until shutdown. The handle stays valid (release is a
+        // no-op once the dir left the registry).
         resultDirs.remove(outDir)
         deleteRecursively(outDir)
-        spark.createDataFrame(
+        (spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          agg.schema)
+          agg.schema), new ResultHandle(outDir))
       }
     } finally {
       prevNoData match {
@@ -376,11 +407,11 @@ object Streaming {
     * it). A harness query fn that routes the result through
     * `localCheckpoint`/`cache` first replaces the plan's
     * LogicalRelation with a LogicalRDD/InMemoryRelation that carries
-    * no path, so this matches nothing and the (tmpfs) dir parks until
-    * the JVM-exit sweep. None of the bench/verify query fns do that
-    * today (the only streaming checkpoint/cache uses are on INPUTS),
-    * and the shutdown-hook sweep bounds the cost of a future misuse to
-    * one run's output — but don't add one. */
+    * no path, so this matches nothing. THAT caller should take
+    * [[runToCompletionWithHandle]] and free via [[release]] — the
+    * handle carries the dir identity, so plan surgery can't hide it
+    * (closed in r16; previously such dirs parked until the JVM-exit
+    * sweep). */
   def releaseResult(df: DataFrame): Unit = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val roots: Set[String] = df.queryExecution.analyzed.collect {

@@ -201,6 +201,40 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(partial.map(_.getInt(1)).toSeq === Seq(0, 1))
   }
 
+  test("streaming: release-by-handle frees a checkpoint-routed result " +
+    "that releaseResult cannot see") {
+    val stream = Streaming.eventsStream(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val (frame, handle) = Streaming.runToCompletionWithHandle(
+      spark, Streaming.hourlyAgg(stream), "spec_handle_release")
+    // route the result through localCheckpoint: the plan's file-source
+    // relation is replaced by a LogicalRDD carrying no path
+    val routed = frame.localCheckpoint()
+    val n = routed.count()
+    assert(n > 0)
+    // find the backing dir through the ORIGINAL frame's plan (the spec
+    // needs the path to observe deletion; callers don't)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dirs = frame.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toUri.getPath).toSeq
+        case _ => Seq.empty
+      }
+    }.flatten
+    assert(dirs.nonEmpty)
+    val dir = java.nio.file.Paths.get(dirs.head)
+    // the documented limitation: plan-matching release sees nothing
+    Streaming.releaseResult(routed)
+    assert(java.nio.file.Files.exists(dir),
+      "releaseResult must not match a checkpoint-routed frame")
+    // the handle sees through it
+    Streaming.release(handle)
+    assert(!java.nio.file.Files.exists(dir), "handle release left the dir")
+    Streaming.release(handle) // idempotent
+    assert(routed.count() === n) // checkpointed result outlives the dir
+  }
+
   test("streaming: hourly windowed agg equals batch group-by") {
     val stream = Streaming.eventsStream(spark, "/root/testdata/sf0.001/events.parquet")
     val result = Streaming.runToCompletion(
