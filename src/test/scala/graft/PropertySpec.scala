@@ -231,6 +231,116 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sortedNeighborhoodPairs == driver brute force on random corpora") {
+    val bp = 4
+    val win = 3
+    forAllN(corpusGen, n = 8) { case (docs, t) =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .sortedNeighborhoodPairs(df, "doc_id", "text",
+          blockPrefixLen = bp, windowSize = win, thresholdBp = t)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      // driver brute force replicating the DEFINITION: block by the
+      // normalized prefix, sort by (64-char key, id), compare each row
+      // to its next win-1 neighbors, exact integer-bp token Jaccard.
+      val rows = docs.zipWithIndex.map { case (d, i) =>
+        val norm = d.toLowerCase.replaceAll("[^a-z0-9]", "")
+        (i.toLong, tokSet(d), norm.take(64), norm.take(bp))
+      }
+      val want = rows.groupBy(_._4).values.flatMap { block =>
+        val s = block.sortBy(r => (r._3, r._1))
+        for {
+          i <- s.indices
+          j <- 1 until win
+          if i + j < s.size
+          a = s(i); b = s(i + j)
+          inter = (a._2 & b._2).size.toLong
+          uni = (a._2 | b._2).size.toLong
+          if uni > 0 && inter * 10000 >= t.toLong * uni
+        } yield (math.min(a._1, b._1), math.max(a._1, b._1),
+          inter * 10000 / uni)
+      }.toSeq.sorted
+      assert(got === want, s"threshold=$t docs=$docs")
+    }
+  }
+
+  // Corpus + incoming-batch generator for dedupAgainst: incoming docs
+  // are a mix of verbatim corpus copies (exact path), word-reversed
+  // copies (same token SET, different text — the deterministic-recall
+  // near path: identical sets share every minhash band), and fresh
+  // random docs. Same 10-word vocabulary as corpusGen.
+  private val dedupAgainstGen: Gen[(List[String], List[String], Double)] = {
+    val word = Gen.oneOf(
+      "ash", "birch", "cedar", "dew", "elm", "fern",
+      "gale", "hazel", "iris", "juno")
+    val docGen = Gen.choose(3, 10)
+      .flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    for {
+      nc <- Gen.choose(3, 8)
+      corpus <- Gen.listOfN(nc, docGen)
+      ni <- Gen.choose(3, 8)
+      incoming <- Gen.listOfN(ni, for {
+        mode <- Gen.choose(0, 3)
+        idx <- Gen.choose(0, nc - 1)
+        fresh <- docGen
+      } yield mode match {
+        case 0 => corpus(idx)
+        case 1 => corpus(idx).split(" ").reverse.mkString(" ")
+        case _ => fresh
+      })
+      t <- Gen.oneOf(0.5, 0.75, 0.9)
+    } yield (corpus, incoming, t)
+  }
+
+  test("property: dedupAgainst is sound (verified matches) and " +
+    "deterministically complete on exact/set-identical duplicates") {
+    forAllN(dedupAgainstGen, n = 8) { case (corpusDocs, incomingDocs, t) =>
+      val corpus = corpusDocs.zipWithIndex
+        .map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text")
+      val incoming = incomingDocs.zipWithIndex
+        .map { case (d, i) => (100L + i, d) }.toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .dedupAgainst(corpus, incoming, "doc_id", "text",
+          k = 8, bands = 4, shingleN = 1, threshold = t)
+        .collect()
+        .map(r => (r.getLong(0),
+          (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+        .toMap
+      assert(got.keySet === incomingDocs.indices.map(100L + _).toSet)
+      val corpusByText = corpusDocs.zipWithIndex
+        .groupMap(_._1)(_._2.toLong)
+      def jac(a: Set[String], b: Set[String]): Double =
+        if ((a | b).isEmpty) 0.0 else (a & b).size.toDouble / (a | b).size
+      incomingDocs.zipWithIndex.foreach { case (d, i) =>
+        val (status, matchId) = got(100L + i)
+        val set = tokSet(d)
+        corpusByText.get(d) match {
+          case Some(ids) =>
+            // exact path is complete AND picks the minimum corpus id
+            assert(status === "exact_dup", s"doc=$d")
+            assert(matchId === ids.min, s"doc=$d")
+          case None =>
+            assert(status !== "exact_dup", s"doc=$d")
+            if (status == "near_dup") {
+              // soundness: the match really clears the exact-Jaccard bar
+              assert(matchId >= 0 &&
+                jac(set, tokSet(corpusDocs(matchId.toInt))) >= t,
+                s"doc=$d matched ${corpusDocs(matchId.toInt)}")
+            } else {
+              // deterministic recall floor: an identical token SET
+              // yields identical minhash signatures -> every band
+              // collides -> never classified unique (J = 1 >= t)
+              assert(!corpusDocs.exists(c => tokSet(c) == set),
+                s"set-identical duplicate classified unique: $d")
+            }
+        }
+      }
+    }
+  }
+
   test("property: containmentPairs == driver brute force on random corpora") {
     forAllN(corpusGen, n = 8) { case (docs, t) =>
       val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
