@@ -727,6 +727,68 @@ object ScaleBench {
         }
         s""","ppjoin_knob":{"corpus":"doc_x$docsCopies","threshold_bp":6000,"shingle":3,"points":[${pts.mkString(",")}]}"""
       }
+    // ---- LSH banding probe: minhashLsh's candidate volume and largest
+    // band bucket at x1 vs the deep corpus — the same honesty contract
+    // the simhash/ppjoin knobs established (exact counts from the
+    // operator's own banding keys, counting in place of verification).
+    // raw_candidates growing faster than docs = band buckets going
+    // quadratic (collapse exact dups first / re-band); max_bucket is
+    // the skew signal a total can hide. Skipped unless named, like the
+    // other knobs.
+    val lshKnobFrag =
+      if (!shapeFilter.forall(_.contains("lsh_knob"))) ""
+      else {
+        val pts = Seq(("x1", dirD1), (s"x$docsCopies", dirDN)).map {
+          case (lbl, dir) =>
+            val t0 = System.nanoTime()
+            val r = Dedup.lshCandidateProfile(
+              docsD(dir), "doc_id", "text", k = 16, bands = 4, shingleN = 3)
+              .head()
+            val sec = r4((System.nanoTime() - t0) / 1e9)
+            try releaseAll() catch { case _: Throwable => () }
+            val j = s"""{"scale":"$lbl","n_docs":${r.getAs[Long]("n_docs")},"raw_candidates":${r.getAs[Long]("raw_candidates")},"distinct_pairs":${r.getAs[Long]("distinct_pairs")},"max_bucket":${r.getAs[Long]("max_bucket")},"sec":$sec}"""
+            System.err.println(s"""{"lsh_knob":$j}""")
+            j
+        }
+        s""","lsh_knob":{"k":16,"bands":4,"shingle_n":3,"points":[${pts.mkString(",")}]}"""
+      }
+    // ---- containment co-mass guard: measure the word-level (shingle=1)
+    // degenerate regime against the shingled form at both scales with
+    // the containmentCoMass probe, then PROVE the budget gate fires —
+    // word-level containment on the deep corpus must throw (its
+    // Σ df(w)² is quadratic per replica copy) BEFORE launching the
+    // join, with the steering message. Skipped unless named.
+    val containKnobFrag =
+      if (!shapeFilter.forall(_.contains("containment_knob"))) ""
+      else {
+        val pts = for {
+          (lbl, dir) <- Seq(("x1", dirD1), (s"x$docsCopies", dirDN))
+          sh <- Seq(1, 3)
+        } yield {
+          val t0 = System.nanoTime()
+          val r = Dedup.containmentCoMass(
+            docsD(dir), "doc_id", "text", shingle = sh).head()
+          val sec = r4((System.nanoTime() - t0) / 1e9)
+          try releaseAll() catch { case _: Throwable => () }
+          val j = s"""{"scale":"$lbl","shingle":$sh,"n_docs":${r.getAs[Long]("n_docs")},"n_terms":${r.getAs[Long]("n_terms")},"max_df":${r.getAs[Long]("max_df")},"co_mass":${r.getAs[Long]("co_mass")},"sec":$sec}"""
+          System.err.println(s"""{"containment_knob":$j}""")
+          j
+        }
+        val guard =
+          try {
+            Dedup.containmentPairs(
+              docsD(dirDN), "doc_id", "text", thresholdBp = 6000, shingle = 1)
+            """"tripped":false"""
+          } catch {
+            case e: IllegalArgumentException
+              if e.getMessage.contains("coMassBudget") =>
+              val msg = e.getMessage.take(160)
+                .replace("\\", "'").replace("\"", "'")
+              s""""tripped":true,"message":"$msg""""
+          }
+        System.err.println(s"""{"containment_guard":{$guard}}""")
+        s""","containment_knob":{"points":[${pts.mkString(",")}],"guard":{$guard}}"""
+      }
 
     val entries = jobs.map { job =>
       val name = job.name
@@ -796,7 +858,7 @@ object ScaleBench {
       }
     }
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"docs_copies":$docsCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}}$knobFrag$ppjoinKnobFrag,"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"docs_copies":$docsCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}}$knobFrag$ppjoinKnobFrag$lshKnobFrag$containKnobFrag,"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
     println(out)
     // A shape-filtered run covers a subset — never let it replace the
     // artifact of record.

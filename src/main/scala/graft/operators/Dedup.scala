@@ -508,6 +508,26 @@ object Dedup {
   /** The shared candidate machinery of [[prefixFilterPairs]] and its
     * probe: returns (persisted token-set table, raw candidate rows
     * BEFORE pair dedup). Caller owns the persist lifecycle. */
+  /** The PERSISTED per-doc sorted distinct token/shingle-set table
+    * (id, ts, sz) shared by the prefix-filter and containment
+    * families. Caller owns the lifecycle (unpersist in a finally). */
+  private def tokenSetLists(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      shingle: Int): DataFrame = {
+    require(shingle >= 1, s"shingle must be >= 1 (got $shingle)")
+    // stage the token split once per row (see text.shinglesOf)
+    val tok = df.select(col(idCol).as("id"),
+      text.tokens(col(contentCol)).as("tok"))
+    val set =
+      if (shingle == 1) col("tok")
+      else text.fastShingleHashesOf(col("tok"), shingle)
+    tok.select(col("id"), sort_array(array_distinct(set)).as("ts"))
+      .withColumn("sz", size(col("ts")).cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   private def ppjoinCandidates(
       df: DataFrame,
       idCol: String,
@@ -515,7 +535,6 @@ object Dedup {
       thresholdBp: Int,
       shingle: Int,
       positional: Boolean): (DataFrame, DataFrame) = {
-    require(shingle >= 1, s"shingle must be >= 1 (got $shingle)")
     // The tokenized set table feeds SIX subplans (df-count, the
     // exploded token stream, both prefix sides, both verify sides);
     // exchange reuse dedups only the identical self-join exchanges, so
@@ -524,17 +543,7 @@ object Dedup {
     // from this persist alone). Doc-count-sized, unpersisted before
     // return; the output-sized result is localCheckpoint'd first, the
     // same lifecycle simhashDupBlocked uses.
-    val lists = {
-      // stage the token split once per row (see text.shinglesOf)
-      val tok = df.select(col(idCol).as("id"),
-        text.tokens(col(contentCol)).as("tok"))
-      val set =
-        if (shingle == 1) col("tok")
-        else text.fastShingleHashesOf(col("tok"), shingle)
-      tok.select(col("id"), sort_array(array_distinct(set)).as("ts"))
-        .withColumn("sz", size(col("ts")).cast(LongType))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val lists = tokenSetLists(df, idCol, contentCol, shingle)
     val ex = lists.select(col("id"), col("sz"), explode(col("ts")).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byId = Window.partitionBy(col("id"))
@@ -737,21 +746,11 @@ object Dedup {
       thresholdBp: Int = 9000,
       shingle: Int = 1,
       coMassBudget: Long = 2000000000L): DataFrame = {
-    require(shingle >= 1, s"shingle must be >= 1 (got $shingle)")
     // Persisted: the token-set table feeds the index (whose self-join
     // exchange is reused across both sides), the doc-size dimension,
     // and the sizing count — unpersisted, the tokenize+shingle scan
     // re-runs per subplan.
-    val lists = {
-      val tok = df.select(col(idCol).as("id"),
-        text.tokens(col(contentCol)).as("tok"))
-      val set =
-        if (shingle == 1) col("tok")
-        else text.fastShingleHashesOf(col("tok"), shingle)
-      tok.select(col("id"), sort_array(array_distinct(set)).as("ts"))
-        .withColumn("sz", size(col("ts")).cast(LongType))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val lists = tokenSetLists(df, idCol, contentCol, shingle)
     try {
       val ex = lists.select(col("id"), explode(col("ts")).as("tok"))
       // Σ df(w)² is one cheap aggregate over the persisted index and IS
@@ -808,6 +807,38 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("n_shared"),
           col("containment_bp"))
       verified.localCheckpoint()
+    } finally lists.unpersist()
+  }
+
+  /** Co-occurrence-mass probe for [[containmentPairs]] — measure the
+    * cost model BEFORE committing to a configuration: one row
+    * (n_docs, shingle, n_terms, max_df, co_mass) where co_mass =
+    * Σ df(w)² is exactly the index self-join's output row count (and
+    * budget currency) and max_df locates the head (max_df ≈ n_docs
+    * means a boilerplate/stopword element sits in every doc and the
+    * join is quadratic no matter what else is true). Same token-set
+    * pass as the operator (shared [[tokenSetLists]]). Use it to pick
+    * `shingle`/decide on boilerplate removal where a failed full run
+    * would be expensive. EAGER, one row. */
+  def containmentCoMass(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      shingle: Int = 1): DataFrame = {
+    val lists = tokenSetLists(df, idCol, contentCol, shingle)
+    try {
+      val n = lists.count()
+      lists.select(col("id"), explode(col("ts")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .agg(
+          count(lit(1)).as("n_terms"),
+          max(col("df")).as("max_df"),
+          sum(col("df") * col("df")).as("co_mass"))
+        .select(lit(n).as("n_docs"), lit(shingle).as("shingle"),
+          col("n_terms"),
+          coalesce(col("max_df"), lit(0L)).as("max_df"),
+          coalesce(col("co_mass"), lit(0L)).as("co_mass"))
+        .localCheckpoint()
     } finally lists.unpersist()
   }
 
