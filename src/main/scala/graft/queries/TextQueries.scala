@@ -117,6 +117,28 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
     }),
 
+    // LSH candidate-volume probe pinned cross-engine: raw band-join
+    // candidates (before pair dedup), distinct pairs, and the largest
+    // band bucket, against an independent DuckDB mirror of the SAME
+    // banding (q36's minhash CTE chain). The probe is the "is my
+    // corpus about to go quadratic in a band bucket" adjudicator —
+    // this oracle proves its counts are the operator's counts.
+    "q208_lsh_profile" -> ((s, dir) => {
+      Dedup.lshCandidateProfile(
+        t(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", k = 8, bands = 4, shingleN = 1)
+    }),
+
+    // Containment co-occurrence-mass probe pinned cross-engine:
+    // Σ df(w)² (the containment join's exact output row count and
+    // budget currency), the vocabulary size, and the df head, mirrored
+    // by a direct DuckDB aggregate over the distinct (doc, token)
+    // index. Word-level on purpose — the degenerate regime the
+    // coMassBudget guard exists for (max_df here ≈ corpus docs).
+    "q209_containment_mass" -> ((s, dir) =>
+      Dedup.containmentCoMass(
+        t(s, dir, "documents"), "doc_id", "text", shingle = 1)),
+
     // Direct n-gram (bigram) Jaccard pairs over a bounded id set.
     "q37_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
@@ -792,6 +814,38 @@ object TextQueries {
       s"""SELECT predicted_lang, count(*) AS n_docs
          |FROM ($langNgramCase)
          |GROUP BY predicted_lang""".stripMargin,
+
+    "q208_lsh_profile" ->
+      s"""WITH $minhashPairCtes,
+         |raw AS (
+         |  SELECT count(*) AS raw_candidates
+         |  FROM banded l JOIN banded r
+         |    ON l.b = r.b AND l.band_key = r.band_key
+         |    AND l.doc_id < r.doc_id),
+         |dp AS (SELECT count(*) AS distinct_pairs FROM cand),
+         |mb AS (SELECT max(c) AS max_bucket FROM (
+         |  SELECT count(*) AS c FROM banded GROUP BY b, band_key)),
+         |nd AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 300)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(8 AS INT) AS k,
+         |  CAST(4 AS INT) AS bands, CAST(1 AS INT) AS shingle_n,
+         |  CAST(raw_candidates AS BIGINT) AS raw_candidates,
+         |  CAST(distinct_pairs AS BIGINT) AS distinct_pairs,
+         |  CAST(max_bucket AS BIGINT) AS max_bucket
+         |FROM raw, dp, mb, nd""".stripMargin,
+
+    "q209_containment_mass" ->
+      s"""WITH ix AS (
+         |  SELECT doc_id, unnest(list_distinct($dTok)) AS tok
+         |  FROM documents),
+         |dfreq AS (SELECT tok, count(*) AS df FROM ix GROUP BY tok),
+         |agg AS (SELECT count(*) AS n_terms, max(df) AS max_df,
+         |               sum(df * df) AS co_mass FROM dfreq),
+         |nd AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(1 AS INT) AS shingle,
+         |  CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(max_df AS BIGINT) AS max_df,
+         |  CAST(co_mass AS BIGINT) AS co_mass
+         |FROM agg, nd""".stripMargin,
 
     "q36_minhash_dedup" ->
       s"""WITH $minhashPairCtes
