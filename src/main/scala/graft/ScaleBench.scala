@@ -432,9 +432,32 @@ object ScaleBench {
       // than the symmetric join's — r15 gives it a measured deep point
       // instead of an argument. Same verify lifecycle/strategy as
       // prefixFilterPairs since r15.
+      // coMassBudget raised DELIBERATELY (the documented escape hatch):
+      // the shingled form's mass is measured linear in copies
+      // (containment_knob: 2.79M/copy, max per-shingle df 63), so a
+      // deep point past ~700 copies legitimately exceeds the 2e9
+      // default without being degenerate — this is the "I know how
+      // much join traffic this is" case the parameter exists for.
       "containment" -> (dir =>
         Dedup.containmentPairs(docsD(dir), "doc_id", "text",
-          thresholdBp = 6000, shingle = 3)))
+          thresholdBp = 6000, shingle = 3, coMassBudget = 50000000000L)),
+      // Incremental corpus dedup (q160's operator) at depth — the last
+      // dedup-family row whose scale story was argued, not measured.
+      // The INCOMING batch is FIXED (the x1 corpus, 5k docs); the
+      // CORPUS grows with the scale point, so the expected exponent is
+      // ~1.0 driven by the corpus-side index build (signatures over
+      // the corpus run per call here; a production deployment persists
+      // that index between batches, making the per-batch cost the
+      // probe joins only — the operator scaladoc carries the
+      // contract). A superlinear exponent would mean the band-bucket
+      // probe quadratics in corpus size — the wall this measurement
+      // exists to catch.
+      "dedup_against" -> (dir =>
+        Dedup.dedupAgainst(
+          corpus = docsD(dir),
+          incoming = docsD(dirD1),
+          "doc_id", "text", k = 8, bands = 4, shingleN = 1,
+          threshold = 0.9)))
 
     // Similarity shapes: a FIXED 100-query set against the replicated
     // corpus — query work constant, corpus work xN. Brute force is the
