@@ -332,4 +332,78 @@ object Curation {
           - (col("__before") / capacity).cast(LongType) + 1L)
           .as("bins_spanned"))
   }
+
+  /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169), integer-exact rational variant.
+    *
+    * DSIR scores each raw document by how much more likely its hashed
+    * token bag is under a TARGET (high-quality) distribution than under
+    * the RAW distribution — log w(x) = Σ_b f_b(x)·(ln p_t(b) − ln
+    * p_r(b)) — then resamples by weight. Transcendental logs cannot be
+    * pinned across engines, so this variant keeps the paper's structure
+    * on exact integers: each bucket's evidence is the ADD-ONE-SMOOTHED
+    * PROBABILITY RATIO in micro-units,
+    *
+    *   ratio_micro(b) = (c_t(b)+1)·(R+B)·10^6 div ((c_r(b)+1)·(T+B))
+    *
+    * (c_t/c_r = target/raw token counts hashed into bucket b, T/R the
+    * corpus totals, B = nBuckets), and the document score is the
+    * LINEARIZED log-ratio Σ_b f_b(x)·(ratio_micro(b) − 10^6) — the
+    * first-order Taylor surrogate of Σ f·ln ratio, monotone in each
+    * bucket's ratio and exact in 64-bit output (inner products ride
+    * DECIMAL(38,0) so counts up to ~10^15 tokens cannot overflow).
+    *
+    * Scale shape: two map-side-combined token-bucket aggregates (raw
+    * and target — the target corpus is typically tiny next to raw), a
+    * B-row ratio table that joins BROADCAST (B ≤ 2^20 ⇒ ≤ ~16 MB), and
+    * one more map-side-combined per-doc aggregate. Nothing
+    * document-sized shuffles beyond the (id, bucket) pairs; no UDF, no
+    * floating point. Output: (idCol, n_tokens, imp_micro); imp_micro is
+    * 0-centered (a doc that looks exactly like raw scores ~0). */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 1024,
+      seed: Int = 7): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [1, 2^20], got $nBuckets")
+    def buckets(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(text.tokens(col(textCol))).as("__w"): _*)
+        .select(keep :+ (text.md5Hash32(col("__w"), seed) % nBuckets)
+          .as("__b"): _*)
+    val rawB = buckets(raw, Seq(col(idCol)))
+    val rawCnt = rawB.groupBy(col("__b")).agg(count(lit(1)).as("__c_r"))
+    val tgtCnt = buckets(target, Seq.empty)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c_t"))
+    val totals = rawCnt.agg(sum(col("__c_r")).as("__r_tot")).crossJoin(
+      tgtCnt.agg(coalesce(sum(col("__c_t")), lit(0L)).as("__t_tot")))
+    // Every token of `raw` hashes into a bucket present in rawCnt, so
+    // the left join loses nothing; buckets the target never hit get the
+    // smoothed floor c_t = 0.
+    val ratios = rawCnt.join(tgtCnt, Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"), expr(
+        s"CAST((CAST(coalesce(__c_t, 0) + 1 AS DECIMAL(38,0))" +
+          s" * (__r_tot + $nBuckets) * 1000000)" +
+          s" div (CAST(__c_r + 1 AS DECIMAL(38,0)) * (__t_tot + $nBuckets))" +
+          s" AS BIGINT)").as("__ratio_micro"))
+    rawB.join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(col("__ratio_micro") - 1000000L).cast(LongType).as("imp_micro"))
+  }
+
+  /** Deterministic importance resampling over [[importanceWeights]]
+    * output: the k highest-weight documents, ties broken by id. Plans
+    * as TakeOrderedAndProject — per-partition top-k plus a k-row driver
+    * merge, never a global sort — the only resampling shape that
+    * survives a 100 TB corpus. (The paper's Gumbel-noise sampling is
+    * replaced by the repo-wide deterministic-integer discipline.) */
+  def importanceTopK(weights: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    weights.orderBy(col("imp_micro").desc, col(idCol)).limit(k)
+  }
 }

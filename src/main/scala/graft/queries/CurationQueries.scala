@@ -144,6 +144,22 @@ object CurationQueries {
           col("max_copy_idx"))
     }),
 
+    // DSIR importance weights + deterministic resampling (Xie et al.
+    // 2023, integer-exact rational variant — Curation.importanceWeights
+    // scaladoc): target = the doc_id % 19 == 0 slice standing in for a
+    // trusted corpus, raw = all documents; hashed-unigram bucket ratios
+    // in micro-units, per-doc linearized log-ratio score, top-50 by
+    // (weight desc, id) via TakeOrderedAndProject. The oracle rebuilds
+    // the same buckets/ratios/scores from scratch in SQL.
+    "q210_dsir_weights" -> ((s, dir) => {
+      val docs = CoreQueries.spread(t(s, dir, "documents"))
+      val target = docs.filter(col("doc_id") % 19 === 0)
+      Curation.importanceTopK(
+        Curation.importanceWeights(docs, target, "doc_id", "text",
+          nBuckets = 1024, seed = 7),
+        "doc_id", 50)
+    }),
+
     // Stratified deterministic sample: 10 docs per lang, ordered by
     // content md5 (reproducible "random" with no RNG state).
     "q65_stratified_sample" -> ((s, dir) => {
@@ -586,6 +602,30 @@ object CurationQueries {
          |SELECT p.source, p.n_docs_in, p.rate_bp,
          |  n_docs_kept, n_rows_out, tokens_out, max_copy_idx
          |FROM agg JOIN plan p USING (source)""".stripMargin,
+
+    "q210_dsir_weights" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${dHash32(7, "w")} % 1024 AS b
+         |  FROM (SELECT doc_id, unnest($dTok) AS w FROM documents)),
+         |rc AS (SELECT b, count(*) AS c_r FROM tk GROUP BY 1),
+         |tc AS (SELECT b, count(*) AS c_t FROM tk
+         |       WHERE doc_id % 19 = 0 GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT count(*) FROM tk) AS r_tot,
+         |         (SELECT count(*) FROM tk WHERE doc_id % 19 = 0) AS t_tot),
+         |ratio AS (
+         |  SELECT rc.b,
+         |    CAST((CAST(coalesce(tc.c_t, 0) + 1 AS HUGEINT)
+         |        * (r_tot + 1024) * 1000000)
+         |      // (CAST(rc.c_r + 1 AS HUGEINT) * (t_tot + 1024)) AS BIGINT)
+         |      AS ratio_micro
+         |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(ratio_micro - 1000000) AS BIGINT) AS imp_micro
+         |  FROM tk JOIN ratio USING (b) GROUP BY 1)
+         |SELECT doc_id, n_tokens, imp_micro
+         |FROM sc ORDER BY imp_micro DESC, doc_id LIMIT 50""".stripMargin,
 
     "q62_sessionize" ->
       """WITH s AS (

@@ -90,6 +90,25 @@ object syntax {
         perStratum: Int): DataFrame =
       Curation.stratifiedSample(df, strataCol, hashCol, tieCol, perStratum)
 
+    /** Apply a planned source mixture (down- AND up-sampling) — see
+      * [[Curation.applyMixture]]. */
+    def applyMixture(
+        sourceCol: String,
+        plan: DataFrame,
+        contentCol: String,
+        seed: Int = 11): DataFrame =
+      Curation.applyMixture(df, sourceCol, plan, contentCol, seed)
+
+    /** DSIR-style hashed-n-gram importance weights against a target
+      * corpus — see [[Curation.importanceWeights]]. */
+    def importanceWeightsAgainst(
+        target: DataFrame,
+        idCol: String,
+        textCol: String,
+        nBuckets: Int = 1024,
+        seed: Int = 7): DataFrame =
+      Curation.importanceWeights(df, target, idCol, textCol, nBuckets, seed)
+
     /** Gap-based sessionization — see [[Curation.sessionize]]. */
     def sessionize(
         userCol: String,

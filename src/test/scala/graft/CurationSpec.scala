@@ -217,6 +217,54 @@ class CurationSpec extends SparkSpec {
     assert(out2.sorted === out.sorted)
   }
 
+  test("importanceWeights: matches a driver brute force; deterministic " +
+      "under partitioning; topK orders by (weight desc, id)") {
+    val docsMap = Map(
+      1L -> "alpha beta beta gamma", 2L -> "alpha alpha delta",
+      3L -> "gamma gamma gamma epsilon", 4L -> "beta delta zeta zeta",
+      5L -> "alpha gamma")
+    val raw = docsMap.toSeq.toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" <= 2) // target favors alpha
+    val nB = 64; val seed = 7
+    val out = Curation
+      .importanceWeights(raw, target, "doc_id", "text", nB, seed)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    // Driver brute force with the operator's exact integer arithmetic.
+    def bucket(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$w".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % nB
+    }
+    val rawToks = docsMap.toSeq.flatMap { case (id, t) =>
+      t.split("\\s+").map(w => (id, bucket(w))) }
+    val tgtToks = rawToks.filter(_._1 <= 2L)
+    val cR = rawToks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cT = tgtToks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (rTot, tTot) = (rawToks.size.toLong, tgtToks.size.toLong)
+    def ratioMicro(b: Long): Long =
+      ((BigInt(cT.getOrElse(b, 0L)) + 1) * (rTot + nB) * 1000000 /
+        ((BigInt(cR(b)) + 1) * (tTot + nB))).toLong
+    val expected = rawToks.groupBy(_._1).map { case (id, ts) =>
+      (id, ts.size.toLong, ts.map(t => ratioMicro(t._2) - 1000000L).sum)
+    }.toSeq.sortBy(_._1)
+    assert(out === expected)
+    // target-heavy docs (1, 2) must outscore the target-absent doc 3
+    val byId = out.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) > byId(3L) && byId(2L) > byId(3L))
+
+    val out2 = Curation.importanceWeights(
+      raw.repartition(5), target, "doc_id", "text", nB, seed)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out2 === out)
+
+    val top = Curation.importanceTopK(
+      Curation.importanceWeights(raw, target, "doc_id", "text", nB, seed),
+      "doc_id", 2).as[(Long, Long, Long)].collect().toSeq
+    assert(top === expected.sortBy(e => (-e._3, e._1)).take(2))
+  }
+
   test("kmvDistinct: exact below k, estimate within 2x at 25 values") {
     val small = (1 to 5).map(i => ("g1", s"v$i")) // 5 distinct < k=8
     val big = (1 to 25).map(i => ("g2", s"w$i"))

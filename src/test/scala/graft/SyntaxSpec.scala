@@ -42,6 +42,16 @@ class SyntaxSpec extends SparkSpec {
     samePlan(
       docs.contaminationAgainst(col("doc_id") === 1L, "doc_id", "text"),
       Curation.contamination(docs, "doc_id", "text", col("doc_id") === 1L))
+    locally {
+      val plan = Seq(("a", 25000L)).toDF("source", "rate_bp")
+      val src = docs.withColumn("source", lit("a"))
+      samePlan(src.applyMixture("source", plan, "text"),
+        Curation.applyMixture(src, "source", plan, "text"))
+    }
+    samePlan(docs.importanceWeightsAgainst(
+        docs.filter(col("doc_id") === 1L), "doc_id", "text"),
+      Curation.importanceWeights(
+        docs, docs.filter(col("doc_id") === 1L), "doc_id", "text"))
     // containmentPairs is EAGER (r15) — result equality, like
     // similarPairs below.
     locally {
