@@ -398,7 +398,37 @@ object ScaleBench {
       // probe points).
       "simhash_deep" -> (dir =>
         Dedup.simhashDupBlocked(docsD(dir), "doc_id", "text",
-          maxHamming = 3, blocks = 6)))
+          maxHamming = 3, blocks = 6)),
+      // DSIR importance weights (q210's operator) at depth: three
+      // token passes (raw bucket counts, target bucket counts, score
+      // join against the broadcast 1024-row ratio table), all
+      // map-side-combined aggregates over (id, bucket) pairs — expected
+      // exponent ~1.0 in corpus tokens. The target is the same %19
+      // slice at BOTH scales, so target-side work grows with the
+      // corpus too; production pins the trusted corpus while raw
+      // grows, so this measures the worse case.
+      "dsir_weights" -> (dir =>
+        graft.operators.Curation.importanceTopK(
+          graft.operators.Curation.importanceWeights(docsD(dir),
+            docsD(dir).filter(col("doc_id") % 19 === 0),
+            "doc_id", "text", nBuckets = 1024, seed = 7),
+          "doc_id", 50)),
+      // Mixture apply (q205's operator) at depth: a broadcast 20-row
+      // plan (rates 5000-25000 bp — down- AND up-sampling), copy counts
+      // by md5 residue, replication via a narrow explode. ZERO
+      // shuffles; output mass = the planned ~1.5x input rows of full
+      // text. Linear by construction — the measurement guards the
+      // explode-with-payload path, the one place a regression would
+      // hide (e.g. a shuffle sneaking in ahead of the explode).
+      "mixture_apply" -> (dir => {
+        val plan = spark.range(20).select(
+          concat(lit("src"), col("id")).as("source"),
+          ((col("id") % 5 + 1) * 5000L).as("rate_bp"))
+        graft.operators.Curation.applyMixture(
+          docsD(dir).withColumn("source",
+            concat(lit("src"), col("doc_id") % 20)),
+          "source", plan, "text", seed = 11)
+      }))
     // PPJoin-class prefix-filter join: oracle-covered (q138/q202) but
     // previously without a deep point — its candidate growth is the
     // next most likely hidden wall of the same class the simhash x100

@@ -265,6 +265,23 @@ class CurationSpec extends SparkSpec {
     assert(top === expected.sortBy(e => (-e._3, e._1)).take(2))
   }
 
+  test("importanceWeights plan shape: ratio table joins broadcast, " +
+      "topK plans as TakeOrderedAndProject, no sort-merge join") {
+    val raw = Seq((1L, "a b c"), (2L, "b c d"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val top = Curation.importanceTopK(
+      Curation.importanceWeights(
+        raw, raw.filter($"doc_id" === 1L), "doc_id", "text", 64, 7),
+      "doc_id", 2)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"topK must not global-sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ratio join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing here may sort-merge:\n$plan")
+  }
+
   test("kmvDistinct: exact below k, estimate within 2x at 25 values") {
     val small = (1 to 5).map(i => ("g1", s"v$i")) // 5 distinct < k=8
     val big = (1 to 25).map(i => ("g2", s"w$i"))
