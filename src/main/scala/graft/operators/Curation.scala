@@ -333,6 +333,66 @@ object Curation {
           .as("bins_spanned"))
   }
 
+  /** Maximal duplicated-span detection over OVERLAPPING token n-gram
+    * windows — the exact-substring-dedup signal of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) at token granularity. Differs from
+    * [[removeDuplicatedSegments]] (disjoint fixed-width segments) in
+    * both recall and output: every token POSITION whose n-gram window
+    * occurs in >= minDf distinct documents is duplicated, and runs of
+    * consecutive duplicated positions merge into MAXIMAL spans — a
+    * duplicated passage longer than n reports as ONE span with exact
+    * token boundaries, however the segment grid would have cut it.
+    *
+    * Mechanics: posexplode the n-gram windows, count distinct docs per
+    * window (full 32-hex md5 keys — truncated hashes would collide at
+    * corpus scale and merge unrelated windows), keep duplicated
+    * positions, then per doc one window pass turns position runs into
+    * spans (gap > 1 token starts a new span; a span [p1..p2] covers
+    * tokens p1 .. p2+n-1, 0-based).
+    *
+    * Scale shape: window-hash df is one map-side-combined aggregate;
+    * the dup-position join is hash-keyed; the run-merge window sorts
+    * positions PER DOCUMENT (bounded by doc length, never corpus-
+    * global). Output is span-sized, not position-sized. Docs shorter
+    * than n tokens have no windows and report no spans. */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minDf: Int = 2,
+      fastHash: Boolean = false): DataFrame = {
+    require(n > 0 && minDf > 1, s"need n > 0 and minDf > 1, got $n/$minDf")
+    val gramHash: Column => Column =
+      if (fastHash) xxhash64(_).cast("string") else md5(_)
+    val grams = df
+      .select(col(idCol), text.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__t")) - n),
+        k => gramHash(concat_ws(" ", slice(col("__t"), k + 1, lit(n))))))
+        .as(Seq("pos", "__h")))
+    val dup = grams.join(
+      grams.groupBy(col("__h"))
+        .agg(countDistinct(col(idCol)).as("__df"))
+        .filter(col("__df") >= minDf)
+        .select(col("__h")),
+      Seq("__h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dup
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(w) === 1, 0L).otherwise(1L))
+      .withColumn("span_id", sum(col("__new")).over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(
+        min(col("pos")).cast(LongType).as("start_tok"),
+        (max(col("pos")) + (n - 1)).cast(LongType).as("end_tok"))
+      .withColumn("span_tokens", col("end_tok") - col("start_tok") + 1L)
+  }
+
   /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling",
     * arXiv:2302.03169), integer-exact rational variant.

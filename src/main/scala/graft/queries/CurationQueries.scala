@@ -160,6 +160,18 @@ object CurationQueries {
         "doc_id", 50)
     }),
 
+    // Maximal duplicated-span detection (Lee et al. 2022 exact-substring
+    // signal, token granularity): overlapping 5-gram windows, df >= 2
+    // distinct docs, consecutive duplicated positions merged into
+    // maximal spans with exact token boundaries. Oracle mirrors the
+    // window hash, df filter, and the run-merge (pos - row_number
+    // grouping) independently.
+    "q211_dup_spans" -> ((s, dir) => {
+      Curation.duplicatedSpans(
+        CoreQueries.spread(t(s, dir, "documents")),
+        "doc_id", "text", n = 5, minDf = 2)
+    }),
+
     // Stratified deterministic sample: 10 docs per lang, ordered by
     // content md5 (reproducible "random" with no RNG state).
     "q65_stratified_sample" -> ((s, dir) => {
@@ -626,6 +638,36 @@ object CurationQueries {
          |  FROM tk JOIN ratio USING (b) GROUP BY 1)
          |SELECT doc_id, n_tokens, imp_micro
          |FROM sc ORDER BY imp_micro DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q211_dup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $dTok AS t FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, t,
+         |    unnest(generate_series(0, len(t) - 5)) AS pos
+         |  FROM toks WHERE len(t) >= 5),
+         |g AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    md5(array_to_string(t[pos+1:pos+5], ' ')) AS h
+         |  FROM g0),
+         |dfh AS (
+         |  SELECT h FROM g GROUP BY h
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT doc_id, pos FROM g JOIN dfh USING (h)),
+         |r AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS grp
+         |  FROM d),
+         |sp AS (
+         |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+         |    CAST(max(pos) + 4 AS BIGINT) AS end_tok
+         |  FROM r GROUP BY doc_id, grp)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+         |    AS BIGINT) AS span_id,
+         |  start_tok, end_tok, end_tok - start_tok + 1 AS span_tokens
+         |FROM sp""".stripMargin,
 
     "q62_sessionize" ->
       """WITH s AS (

@@ -48,6 +48,16 @@ object syntax {
       Curation.removeDuplicatedSegments(
         df, idCol, textCol, segTokens, maxDf, fastHash)
 
+    /** Maximal duplicated-span detection (overlapping n-gram windows,
+      * exact token boundaries) — see [[Curation.duplicatedSpans]]. */
+    def duplicatedSpans(
+        idCol: String,
+        textCol: String,
+        n: Int = 5,
+        minDf: Int = 2,
+        fastHash: Boolean = false): DataFrame =
+      Curation.duplicatedSpans(df, idCol, textCol, n, minDf, fastHash)
+
     /** Cross-document boilerplate profile — see
       * [[Curation.boilerplateProfile]]. */
     def boilerplateProfile(

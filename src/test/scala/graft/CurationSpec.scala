@@ -217,6 +217,33 @@ class CurationSpec extends SparkSpec {
     assert(out2.sorted === out.sorted)
   }
 
+  test("duplicatedSpans: overlapping windows merge to maximal spans, " +
+      "multiple spans split on gaps, short docs report nothing") {
+    val df = Seq(
+      (1L, "one two three four five six seven u1 u2 u3"),
+      (2L, "x1 one two three four five six seven x2 x3"),
+      (3L, "a b c d e GAPX GAPY p q r s t"),
+      (4L, "a b c d e MID1 MID2 p q r s t"),
+      (5L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = Curation.duplicatedSpans(df, "doc_id", "text", n = 5, minDf = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      .toSeq
+    assert(out === Seq(
+      // 7-token shared passage: 3 consecutive dup windows -> ONE span
+      (1L, 1L, 0L, 6L, 7L),
+      (2L, 1L, 1L, 7L, 7L),
+      // two disjoint 5-token shared regions -> two spans per doc
+      (3L, 1L, 0L, 4L, 5L), (3L, 2L, 7L, 11L, 5L),
+      (4L, 1L, 0L, 4L, 5L), (4L, 2L, 7L, 11L, 5L)))
+    // fastHash variant: identical spans
+    val fast = Curation.duplicatedSpans(
+      df, "doc_id", "text", n = 5, minDf = 2, fastHash = true)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      .toSeq
+    assert(fast === out)
+  }
+
   test("importanceWeights: matches a driver brute force; deterministic " +
       "under partitioning; topK orders by (weight desc, id)") {
     val docsMap = Map(

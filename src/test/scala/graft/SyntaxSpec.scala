@@ -33,6 +33,8 @@ class SyntaxSpec extends SparkSpec {
       Dedup.exactByHash(docs, "doc_id", "text"))
     samePlan(docs.dropDuplicatedSegments("doc_id", "text"),
       Curation.removeDuplicatedSegments(docs, "doc_id", "text"))
+    samePlan(docs.duplicatedSpans("doc_id", "text"),
+      Curation.duplicatedSpans(docs, "doc_id", "text"))
     samePlan(docs.boilerplateProfile("doc_id", "text"),
       Curation.boilerplateProfile(docs, "doc_id", "text"))
     samePlan(docs.chunk("doc_id", "text", size = 4, stride = 2),
