@@ -413,6 +413,21 @@ object ScaleBench {
             docsD(dir).filter(col("doc_id") % 19 === 0),
             "doc_id", "text", nBuckets = 1024, seed = 7),
           "doc_id", 50)),
+      // Duplicated-span detection (q211's operator) at depth: the
+      // position-explode is token-sized, the window-hash df aggregate
+      // map-side combines, the dup join is hash-keyed, and the
+      // run-merge window sorts per DOCUMENT only. The per-copy cipher
+      // keeps window vocab disjoint across copies, so duplicated spans
+      // stay intra-copy and output grows linearly — a superlinear
+      // exponent here would mean the df join or the per-doc window
+      // stopped scaling with tokens. Runs the fastHash (xxhash64 LONG
+      // key) path — the corpus-scale configuration; the md5-string
+      // default measured te 1.0765 with 2.8 GB of 32-char-key shuffle
+      // at 50M windows (partial artifact), which is exactly the cost
+      // the scaladoc's key-width paragraph quantifies.
+      "dup_spans" -> (dir =>
+        graft.operators.Curation.duplicatedSpans(docsD(dir),
+          "doc_id", "text", n = 5, minDf = 2, fastHash = true)),
       // Mixture apply (q205's operator) at depth: a broadcast 20-row
       // plan (rates 5000-25000 bp — down- AND up-sampling), copy counts
       // by md5 residue, replication via a narrow explode. ZERO

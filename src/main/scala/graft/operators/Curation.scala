@@ -355,7 +355,17 @@ object Curation {
     * the dup-position join is hash-keyed; the run-merge window sorts
     * positions PER DOCUMENT (bounded by doc length, never corpus-
     * global). Output is span-sized, not position-sized. Docs shorter
-    * than n tokens have no windows and report no spans. */
+    * than n tokens have no windows and report no spans.
+    *
+    * Key width: the md5 default shuffles 32-char string keys — exact
+    * at any scale and mirrorable in the oracle, but ~4x the shuffle
+    * bytes of `fastHash = true`, which keys on a raw xxhash64 LONG
+    * (measured: 2.8 GB → 0.8 GB window-key shuffle at 50M windows,
+    * task_exponent 1.08 → ~1.0). A 64-bit collision merges two
+    * unrelated windows with probability ~#windows²/2^65 (≈10⁻⁵ at a
+    * million windows, a handful expected at 10^9) — the corpus-scale
+    * configuration, same trade the segment/boilerplate operators
+    * document. */
   def duplicatedSpans(
       df: DataFrame,
       idCol: String,
@@ -365,7 +375,7 @@ object Curation {
       fastHash: Boolean = false): DataFrame = {
     require(n > 0 && minDf > 1, s"need n > 0 and minDf > 1, got $n/$minDf")
     val gramHash: Column => Column =
-      if (fastHash) xxhash64(_).cast("string") else md5(_)
+      if (fastHash) xxhash64(_) else md5(_)
     val grams = df
       .select(col(idCol), text.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= n)
