@@ -406,12 +406,15 @@ object ScaleBench {
       // exponent ~1.0 in corpus tokens. The target is the same %19
       // slice at BOTH scales, so target-side work grows with the
       // corpus too; production pins the trusted corpus while raw
-      // grows, so this measures the worse case.
+      // grows, so this measures the worse case. fastHash (xxhash64
+      // buckets) is the scale configuration — the md5 default
+      // allocates a 32-char string per token and measured ~24 s GC of
+      // a 40 s wall at 5M docs; the oracle-exact md5 form stays q210's.
       "dsir_weights" -> (dir =>
         graft.operators.Curation.importanceTopK(
           graft.operators.Curation.importanceWeights(docsD(dir),
             docsD(dir).filter(col("doc_id") % 19 === 0),
-            "doc_id", "text", nBuckets = 1024, seed = 7),
+            "doc_id", "text", nBuckets = 1024, seed = 7, fastHash = true),
           "doc_id", 50)),
       // Duplicated-span detection (q211's operator) at depth: the
       // position-explode is token-sized, the window-hash df aggregate

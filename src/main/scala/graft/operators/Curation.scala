@@ -430,20 +430,30 @@ object Curation {
     * one more map-side-combined per-doc aggregate. Nothing
     * document-sized shuffles beyond the (id, bucket) pairs; no UDF, no
     * floating point. Output: (idCol, n_tokens, imp_micro); imp_micro is
-    * 0-centered (a doc that looks exactly like raw scores ~0). */
+    * 0-centered (a doc that looks exactly like raw scores ~0).
+    *
+    * `fastHash = true` buckets tokens by xxhash64 instead of md5 — the
+    * bucket assignment only needs uniformity, and the md5 path
+    * allocates a 32-char string per token (measured: ~60% of the deep
+    * point's GC at 500M tokens). md5 stays the default because it is
+    * the cross-engine-mirrorable form the oracle replays. */
   def importanceWeights(
       raw: DataFrame,
       target: DataFrame,
       idCol: String,
       textCol: String,
       nBuckets: Int = 1024,
-      seed: Int = 7): DataFrame = {
+      seed: Int = 7,
+      fastHash: Boolean = false): DataFrame = {
     require(nBuckets > 0 && nBuckets <= (1 << 20),
       s"nBuckets must be in [1, 2^20], got $nBuckets")
+    val bucketOf: Column => Column =
+      if (fastHash) c => pmod(xxhash64(concat(lit(s"$seed:"), c)),
+        lit(nBuckets.toLong))
+      else c => text.md5Hash32(c, seed) % nBuckets
     def buckets(df: DataFrame, keep: Seq[Column]): DataFrame =
       df.select(keep :+ explode(text.tokens(col(textCol))).as("__w"): _*)
-        .select(keep :+ (text.md5Hash32(col("__w"), seed) % nBuckets)
-          .as("__b"): _*)
+        .select(keep :+ bucketOf(col("__w")).as("__b"): _*)
     val rawB = buckets(raw, Seq(col(idCol)))
     val rawCnt = rawB.groupBy(col("__b")).agg(count(lit(1)).as("__c_r"))
     val tgtCnt = buckets(target, Seq.empty)

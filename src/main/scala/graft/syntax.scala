@@ -116,8 +116,10 @@ object syntax {
         idCol: String,
         textCol: String,
         nBuckets: Int = 1024,
-        seed: Int = 7): DataFrame =
-      Curation.importanceWeights(df, target, idCol, textCol, nBuckets, seed)
+        seed: Int = 7,
+        fastHash: Boolean = false): DataFrame =
+      Curation.importanceWeights(
+        df, target, idCol, textCol, nBuckets, seed, fastHash)
 
     /** Gap-based sessionization — see [[Curation.sessionize]]. */
     def sessionize(

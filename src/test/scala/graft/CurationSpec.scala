@@ -290,6 +290,22 @@ class CurationSpec extends SparkSpec {
       Curation.importanceWeights(raw, target, "doc_id", "text", nB, seed),
       "doc_id", 2).as[(Long, Long, Long)].collect().toSeq
     assert(top === expected.sortBy(e => (-e._3, e._1)).take(2))
+
+    // fastHash (xxhash64 buckets): different bucket assignment, same
+    // contract — per-doc token counts identical, deterministic under
+    // repartitioning, target-heavy docs still outscore target-absent.
+    val fast = Curation.importanceWeights(
+      raw, target, "doc_id", "text", nB, seed, fastHash = true)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fast.map(r => (r._1, r._2)) === expected.map(e => (e._1, e._2)))
+    assert(fast.map(_._3).exists(_ != 0L))
+    val fastByid = fast.map(r => r._1 -> r._3).toMap
+    assert(fastByid(1L) > fastByid(3L) && fastByid(2L) > fastByid(3L))
+    val fast2 = Curation.importanceWeights(
+      raw.repartition(3), target, "doc_id", "text", nB, seed,
+      fastHash = true)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fast2 === fast)
   }
 
   test("importanceWeights plan shape: ratio table joins broadcast, " +
