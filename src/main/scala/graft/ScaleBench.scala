@@ -416,21 +416,6 @@ object ScaleBench {
             docsD(dir).filter(col("doc_id") % 19 === 0),
             "doc_id", "text", nBuckets = 1024, seed = 7, fastHash = true),
           "doc_id", 50)),
-      // Duplicated-span detection (q211's operator) at depth: the
-      // position-explode is token-sized, the window-hash df aggregate
-      // map-side combines, the dup join is hash-keyed, and the
-      // run-merge window sorts per DOCUMENT only. The per-copy cipher
-      // keeps window vocab disjoint across copies, so duplicated spans
-      // stay intra-copy and output grows linearly — a superlinear
-      // exponent here would mean the df join or the per-doc window
-      // stopped scaling with tokens. Runs the fastHash (xxhash64 LONG
-      // key) path — the corpus-scale configuration; the md5-string
-      // default measured te 1.0765 with 2.8 GB of 32-char-key shuffle
-      // at 50M windows (partial artifact), which is exactly the cost
-      // the scaladoc's key-width paragraph quantifies.
-      "dup_spans" -> (dir =>
-        graft.operators.Curation.duplicatedSpans(docsD(dir),
-          "doc_id", "text", n = 5, minDf = 2, fastHash = true)),
       // Mixture apply (q205's operator) at depth: a broadcast 20-row
       // plan (rates 5000-25000 bp — down- AND up-sampling), copy counts
       // by md5 residue, replication via a narrow explode. ZERO
@@ -505,7 +490,22 @@ object ScaleBench {
           corpus = docsD(dir),
           incoming = docsD(dirD1),
           "doc_id", "text", k = 8, bands = 4, shingleN = 1,
-          threshold = 0.9)))
+          threshold = 0.9)),
+      // Duplicated-span detection (q211's operator): position explode
+      // is token-sized, the window-df aggregate rides the output-mass-
+      // sized gram exchange (OutputMass — 500M windows through 32
+      // input-byte-sized partitions measured 18.4 GB mem + 5.3 GB disk
+      // spill before the rewrite; zero after, te 1.06 → 0.91 at
+      // x1000), min≠max df test for minDf=2, shuffle_hash dup probe,
+      // run-merge window per DOCUMENT only. fastHash (xxhash64 LONG
+      // keys) is the scale configuration — the md5-string default
+      // measured 2.8 GB of 32-char-key shuffle at 50M windows. Runs at
+      // the x100 cap for the ppjoin reason: the shape is measured
+      // linear and x1000 only adds ~15 suite-minutes of the same
+      // signal (the one-off x1000 point is recorded in SCALE.md).
+      "dup_spans" -> (dir =>
+        graft.operators.Curation.duplicatedSpans(docsD(dir),
+          "doc_id", "text", n = 5, minDf = 2, fastHash = true)))
 
     // Similarity shapes: a FIXED 100-query set against the replicated
     // corpus — query work constant, corpus work xN. Brute force is the

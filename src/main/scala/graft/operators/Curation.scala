@@ -365,7 +365,20 @@ object Curation {
     * unrelated windows with probability ~#windows²/2^65 (≈10⁻⁵ at a
     * million windows, a handful expected at 10^9) — the corpus-scale
     * configuration, same trade the segment/boilerplate operators
-    * document. */
+    * document.
+    *
+    * EAGER (runs one cheap job at call time): the window-df
+    * aggregate's hash state is WINDOW-count-sized while AQE sizes its
+    * exchange by input BYTES — at 500M windows through 32 partitions
+    * that is ~600 MB of aggregate state per partition (measured:
+    * 18.4 GB memory + 5.3 GB disk spill, 2-minute GC). The fix is the
+    * containment playbook (`OutputMass`): one pre-pass counts the
+    * windows, the gram exchange is explicitly sized by that mass, and
+    * because the df aggregate and the dup-probe join consume the SAME
+    * repartition, Spark reuses the exchange — tokenize+hash runs once.
+    * For the common minDf = 2, distinct-doc counting collapses to
+    * `min(id) != max(id)` (two-value state, no Expand doubling);
+    * higher minDf pays the general countDistinct. */
   def duplicatedSpans(
       df: DataFrame,
       idCol: String,
@@ -376,19 +389,34 @@ object Curation {
     require(n > 0 && minDf > 1, s"need n > 0 and minDf > 1, got $n/$minDf")
     val gramHash: Column => Column =
       if (fastHash) xxhash64(_) else md5(_)
-    val grams = df
+    val staged = df
       .select(col(idCol), text.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= n)
-      .select(col(idCol), posexplode(transform(
+    val nWindows = staged
+      .agg(coalesce(sum((size(col("__t")) - (n - 1)).cast(LongType)),
+        lit(0L)))
+      .head.getLong(0)
+    val grams = OutputMass.repartitionByOutputMass(
+      staged.select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("__t")) - n),
         k => gramHash(concat_ws(" ", slice(col("__t"), k + 1, lit(n))))))
-        .as(Seq("pos", "__h")))
-    val dup = grams.join(
-      grams.groupBy(col("__h"))
-        .agg(countDistinct(col(idCol)).as("__df"))
-        .filter(col("__df") >= minDf)
-        .select(col("__h")),
-      Seq("__h"))
+        .as(Seq("pos", "__h"))),
+      nWindows, bytesPerRow = 48L, col("__h"))
+    val dupHashes =
+      if (minDf == 2)
+        grams.groupBy(col("__h"))
+          .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+          .filter(col("__mn") =!= col("__mx"))
+          .select(col("__h"))
+      else
+        grams.groupBy(col("__h"))
+          .agg(countDistinct(col(idCol)).as("__df"))
+          .filter(col("__df") >= minDf)
+          .select(col("__h"))
+    // shuffle_hash, never broadcast: the dup list is corpus-derived
+    // and can be corpus-sized on a duplicate-heavy corpus; an SMJ
+    // would sort the window-count-sized probe side.
+    val dup = grams.join(dupHashes.hint("shuffle_hash"), Seq("__h"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     dup
       .withColumn("__new",
