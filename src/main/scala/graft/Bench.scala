@@ -52,6 +52,16 @@ import org.apache.spark.sql.SparkSession
   * measures GC pressure instead of plan cost (r2: q61 111 s in-suite
   * vs 3.1 s isolated).
   *
+  * Quiet-box adjudication (r17): after a full run, every machine-
+  * flagged regression re-runs in a FRESH forked JVM (same options and
+  * classpath, only the flagged names as args — a targeted child run
+  * skips the pipelines, never writes bench_summary.json and never
+  * re-isolates) and the verdict lands in the artifact as
+  * isolated_sec/isolated_task_ms/isolated_os_load per flagged query
+  * plus a top-level "isolated" map. The recurring ambient 1.1-1.3x
+  * suite drift then adjudicates from the committed artifact alone.
+  * GRAFT_BENCH_ISOLATE=0 opts out.
+  *
   * Also measures the full events-table transform pipeline as records/s
   * — batch (`pipeline_e2e`) and streaming (`pipeline_stream`, append
   * foreachBatch with Trigger.AvailableNow, bounded state) — comparable
@@ -607,6 +617,13 @@ object Bench {
       name -> sec
     }
 
+    // Targeted runs (args non-empty) execute ONLY the named entries:
+    // the two pipeline figures are skipped unless named, so an
+    // iteration run — or the isolated adjudication child below — does
+    // not pay ~30 s of pipeline forcing for queries it never asked
+    // about.
+    def wanted(name: String): Boolean = args.isEmpty || args.contains(name)
+
     // End-to-end transform pipeline over events (cleaning, calibration,
     // tz shift, daily+rolling windows, z-score+range anomalies).
     val cfg = config.PipelineConfig.default.copy(
@@ -652,7 +669,9 @@ object Bench {
           progress(s"""{"query":"$name","sec":-1.0,"err":"${esc(m)}"}""")
           -1.0
       }
-    val pipeSec = guarded("pipeline_e2e", pipeOnce _)
+    val pipeSec =
+      if (wanted("pipeline_e2e")) guarded("pipeline_e2e", pipeOnce _)
+      else -2.0 // sentinel: not requested in this targeted run
     val recPerSec =
       if (pipeSec > 0) math.rint(nRecords / pipeSec) else -1.0
     if (pipeSec >= 0) progress(s"""{"query":"pipeline_e2e","sec":$pipeSec}""")
@@ -690,13 +709,18 @@ object Bench {
       releaseAll()
       sec
     }
-    val streamSec = guarded("pipeline_stream", streamOnce _)
+    val streamSec =
+      if (wanted("pipeline_stream")) guarded("pipeline_stream", streamOnce _)
+      else -2.0
     val streamRecPerSec =
       if (streamSec > 0) math.rint(streamRecords / streamSec) else -1.0
     if (streamSec >= 0)
       progress(s"""{"query":"pipeline_stream","sec":$streamSec}""")
 
-    val all = results :+ ("pipeline_e2e" -> pipeSec) :+ ("pipeline_stream" -> streamSec)
+    val all = results ++
+      (if (wanted("pipeline_e2e")) Seq("pipeline_e2e" -> pipeSec) else Nil) ++
+      (if (wanted("pipeline_stream")) Seq("pipeline_stream" -> streamSec)
+       else Nil)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors
@@ -718,6 +742,82 @@ object Bench {
     val regJson = regressions
       .map { case (k, (p, v)) => "\"" + k + "\":[" + p + "," + v + "]" }
       .mkString("{", ",", "}")
+    // Quiet-box adjudication pass (r17): every machine-flagged
+    // regression re-runs ISOLATED in a FRESH JVM after the suite — same
+    // JVM options and classpath as this process, only the flagged query
+    // names as args (the targeted-run path above skips the pipelines,
+    // and a child with args never writes bench_summary.json or
+    // re-isolates). A fresh JVM removes everything the in-suite sample
+    // cannot shed: accumulated code-cache/metaspace, G1 region history,
+    // megamorphic call sites trained by 200 other queries. The result
+    // lands in the artifact as isolated_sec (+ the child's own
+    // task/os_load counters), so the recurring ambient 1.1-1.3x suite
+    // drift (r14/r16) adjudicates from the committed artifact alone
+    // instead of costing a round of re-run prose. Opt out with
+    // GRAFT_BENCH_ISOLATE=0.
+    val isolated: Map[String, (Double, String, String)] =
+      if (args.nonEmpty || regressions.isEmpty ||
+        sys.env.get("GRAFT_BENCH_ISOLATE").contains("0")) Map.empty
+      else try {
+        import scala.jdk.CollectionConverters._
+        val javaBin = java.nio.file.Paths
+          .get(System.getProperty("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++
+          regressions.map(_._1)
+        progress(s"""{"isolate":"start","n":${regressions.size}}""")
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val proc = pb.start()
+        // Drain stdout concurrently: the child's full summary JSON can
+        // exceed the pipe buffer, and an undrained pipe deadlocks the
+        // child against waitFor.
+        val outBuf = new java.io.ByteArrayOutputStream()
+        val drainer = new Thread(() => proc.getInputStream.transferTo(outBuf))
+        drainer.setDaemon(true)
+        drainer.start()
+        val finished =
+          proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+        if (!finished) proc.destroyForcibly()
+        drainer.join(5000)
+        val stdout = outBuf.toString("UTF-8")
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val line = stdout.linesIterator
+          .find(_.startsWith("{\"metric\":\"total\"")).getOrElse("{}")
+        val root = mapper.readTree(line)
+        regressions.map(_._1).flatMap { name =>
+          val sec = root.path("queries").path(name)
+          if (!sec.isNumber) None
+          else {
+            val m = root.path("details").path(name).path("metrics")
+            def num(f: String): String = {
+              val v = m.path(f)
+              if (v.isNumber) v.asText() else "null"
+            }
+            Some(name ->
+              ((sec.asDouble, num("task_time_ms"), num("os_load"))))
+          }
+        }.toMap
+      } catch {
+        case e: Throwable =>
+          progress(s"""{"isolate":"failed","err":"${esc(e.toString.take(200))}"}""")
+          Map.empty
+      }
+    // Splice each isolated verdict into the flagged query's detail so
+    // the per-query record is self-contained...
+    isolated.foreach { case (name, (sec, taskMs, osLoad)) =>
+      details.get(name).foreach { d =>
+        details(name) =
+          d + s""","isolated_sec":$sec,"isolated_task_ms":$taskMs,"isolated_os_load":$osLoad"""
+      }
+    }
+    // ...and as a top-level map for the compact tail.
+    val isoJson = isolated
+      .map { case (k, (sec, t, l)) =>
+        "\"" + k + s"""\":{"sec":$sec,"task_ms":$t,"os_load":$l}""" }
+      .mkString("{", ",", "}")
     val detJson = details
       .map { case (k, v) => "\"" + k + "\":{" + v + "}" }
       .mkString("{", ",", "}")
@@ -729,7 +829,7 @@ object Bench {
     val leakJson =
       s"""{"n_nonzero":$leakNonzero,"max_broadcast_blocks":$leakMaxBroadcast,"cache_nonempty":$leakCacheNonEmpty,"persistent_rdds":$leakRdds}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","basis":"$basis","queries":$qs,"sf":"$sfDir","pipeline_records":$nRecords,"pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"errors":$errJson,"prev_total":$prevTotal,"regressions":$regJson,"leak_checks":$leakJson,"details":$detJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","basis":"$basis","queries":$qs,"sf":"$sfDir","pipeline_records":$nRecords,"pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"errors":$errJson,"prev_total":$prevTotal,"regressions":$regJson,"isolated":$isoJson,"leak_checks":$leakJson,"details":$detJson}"""
     // stdout line 1: the full summary (progress went to stderr, so this
     // is literally the first stdout line — parse it directly).
     println(fullLine)
@@ -750,7 +850,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fastN = all.count(_._2 < 0.5)
     val fastSum = r4(all.filter(v => v._2 < 0.5 && v._2 >= 0).map(_._2).sum)
-    println(s"""{"metric":"summary","total_sec":$total,"basis":"$basis","n_queries":${all.size},"sf":"$sfDir","pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"n_errors":${errors.size},"error_queries":${errors.keys.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")},"slow_queries_sec":$slow,"slow_omitted":${math.max(0, slowAll.size - 15)},"fast_queries":{"n":$fastN,"sum_sec":$fastSum},"n_regressions_vs_prev":${regressions.size},"regressions_vs_prev":$regJson,"leak_checks":$leakJson,"full_summary_file":"bench_summary.json"}""")
+    println(s"""{"metric":"summary","total_sec":$total,"basis":"$basis","n_queries":${all.size},"sf":"$sfDir","pipeline_records_per_sec":$recPerSec,"pipeline_stream_records_per_sec":$streamRecPerSec,"n_errors":${errors.size},"error_queries":${errors.keys.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")},"slow_queries_sec":$slow,"slow_omitted":${math.max(0, slowAll.size - 15)},"fast_queries":{"n":$fastN,"sum_sec":$fastSum},"n_regressions_vs_prev":${regressions.size},"regressions_vs_prev":$regJson,"isolated":$isoJson,"leak_checks":$leakJson,"full_summary_file":"bench_summary.json"}""")
     System.out.flush()
     spark.stop()
     // Exit-status contract (object doc): the artifact above already

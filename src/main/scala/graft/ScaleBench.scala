@@ -416,6 +416,19 @@ object ScaleBench {
             docsD(dir).filter(col("doc_id") % 19 === 0),
             "doc_id", "text", nBuckets = 1024, seed = 7, fastHash = true),
           "doc_id", 50)),
+      // DSIR on the paper's hashed-BIGRAM feature space (q213's
+      // operator, n = 2, fastHash scale configuration): ~2x the feature
+      // explode volume of the unigram shape (len-1 windows vs len
+      // tokens, each concat-hashed), same bucket-aggregate plan — the
+      // deep point measures whether the wider feature stream moves the
+      // exponent (the (id, bucket) pair shuffle grows with n).
+      "dsir_ngram" -> (dir =>
+        graft.operators.Curation.importanceTopK(
+          graft.operators.Curation.importanceWeights(docsD(dir),
+            docsD(dir).filter(col("doc_id") % 19 === 0),
+            "doc_id", "text", nBuckets = 1024, seed = 7, fastHash = true,
+            n = 2),
+          "doc_id", 50)),
       // Mixture apply (q205's operator) at depth: a broadcast 20-row
       // plan (rates 5000-25000 bp — down- AND up-sampling), copy counts
       // by md5 residue, replication via a narrow explode. ZERO
@@ -823,6 +836,40 @@ object ScaleBench {
         }
         s""","lsh_knob":{"k":16,"bands":4,"shingle_n":3,"points":[${pts.mkString(",")}]}"""
       }
+    // ---- DSIR exchange-reuse probe: the raw corpus is tokenized +
+    // bucket-hashed TWICE in the default importanceWeights plan (count
+    // pass + scoring pass — PLANS.md documented the trade as "stay
+    // lazy"); reuseBucketExchange compacts it once into a shared
+    // (id, bucket, f) aggregate both passes consume (ReuseExchange).
+    // This measures the trade at the deep corpus for BOTH hash paths:
+    // the hypothesis is that reuse pays on md5 (a 32-char-string hash
+    // per token deleted) and may lose on fastHash (xxhash64 re-hashing
+    // is cheaper than shuffling the compacted pairs). Two draws per
+    // configuration, min + the min draw's executor metrics (the
+    // shuffle_write delta IS the trade). Skipped unless named, like
+    // the other knobs.
+    val dsirKnobFrag =
+      if (!shapeFilter.forall(_.contains("dsir_knob"))) ""
+      else {
+        val pts = for {
+          fast <- Seq(false, true)
+          reuse <- Seq(false, true)
+        } yield {
+          def run() = onceMeasure(dir =>
+            graft.operators.Curation.importanceTopK(
+              graft.operators.Curation.importanceWeights(docsD(dir),
+                docsD(dir).filter(col("doc_id") % 19 === 0),
+                "doc_id", "text", nBuckets = 1024, seed = 7,
+                fastHash = fast, reuseBucketExchange = reuse),
+              "doc_id", 50), dirDN)
+          val draws = Seq(run(), run())
+          val (sec, met, _) = draws.minBy(_._1)
+          val j = s"""{"fast_hash":$fast,"reuse":$reuse,"runs":[${draws.map(_._1).mkString(",")}],"min":$sec,"metrics":$met}"""
+          System.err.println(s"""{"dsir_knob":$j}""")
+          j
+        }
+        s""","dsir_knob":{"corpus":"doc_x$docsCopies","n_buckets":1024,"points":[${pts.mkString(",")}]}"""
+      }
     // ---- containment co-mass guard: measure the word-level (shingle=1)
     // degenerate regime against the shingled form at both scales with
     // the containmentCoMass probe, then PROVE the budget gate fires —
@@ -929,7 +976,7 @@ object ScaleBench {
       }
     }
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"docs_copies":$docsCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}}$knobFrag$ppjoinKnobFrag$lshKnobFrag$containKnobFrag,"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"docs_copies":$docsCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}}$knobFrag$ppjoinKnobFrag$lshKnobFrag$dsirKnobFrag$containKnobFrag,"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
     println(out)
     // A shape-filtered run covers a subset — never let it replace the
     // artifact of record.

@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   * filter, `sampleFrames` walks a concatenated-P6 stream frame by
   * frame — both oracle-verified against arithmetic mirrors (q206/
   * q207). Compressed-codec decoding (JPEG entropy decode, audio PCM
-  * beyond the header) is out of scope in this container: the one
-  * remaining deterministic FAKE is `decodeFeatures`' fallback branch
-  * for unrecognized formats, clearly marked there; swapping it for a
-  * real codec changes nothing else.
+  * beyond the header) is out of scope in this container: payloads no
+  * parser recognizes report format = "unknown" with SENTINEL
+  * dimensions (-1), never fabricated values — nothing in this module
+  * invents measurement-shaped data.
   */
 object Multimodal {
 
@@ -38,8 +38,8 @@ object Multimodal {
       byte_len: Long,
       header_byte: Int,
       checksum: Long, // deterministic payload checksum
-      format: String, // png | jpeg | gif | unknown (header-detected)
-      width: Int, // real for recognized headers; derived fake otherwise
+      format: String, // png | jpeg | gif | bmp | unknown (header-detected)
+      width: Int, // real for recognized headers; -1 sentinel otherwise
       height: Int)
 
   /** Parse a real image container header: magic bytes + dimensions.
@@ -195,10 +195,12 @@ object Multimodal {
   }
 
   /** Per-asset features: REAL container-header parse for recognized
-    * formats (PNG/JPEG/GIF dimensions straight from the byte layout);
-    * unrecognized payloads fall back to a deterministic fake (stable
-    * across partitionings and engines) in place of a pixel decode —
-    * swap that branch for a codec to productionize. */
+    * formats (PNG/JPEG/GIF/BMP dimensions straight from the byte
+    * layout); unrecognized payloads report format = "unknown" with -1
+    * width/height — a sentinel, NOT a measurement, so an aggregate
+    * over a mixed corpus can filter on format (or the negative
+    * dimensions) instead of averaging invented values. Swap in a
+    * codec-backed branch to dimension formats beyond these four. */
   private def decodeFeatures(r: MediaRow): MediaFeatures = {
     val bytes = r.payload
     var sum = 0L
@@ -207,10 +209,8 @@ object Multimodal {
       sum = sum * 31 + (bytes(i) & 0xff)
       i += 1
     }
-    val (format, width, height) = parseImageHeader(bytes).getOrElse {
-      val fakeWidth = ((sum % 1024) + 1024).toInt % 1024 + 1
-      ("unknown", fakeWidth, fakeWidth * 3 / 4)
-    }
+    val (format, width, height) =
+      parseImageHeader(bytes).getOrElse(("unknown", -1, -1))
     MediaFeatures(
       media_id = r.media_id,
       kind = r.kind,

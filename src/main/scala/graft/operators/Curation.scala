@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.functions.text
 import graft.functions.time.epochUs
@@ -378,14 +378,25 @@ object Curation {
     * repartition, Spark reuses the exchange — tokenize+hash runs once.
     * For the common minDf = 2, distinct-doc counting collapses to
     * `min(id) != max(id)` (two-value state, no Expand doubling);
-    * higher minDf pays the general countDistinct. */
+    * higher minDf pays the general countDistinct.
+    *
+    * Paper-comparison note (`distinctDocs`): the default counts
+    * DISTINCT documents per window, so a passage repeated many times
+    * WITHIN one document produces no span — a deliberate
+    * cross-document-only reading of the signal. Lee et al.'s
+    * exact-substring dedup also removes within-document repeats;
+    * `distinctDocs = false` selects that reading by counting TOTAL
+    * window occurrences instead (a plain count — cheaper than either
+    * distinct path — at the price of flagging a document's own
+    * internal repetition as duplication). */
   def duplicatedSpans(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 5,
       minDf: Int = 2,
-      fastHash: Boolean = false): DataFrame = {
+      fastHash: Boolean = false,
+      distinctDocs: Boolean = true): DataFrame = {
     require(n > 0 && minDf > 1, s"need n > 0 and minDf > 1, got $n/$minDf")
     val gramHash: Column => Column =
       if (fastHash) xxhash64(_) else md5(_)
@@ -396,14 +407,26 @@ object Curation {
       .agg(coalesce(sum((size(col("__t")) - (n - 1)).cast(LongType)),
         lit(0L)))
       .head.getLong(0)
+    // Partition sizing follows the KEY width: the md5 default carries a
+    // 32-char string key (~96 bytes per UnsafeRow with id + pos) where
+    // the fastHash LONG key rides in ~48 — sizing both at 48 put the
+    // default path's partitions near 2x the 64 MB target, the exact
+    // aggregate-spill mode this repartition exists to prevent.
     val grams = OutputMass.repartitionByOutputMass(
       staged.select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("__t")) - n),
         k => gramHash(concat_ws(" ", slice(col("__t"), k + 1, lit(n))))))
         .as(Seq("pos", "__h"))),
-      nWindows, bytesPerRow = 48L, col("__h"))
+      nWindows, bytesPerRow = if (fastHash) 48L else 96L, col("__h"))
     val dupHashes =
-      if (minDf == 2)
+      if (!distinctDocs)
+        // total-occurrence mode: one plain count per window — no
+        // distinct machinery at all.
+        grams.groupBy(col("__h"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") >= minDf)
+          .select(col("__h"))
+      else if (minDf == 2)
         grams.groupBy(col("__h"))
           .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
           .filter(col("__mn") =!= col("__mx"))
@@ -431,6 +454,63 @@ object Curation {
       .withColumn("span_tokens", col("end_tok") - col("start_tok") + 1L)
   }
 
+  /** Maximal duplicated-span REMOVAL — the acting half of the
+    * Lee et al. 2022 exact-substring pipeline whose detection half is
+    * [[duplicatedSpans]]: every token position covered by a maximal
+    * duplicated span (any position whose n-gram window occurs in >=
+    * minDf documents covers tokens pos .. pos+n-1) is excised, and the
+    * survivors reassemble in original order — the same order-preserving
+    * reassembly contract as [[removeDuplicatedSegments]], but on the
+    * EXACT span boundaries rather than a fixed segment grid (a
+    * duplicated passage is removed whole wherever the grid would have
+    * cut it, and the non-duplicated remainder of a partially-shared
+    * segment survives).
+    *
+    * Boundary semantics: removal is whole-span — a token is dropped iff
+    * it lies inside ANY maximal span, including spans at position 0, at
+    * the end of the document, or covering the whole document (those
+    * yield clean_text = ""). Documents shorter than n tokens have no
+    * windows and pass through untouched.
+    *
+    * Scale shape: spans come from [[duplicatedSpans]] (EAGER — inherits
+    * its one cheap window-count pre-pass) and are SPAN-sized, so the
+    * per-doc span list aggregate is tiny; the join back to the token
+    * arrays is one id-keyed equi-join — the one place document bodies
+    * shuffle, the same honest reassembly cost the segment remover pays.
+    * The per-token span test is a codegen'd higher-order filter over
+    * the doc's own (few) spans — no UDF, no driver path.
+    *
+    * Output: (idCol, clean_text, n_tokens, n_kept, n_removed) — one row
+    * per input document. */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minDf: Int = 2,
+      fastHash: Boolean = false,
+      distinctDocs: Boolean = true): DataFrame = {
+    val spans =
+      duplicatedSpans(df, idCol, textCol, n, minDf, fastHash, distinctDocs)
+        .groupBy(col(idCol))
+        .agg(collect_list(
+          struct(col("start_tok"), col("end_tok"))).as("__spans"))
+    df.select(col(idCol), text.tokens(col(textCol)).as("__t"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__t")).otherwise(
+          filter(col("__t"), (_, i) =>
+            !exists(col("__spans"), s =>
+              i.cast(LongType) >= s.getField("start_tok") &&
+                i.cast(LongType) <= s.getField("end_tok")))))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("__t")).cast(LongType).as("n_tokens"),
+        size(col("__kept")).cast(LongType).as("n_kept"),
+        (size(col("__t")) - size(col("__kept"))).cast(LongType)
+          .as("n_removed"))
+  }
+
   /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling",
     * arXiv:2302.03169), integer-exact rational variant.
@@ -449,10 +529,23 @@ object Curation {
     * corpus totals, B = nBuckets), and the document score is the
     * LINEARIZED log-ratio Σ_b f_b(x)·(ratio_micro(b) − 10^6) — the
     * first-order Taylor surrogate of Σ f·ln ratio, monotone in each
-    * bucket's ratio and exact in 64-bit output (inner products ride
-    * DECIMAL(38,0) so counts up to ~10^15 tokens cannot overflow).
+    * bucket's ratio. The inner products AND the per-doc score sum ride
+    * DECIMAL(38,0) (counts up to ~10^15 tokens cannot overflow, and a
+    * doc whose tokens all land in raw-rare/target-heavy buckets cannot
+    * silently wrap a 64-bit accumulator); the published imp_micro is
+    * the BIGINT cast of that exact sum — finite whenever the true score
+    * fits 64 bits, which holds through ~10^12 tokens/doc at the ratio
+    * bound ~10^6·(R+B)/(c_r+1).
     *
-    * Scale shape: two map-side-combined token-bucket aggregates (raw
+    * `n` selects the feature space: n = 1 buckets unigrams; n >= 2
+    * buckets hashed word n-grams (the cited paper's feature space is
+    * hashed BIGRAMS — n = 2), riding the same shingle machinery as the
+    * dedup family (documents shorter than n contribute one whole-text
+    * feature, [[graft.functions.text.shinglesOf]]'s contract). With
+    * n-grams, `n_tokens` is the per-doc FEATURE count (= token count
+    * for n = 1, window count max(len−n+1, 1) otherwise).
+    *
+    * Scale shape: two map-side-combined feature-bucket aggregates (raw
     * and target — the target corpus is typically tiny next to raw), a
     * B-row ratio table that joins BROADCAST (B ≤ 2^20 ⇒ ≤ ~16 MB), and
     * one more map-side-combined per-doc aggregate. Nothing
@@ -460,11 +553,23 @@ object Curation {
     * floating point. Output: (idCol, n_tokens, imp_micro); imp_micro is
     * 0-centered (a doc that looks exactly like raw scores ~0).
     *
-    * `fastHash = true` buckets tokens by xxhash64 instead of md5 — the
-    * bucket assignment only needs uniformity, and the md5 path
+    * `fastHash = true` buckets features by xxhash64 instead of md5 —
+    * the bucket assignment only needs uniformity, and the md5 path
     * allocates a 32-char string per token (measured: ~60% of the deep
     * point's GC at 500M tokens). md5 stays the default because it is
-    * the cross-engine-mirrorable form the oracle replays. */
+    * the cross-engine-mirrorable form the oracle replays.
+    *
+    * `reuseBucketExchange = true` compacts the raw corpus ONCE into a
+    * shared (id, bucket, f) frequency aggregate that BOTH the
+    * bucket-count pass and the scoring pass consume — the two branches
+    * then contain the identical exchange subtree, which Spark's
+    * ReuseExchange computes once, so tokenize+hash runs a single time
+    * (a naive shared repartition does NOT get this: column pruning
+    * strips the id from the count branch and the subtrees stop
+    * matching). Price: the shared exchange carries the compacted
+    * (id, bucket, f) rows where the default's scoring exchange carries
+    * only per-doc partial aggregates. Measured at the 5M-doc deep
+    * point (SCALE.md r17) before choosing the default. */
   def importanceWeights(
       raw: DataFrame,
       target: DataFrame,
@@ -472,18 +577,40 @@ object Curation {
       textCol: String,
       nBuckets: Int = 1024,
       seed: Int = 7,
-      fastHash: Boolean = false): DataFrame = {
+      fastHash: Boolean = false,
+      n: Int = 1,
+      reuseBucketExchange: Boolean = false): DataFrame = {
     require(nBuckets > 0 && nBuckets <= (1 << 20),
       s"nBuckets must be in [1, 2^20], got $nBuckets")
+    require(n > 0, s"n must be positive, got $n")
     val bucketOf: Column => Column =
       if (fastHash) c => pmod(xxhash64(concat(lit(s"$seed:"), c)),
         lit(nBuckets.toLong))
       else c => text.md5Hash32(c, seed) % nBuckets
-    def buckets(df: DataFrame, keep: Seq[Column]): DataFrame =
-      df.select(keep :+ explode(text.tokens(col(textCol))).as("__w"): _*)
+    def buckets(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      // n = 1 explodes the token array directly (shinglesOf(tok, 1)
+      // emits the same tokens but through a concat_ws per element);
+      // n >= 2 explodes the n-gram shingles.
+      val staged = df.select(keep :+ text.tokens(col(textCol)).as("__t"): _*)
+      val features =
+        if (n == 1) col("__t") else text.shinglesOf(col("__t"), n)
+      staged.select(keep :+ explode(features).as("__w"): _*)
         .select(keep :+ bucketOf(col("__w")).as("__b"): _*)
+    }
     val rawB = buckets(raw, Seq(col(idCol)))
-    val rawCnt = rawB.groupBy(col("__b")).agg(count(lit(1)).as("__c_r"))
+    // Shared (id, bucket) frequency compaction for the reuse path: the
+    // grouping keys include the id, so neither consumer can prune the
+    // subtree apart — the canonical exchange matches and is computed
+    // once.
+    val rawIB =
+      if (reuseBucketExchange)
+        Some(rawB.groupBy(col(idCol), col("__b"))
+          .agg(count(lit(1)).as("__f")))
+      else None
+    val rawCnt = rawIB match {
+      case Some(ib) => ib.groupBy(col("__b")).agg(sum(col("__f")).as("__c_r"))
+      case None => rawB.groupBy(col("__b")).agg(count(lit(1)).as("__c_r"))
+    }
     val tgtCnt = buckets(target, Seq.empty)
       .groupBy(col("__b")).agg(count(lit(1)).as("__c_t"))
     val totals = rawCnt.agg(sum(col("__c_r")).as("__r_tot")).crossJoin(
@@ -498,10 +625,22 @@ object Curation {
           s" * (__r_tot + $nBuckets) * 1000000)" +
           s" div (CAST(__c_r + 1 AS DECIMAL(38,0)) * (__t_tot + $nBuckets))" +
           s" AS BIGINT)").as("__ratio_micro"))
-    rawB.join(broadcast(ratios), Seq("__b"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
-        sum(col("__ratio_micro") - 1000000L).cast(LongType).as("imp_micro"))
+    // exact score sum: DECIMAL(38,0) accumulator (the oracle's HUGEINT
+    // mirror), BIGINT only at the very end — a 64-bit running sum would
+    // wrap silently under non-ANSI on ratio-heavy docs.
+    val delta = (col("__ratio_micro") - 1000000L).cast(DecimalType(38, 0))
+    rawIB match {
+      case Some(ib) =>
+        ib.join(broadcast(ratios), Seq("__b"))
+          .groupBy(col(idCol))
+          .agg(sum(col("__f")).cast(LongType).as("n_tokens"),
+            sum(delta * col("__f")).cast(LongType).as("imp_micro"))
+      case None =>
+        rawB.join(broadcast(ratios), Seq("__b"))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+            sum(delta).cast(LongType).as("imp_micro"))
+    }
   }
 
   /** Deterministic importance resampling over [[importanceWeights]]

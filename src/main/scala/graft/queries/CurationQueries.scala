@@ -172,6 +172,45 @@ object CurationQueries {
         "doc_id", "text", n = 5, minDf = 2)
     }),
 
+    // Maximal duplicated-span REMOVAL (the acting half of q211's
+    // detect step — Lee et al. 2022's pipeline complete): every token
+    // covered by a cross-document duplicated span is excised, the
+    // survivors reassemble in order. The oracle is independently
+    // formulated: it materializes the COVERED-POSITION set (dup window
+    // positions fanned to pos..pos+4) and anti-joins token indices,
+    // where the Spark side filters token arrays against span INTERVALS.
+    "q212_remove_spans" -> ((s, dir) => {
+      Curation.removeDuplicatedSpans(
+        CoreQueries.spread(t(s, dir, "documents")),
+        "doc_id", "text", n = 5, minDf = 2)
+    }),
+
+    // DSIR importance weights on the paper's feature space — hashed
+    // BIGRAMS (n = 2) riding the shingle machinery; same integer-exact
+    // ratio/score arithmetic as q210, top-50 by (weight desc, id). The
+    // oracle rebuilds bigram buckets/ratios/scores from scratch in SQL
+    // (HUGEINT // mirroring DECIMAL(38,0) div).
+    "q213_dsir_ngram" -> ((s, dir) => {
+      val docs = CoreQueries.spread(t(s, dir, "documents"))
+      val target = docs.filter(col("doc_id") % 19 === 0)
+      Curation.importanceTopK(
+        Curation.importanceWeights(docs, target, "doc_id", "text",
+          nBuckets = 1024, seed = 7, n = 2),
+        "doc_id", 50)
+    }),
+
+    // Duplicated spans in TOTAL-OCCURRENCE mode (distinctDocs = false):
+    // a window repeated >= 2 times ANYWHERE — including within one
+    // document — flags, the Lee-et-al. reading of the signal (q211's
+    // default counts distinct docs and deliberately ignores
+    // within-document repeats). Oracle: same independent run-merge,
+    // HAVING count(*) instead of count(DISTINCT doc_id).
+    "q214_dup_spans_occ" -> ((s, dir) => {
+      Curation.duplicatedSpans(
+        CoreQueries.spread(t(s, dir, "documents")),
+        "doc_id", "text", n = 5, minDf = 2, distinctDocs = false)
+    }),
+
     // Stratified deterministic sample: 10 docs per lang, ordered by
     // content md5 (reproducible "random" with no RNG state).
     "q65_stratified_sample" -> ((s, dir) => {
@@ -653,6 +692,102 @@ object CurationQueries {
          |dfh AS (
          |  SELECT h FROM g GROUP BY h
          |  HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT doc_id, pos FROM g JOIN dfh USING (h)),
+         |r AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS grp
+         |  FROM d),
+         |sp AS (
+         |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+         |    CAST(max(pos) + 4 AS BIGINT) AS end_tok
+         |  FROM r GROUP BY doc_id, grp)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+         |    AS BIGINT) AS span_id,
+         |  start_tok, end_tok, end_tok - start_tok + 1 AS span_tokens
+         |FROM sp""".stripMargin,
+
+    "q212_remove_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $dTok AS t FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, t,
+         |    unnest(generate_series(0, len(t) - 5)) AS pos
+         |  FROM toks WHERE len(t) >= 5),
+         |g AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    md5(array_to_string(t[pos+1:pos+5], ' ')) AS h
+         |  FROM g0),
+         |dfh AS (
+         |  SELECT h FROM g GROUP BY h
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT doc_id, pos FROM g JOIN dfh USING (h)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos + off AS ci
+         |  FROM d, (SELECT unnest(generate_series(0, 4)) AS off)),
+         |tw0 AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+         |  FROM toks),
+         |tw AS (SELECT doc_id, i - 1 AS ti, t[i] AS w FROM tw0),
+         |kept AS (
+         |  SELECT tw.doc_id, tw.ti, tw.w
+         |  FROM tw LEFT JOIN cov
+         |    ON tw.doc_id = cov.doc_id AND tw.ti = cov.ci
+         |  WHERE cov.doc_id IS NULL),
+         |agg AS (
+         |  SELECT doc_id,
+         |    string_agg(w, ' ' ORDER BY ti) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT toks.doc_id,
+         |  coalesce(agg.clean_text, '') AS clean_text,
+         |  CAST(len(toks.t) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(toks.t) - coalesce(agg.n_kept, 0) AS BIGINT)
+         |    AS n_removed
+         |FROM toks LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "q213_dsir_ngram" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${dHash32(7, "w")} % 1024 AS b
+         |  FROM (SELECT doc_id, unnest(${dShingles(2)}) AS w
+         |        FROM (SELECT doc_id, $dTok AS t FROM documents))),
+         |rc AS (SELECT b, count(*) AS c_r FROM tk GROUP BY 1),
+         |tc AS (SELECT b, count(*) AS c_t FROM tk
+         |       WHERE doc_id % 19 = 0 GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT count(*) FROM tk) AS r_tot,
+         |         (SELECT count(*) FROM tk WHERE doc_id % 19 = 0) AS t_tot),
+         |ratio AS (
+         |  SELECT rc.b,
+         |    CAST((CAST(coalesce(tc.c_t, 0) + 1 AS HUGEINT)
+         |        * (r_tot + 1024) * 1000000)
+         |      // (CAST(rc.c_r + 1 AS HUGEINT) * (t_tot + 1024)) AS BIGINT)
+         |      AS ratio_micro
+         |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CAST(ratio_micro - 1000000 AS HUGEINT)) AS BIGINT)
+         |      AS imp_micro
+         |  FROM tk JOIN ratio USING (b) GROUP BY 1)
+         |SELECT doc_id, n_tokens, imp_micro
+         |FROM sc ORDER BY imp_micro DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q214_dup_spans_occ" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $dTok AS t FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, t,
+         |    unnest(generate_series(0, len(t) - 5)) AS pos
+         |  FROM toks WHERE len(t) >= 5),
+         |g AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    md5(array_to_string(t[pos+1:pos+5], ' ')) AS h
+         |  FROM g0),
+         |dfh AS (
+         |  SELECT h FROM g GROUP BY h
+         |  HAVING count(*) >= 2),
          |d AS (SELECT doc_id, pos FROM g JOIN dfh USING (h)),
          |r AS (
          |  SELECT doc_id, pos,

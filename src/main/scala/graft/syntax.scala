@@ -55,8 +55,24 @@ object syntax {
         textCol: String,
         n: Int = 5,
         minDf: Int = 2,
-        fastHash: Boolean = false): DataFrame =
-      Curation.duplicatedSpans(df, idCol, textCol, n, minDf, fastHash)
+        fastHash: Boolean = false,
+        distinctDocs: Boolean = true): DataFrame =
+      Curation.duplicatedSpans(
+        df, idCol, textCol, n, minDf, fastHash, distinctDocs)
+
+    /** Maximal duplicated-span REMOVAL (excises the spans
+      * [[duplicatedSpans]] detects, order-preserving reassembly) — see
+      * [[Curation.removeDuplicatedSpans]]. EAGER (inherits the
+      * detector's window-count pre-pass). */
+    def dropDuplicatedSpans(
+        idCol: String,
+        textCol: String,
+        n: Int = 5,
+        minDf: Int = 2,
+        fastHash: Boolean = false,
+        distinctDocs: Boolean = true): DataFrame =
+      Curation.removeDuplicatedSpans(
+        df, idCol, textCol, n, minDf, fastHash, distinctDocs)
 
     /** Cross-document boilerplate profile — see
       * [[Curation.boilerplateProfile]]. */
@@ -110,16 +126,18 @@ object syntax {
       Curation.applyMixture(df, sourceCol, plan, contentCol, seed)
 
     /** DSIR-style hashed-n-gram importance weights against a target
-      * corpus — see [[Curation.importanceWeights]]. */
+      * corpus (`n = 2` = the paper's hashed bigrams) — see
+      * [[Curation.importanceWeights]]. */
     def importanceWeightsAgainst(
         target: DataFrame,
         idCol: String,
         textCol: String,
         nBuckets: Int = 1024,
         seed: Int = 7,
-        fastHash: Boolean = false): DataFrame =
+        fastHash: Boolean = false,
+        n: Int = 1): DataFrame =
       Curation.importanceWeights(
-        df, target, idCol, textCol, nBuckets, seed, fastHash)
+        df, target, idCol, textCol, nBuckets, seed, fastHash, n)
 
     /** Gap-based sessionization — see [[Curation.sessionize]]. */
     def sessionize(

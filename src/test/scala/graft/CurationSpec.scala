@@ -244,6 +244,124 @@ class CurationSpec extends SparkSpec {
     assert(fast === out)
   }
 
+  test("duplicatedSpans distinctDocs=false: within-document repeats flag " +
+      "in occurrence mode and stay invisible to the default") {
+    // doc 1 repeats a 5-gram twice INTERNALLY; nothing is shared
+    // across documents.
+    val df = Seq(
+      (1L, "p q r s t GAP p q r s t"),
+      (2L, "totally unrelated words sit here now"))
+      .toDF("doc_id", "text")
+    // default (distinct docs): no window reaches 2 distinct documents
+    assert(Curation.duplicatedSpans(df, "doc_id", "text", n = 5, minDf = 2)
+      .isEmpty)
+    // occurrence mode: "p q r s t" occurs twice (pos 0 and 6) -> two
+    // disjoint spans
+    val occ = Curation.duplicatedSpans(
+      df, "doc_id", "text", n = 5, minDf = 2, distinctDocs = false)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      .toSeq
+    assert(occ === Seq((1L, 1L, 0L, 4L, 5L), (1L, 2L, 6L, 10L, 5L)))
+    // and removal excises both, keeping only the separator token
+    val removed = Curation.removeDuplicatedSpans(
+      df, "doc_id", "text", n = 5, minDf = 2, distinctDocs = false)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(removed.head === ((1L, "GAP", 11L, 1L, 10L)))
+  }
+
+  test("removeDuplicatedSpans: excises maximal spans at start/end/whole-doc, " +
+      "short docs pass through untouched") {
+    val df = Seq(
+      // shared 7-token passage at the START of doc 1, MIDDLE of doc 2
+      (1L, "one two three four five six seven u1 u2 u3"),
+      (2L, "x1 one two three four five six seven x2 x3"),
+      // doc 3 IS a shared 5-gram alone -> whole doc removed
+      (3L, "a b c d e"),
+      // the same shared span sits at the END of doc 4
+      (4L, "z1 z2 a b c d e"),
+      // shorter than n: no windows, passes through
+      (5L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = Curation.removeDuplicatedSpans(
+      df, "doc_id", "text", n = 5, minDf = 2)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0) === ((1L, "u1 u2 u3", 10L, 3L, 7L)))
+    assert(out(1) === ((2L, "x1 x2 x3", 10L, 3L, 7L)))
+    assert(out(2) === ((3L, "", 5L, 0L, 5L))) // whole doc was the span
+    assert(out(3) === ((4L, "z1 z2", 7L, 2L, 5L)))
+    assert(out(4) === ((5L, "tiny doc", 2L, 2L, 0L)))
+    // determinism under repartitioning
+    val out2 = Curation.removeDuplicatedSpans(
+      df.repartition(7), "doc_id", "text", n = 5, minDf = 2)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out2 === out)
+  }
+
+  test("importanceWeights n=2: hashed-bigram features match a driver " +
+      "brute force; short docs contribute one whole-text feature") {
+    val docsMap = Map(
+      1L -> "alpha beta beta gamma", 2L -> "alpha alpha delta",
+      3L -> "gamma gamma gamma epsilon", 4L -> "beta delta zeta zeta",
+      5L -> "solo") // 1 token < 2 -> whole-text feature
+    val raw = docsMap.toSeq.toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" <= 2)
+    val nB = 64; val seed = 7
+    val out = Curation.importanceWeights(
+      raw, target, "doc_id", "text", nB, seed, fastHash = false, n = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    def bucket(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$w".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % nB
+    }
+    def features(t: String): Seq[String] = {
+      val ws = t.split("\\s+").toSeq
+      if (ws.size < 2) Seq(ws.mkString(" "))
+      else ws.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val rawFeats = docsMap.toSeq.flatMap { case (id, t) =>
+      features(t).map(w => (id, bucket(w))) }
+    val tgtFeats = rawFeats.filter(_._1 <= 2L)
+    val cR = rawFeats.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cT = tgtFeats.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (rTot, tTot) = (rawFeats.size.toLong, tgtFeats.size.toLong)
+    def ratioMicro(b: Long): Long =
+      ((BigInt(cT.getOrElse(b, 0L)) + 1) * (rTot + nB) * 1000000 /
+        ((BigInt(cR(b)) + 1) * (tTot + nB))).toLong
+    val expected = rawFeats.groupBy(_._1).map { case (id, ts) =>
+      (id, ts.size.toLong, ts.map(t => ratioMicro(t._2) - 1000000L).sum)
+    }.toSeq.sortBy(_._1)
+    assert(out === expected)
+    // doc 1's 4 tokens yield 3 bigram features; doc 5's single token 1
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert(byId(1L) === 3L && byId(5L) === 1L)
+  }
+
+  test("importanceWeights reuseBucketExchange: identical results, one " +
+      "reused exchange in the plan") {
+    val raw = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" === 1L)
+    val plain = Curation.importanceWeights(
+      raw, target, "doc_id", "text", 64, 7)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val reused = Curation.importanceWeights(
+      raw, target, "doc_id", "text", 64, 7, reuseBucketExchange = true)
+    assert(reused.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      === plain)
+    // the shared (id, bucket) frequency aggregate is consumed by both
+    // the count pass and the scoring pass — the EXECUTED adaptive plan
+    // (same QueryExecution as the collect above) must show the later
+    // consumers reading the first one's exchange, i.e. the raw corpus
+    // is tokenized+hashed once
+    val plan = reused.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"expected a reused exchange in the executed plan:\n$plan")
+  }
+
   test("importanceWeights: matches a driver brute force; deterministic " +
       "under partitioning; topK orders by (weight desc, id)") {
     val docsMap = Map(

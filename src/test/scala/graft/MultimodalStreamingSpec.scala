@@ -59,7 +59,10 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert((feats(1L).width, feats(1L).height) === (640, 480))
     assert(feats(2L).format === "jpeg")
     assert((feats(2L).width, feats(2L).height) === (640, 480))
-    assert(feats(3L).format === "unknown") // deterministic fallback
+    // unrecognized payloads carry SENTINEL dimensions, never fabricated
+    // measurement-shaped values
+    assert(feats(3L).format === "unknown")
+    assert((feats(3L).width, feats(3L).height) === (-1, -1))
   }
 
   test("multimodal: real WAV header parse yields channels/rate/duration") {

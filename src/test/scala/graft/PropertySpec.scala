@@ -211,6 +211,77 @@ class PropertySpec extends SparkSpec {
   private def tokSet(s: String): Set[String] =
     s.trim.split("\\s+").toSet
 
+  test("property: duplicatedSpans == driver brute force (run-merge " +
+    "boundaries, both minDf paths, occurrence mode, docs shorter than n) " +
+    "and removeDuplicatedSpans is its exact complement") {
+    import graft.operators.Curation
+    // driver brute force replicating the DEFINITION: windows, df count
+    // (distinct docs or total occurrences), dup positions, run-merge.
+    def bruteSpans(docs: List[String], n: Int, minDf: Int,
+        distinctDocs: Boolean): Set[(Long, Long, Long, Long, Long)] = {
+      val toks = docs.map(_.trim.split("\\s+").toList)
+      val windows = toks.zipWithIndex.flatMap { case (t, id) =>
+        if (t.size < n) Nil
+        else (0 to t.size - n).map(p =>
+          (id.toLong, p, t.slice(p, p + n).mkString(" ")))
+      }
+      val counts: Map[String, Int] =
+        if (distinctDocs)
+          windows.groupBy(_._3).view
+            .mapValues(_.map(_._1).distinct.size).toMap
+        else windows.groupBy(_._3).view.mapValues(_.size).toMap
+      val dup = windows.filter(w => counts(w._3) >= minDf)
+      dup.groupBy(_._1).flatMap { case (id, ws) =>
+        val ps = ws.map(_._2).distinct.sorted
+        val runs = ps.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.reverse
+        runs.zipWithIndex.map { case ((s, e), k) =>
+          (id, (k + 1).toLong, s.toLong, (e + n - 1).toLong,
+            (e + n - 1 - s + 1).toLong)
+        }
+      }.toSet
+    }
+    val gen = for {
+      (docs, _) <- corpusGen
+      n <- Gen.oneOf(2, 3, 5) // n=5 leaves some docs shorter than n
+      minDf <- Gen.oneOf(2, 3) // 2 = min!=max fast path, 3 = countDistinct
+      dd <- Gen.oneOf(true, false)
+    } yield (docs, n, minDf, dd)
+    forAllN(gen, 10) { case (docs, n, minDf, dd) =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("doc_id", "text")
+      val got = Curation.duplicatedSpans(df, "doc_id", "text", n, minDf,
+        fastHash = false, distinctDocs = dd)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = bruteSpans(docs, n, minDf, dd)
+      assert(got === want, s"n=$n minDf=$minDf dd=$dd docs=$docs")
+      // fastHash agreement: a 10-word vocabulary cannot collide xxhash64
+      val fast = Curation.duplicatedSpans(df, "doc_id", "text", n, minDf,
+        fastHash = true, distinctDocs = dd)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(fast === got, s"fastHash diverged: n=$n minDf=$minDf dd=$dd")
+      // removal = exact complement of the covered positions
+      val toks = docs.map(_.trim.split("\\s+").toSeq)
+      val removed = Curation.removeDuplicatedSpans(df, "doc_id", "text",
+        n, minDf, fastHash = false, distinctDocs = dd)
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(removed.size === docs.size) // one row per doc, always
+      removed.foreach { case (id, clean, nTok, nKept, nRem) =>
+        val t = toks(id.toInt)
+        val cover = want.filter(_._1 == id)
+          .flatMap(s => s._3 to s._4).toSet
+        val keptToks = t.indices.filterNot(i => cover(i.toLong)).map(t)
+        assert(nTok === t.size.toLong)
+        assert(nKept === keptToks.size.toLong)
+        assert(nKept + nRem === nTok) // accounting identity
+        assert(clean === keptToks.mkString(" "),
+          s"doc $id reassembly: n=$n minDf=$minDf dd=$dd")
+      }
+    }
+  }
+
   test("property: prefixFilterPairs == driver brute force on random corpora") {
     forAllN(corpusGen, n = 8) { case (docs, t) =>
       val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }

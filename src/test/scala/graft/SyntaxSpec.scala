@@ -35,6 +35,8 @@ class SyntaxSpec extends SparkSpec {
       Curation.removeDuplicatedSegments(docs, "doc_id", "text"))
     samePlan(docs.duplicatedSpans("doc_id", "text"),
       Curation.duplicatedSpans(docs, "doc_id", "text"))
+    samePlan(docs.dropDuplicatedSpans("doc_id", "text"),
+      Curation.removeDuplicatedSpans(docs, "doc_id", "text"))
     samePlan(docs.boilerplateProfile("doc_id", "text"),
       Curation.boilerplateProfile(docs, "doc_id", "text"))
     samePlan(docs.chunk("doc_id", "text", size = 4, stride = 2),
