@@ -566,10 +566,16 @@ object Curation {
     * ReuseExchange computes once, so tokenize+hash runs a single time
     * (a naive shared repartition does NOT get this: column pruning
     * strips the id from the count branch and the subtrees stop
-    * matching). Price: the shared exchange carries the compacted
-    * (id, bucket, f) rows where the default's scoring exchange carries
-    * only per-doc partial aggregates. Measured at the 5M-doc deep
-    * point (SCALE.md r17) before choosing the default. */
+    * matching). MEASURED NET LOSS on this corpus class (SCALE.md r17
+    * dsir_knob, 5M docs x 1024 buckets): md5 48.0 -> 79.3 s, fastHash
+    * 23.0 -> 57.8 s — with ~100-token docs the (id, bucket) pairs
+    * barely repeat (compaction factor ~1), so the shared exchange
+    * shuffles 4.35 GB where the default's scoring exchange carries
+    * only per-doc partial aggregates (82 MB). Kept, default OFF,
+    * because the trade inverts with document length: at doclen >>
+    * nBuckets the pairs compact by ~doclen/nBuckets and the saved
+    * second tokenize+hash can win — re-measure via the dsir_knob probe
+    * before enabling. */
   def importanceWeights(
       raw: DataFrame,
       target: DataFrame,
