@@ -147,14 +147,20 @@ object text {
     transform(shinglesOf(tok, n), s =>
       conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
 
-  /** xxhash64 shingle hashes — a codegen'd integer hash, far cheaper
-    * than the md5 path (which exists for cross-engine oracle parity).
-    * For operators whose hash is purely internal (boilerplate df,
-    * segment dedup, exact dedup grouping) the RESULTS are identical
-    * either way modulo collisions, so production runs at scale should
-    * prefer this. */
+  /** xxhash64 shingle hashes — integer hashes, far cheaper than the md5
+    * path (which exists for cross-engine oracle parity). For operators
+    * whose hash is purely internal (boilerplate df, segment dedup,
+    * exact dedup grouping) the RESULTS are identical either way modulo
+    * collisions, so production runs at scale should prefer this.
+    * Since r17 this is the NATIVE [[graft.plans.WordShingleHash64]]
+    * expression — one compiled memcpy+hash loop per row instead of the
+    * interpreted transform+slice+concat_ws pipeline (higher-order
+    * lambdas run outside whole-stage codegen; measured ~15x the cost
+    * of a bare token explode at the 5M-doc deep points). Bit-identical
+    * to transform(shinglesOf(tok, n), s => xxhash64(s)) — a spec pins
+    * the parity. */
   def fastShingleHashesOf(tok: Column, n: Int): Column =
-    transform(shinglesOf(tok, n), s => xxhash64(s))
+    graft.plans.WordShingleHash64(tok, n)
 
   /** MinHash signature from pre-hashed shingles: one fold computing all
     * k minima at once — k universal-hash permutations (a_i*h+b_i) mod p

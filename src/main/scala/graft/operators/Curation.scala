@@ -398,8 +398,6 @@ object Curation {
       fastHash: Boolean = false,
       distinctDocs: Boolean = true): DataFrame = {
     require(n > 0 && minDf > 1, s"need n > 0 and minDf > 1, got $n/$minDf")
-    val gramHash: Column => Column =
-      if (fastHash) xxhash64(_) else md5(_)
     val staged = df
       .select(col(idCol), text.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= n)
@@ -407,16 +405,25 @@ object Curation {
       .agg(coalesce(sum((size(col("__t")) - (n - 1)).cast(LongType)),
         lit(0L)))
       .head.getLong(0)
+    // fastHash rides the native WordShingleHash64 expression (one
+    // compiled memcpy+hash loop per document — the interpreted
+    // transform+slice+concat_ws pipeline was the dominant CPU of this
+    // shape's deep points); staged filters size >= n, so the
+    // expression's short-doc branch never fires and window k = array
+    // index = token position. The md5 default keeps the composable
+    // form the DuckDB oracle mirrors.
+    val gramHashes =
+      if (fastHash) graft.plans.WordShingleHash64(col("__t"), n)
+      else transform(
+        sequence(lit(0), size(col("__t")) - n),
+        k => md5(concat_ws(" ", slice(col("__t"), k + 1, lit(n)))))
     // Partition sizing follows the KEY width: the md5 default carries a
     // 32-char string key (~96 bytes per UnsafeRow with id + pos) where
     // the fastHash LONG key rides in ~48 — sizing both at 48 put the
     // default path's partitions near 2x the 64 MB target, the exact
     // aggregate-spill mode this repartition exists to prevent.
     val grams = OutputMass.repartitionByOutputMass(
-      staged.select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("__t")) - n),
-        k => gramHash(concat_ws(" ", slice(col("__t"), k + 1, lit(n))))))
-        .as(Seq("pos", "__h"))),
+      staged.select(col(idCol), posexplode(gramHashes).as(Seq("pos", "__h"))),
       nWindows, bytesPerRow = if (fastHash) 48L else 96L, col("__h"))
     val dupHashes =
       if (!distinctDocs)
@@ -589,19 +596,29 @@ object Curation {
     require(nBuckets > 0 && nBuckets <= (1 << 20),
       s"nBuckets must be in [1, 2^20], got $nBuckets")
     require(n > 0, s"n must be positive, got $n")
-    val bucketOf: Column => Column =
-      if (fastHash) c => pmod(xxhash64(concat(lit(s"$seed:"), c)),
-        lit(nBuckets.toLong))
-      else c => text.md5Hash32(c, seed) % nBuckets
     def buckets(df: DataFrame, keep: Seq[Column]): DataFrame = {
-      // n = 1 explodes the token array directly (shinglesOf(tok, 1)
-      // emits the same tokens but through a concat_ws per element);
-      // n >= 2 explodes the n-gram shingles.
       val staged = df.select(keep :+ text.tokens(col(textCol)).as("__t"): _*)
-      val features =
-        if (n == 1) col("__t") else text.shinglesOf(col("__t"), n)
-      staged.select(keep :+ explode(features).as("__w"): _*)
-        .select(keep :+ bucketOf(col("__w")).as("__b"): _*)
+      if (fastHash) {
+        // native hash-then-explode: one compiled shingle-hash loop per
+        // document emits the seeded xxhash64 values (bit-identical to
+        // xxhash64(concat(lit("seed:"), shingle)) — WordShingleHash64's
+        // parity spec), and only LONGs flow through the Generate. The
+        // n = 1 case rides the same expression (each token is its own
+        // window).
+        staged.select(keep :+ explode(
+          graft.plans.WordShingleHash64(col("__t"), n, s"$seed:")).as("__h"): _*)
+          .select(keep :+ pmod(col("__h"), lit(nBuckets.toLong)).as("__b"): _*)
+      } else {
+        // md5 path: the cross-engine-mirrorable form the oracle replays.
+        // n = 1 explodes the token array directly (shinglesOf(tok, 1)
+        // emits the same tokens but through a concat_ws per element);
+        // n >= 2 explodes the n-gram shingles.
+        val features =
+          if (n == 1) col("__t") else text.shinglesOf(col("__t"), n)
+        staged.select(keep :+ explode(features).as("__w"): _*)
+          .select(keep :+
+            (text.md5Hash32(col("__w"), seed) % nBuckets).as("__b"): _*)
+      }
     }
     val rawB = buckets(raw, Seq(col(idCol)))
     // Shared (id, bucket) frequency compaction for the reuse path: the

@@ -201,4 +201,47 @@ class TextFunctionsSpec extends SparkSpec {
     assert(buckets("a") !== buckets("c"))
     assert(buckets("a") === (1L | 4L)) // dims 1 and 3 positive
   }
+
+  test("WordShingleHash64 is bit-identical to the composable " +
+      "transform(shinglesOf, xxhash64) form — all widths, prefixes, edges") {
+    import graft.plans.WordShingleHash64
+    // adversarial corpus: short docs (< n), exact-n docs, repeated
+    // tokens, unicode, single token, and the empty string (tokens("")
+    // yields one empty token)
+    val docs = Seq(
+      "one two three four five six seven",
+      "a b",
+      "x",
+      "",
+      "répété répété café ñandú 漢字 漢字",
+      "s s s s s s s s s s").toDF("text")
+      .select(text.tokens($"text").as("t"))
+    for (n <- Seq(1, 2, 3, 5); prefix <- Seq("", "7:", "long-seed:")) {
+      val reference = transform(
+        when(size($"t") < n, array(concat_ws(" ", $"t")))
+          .otherwise(transform(
+            sequence(lit(0), size($"t") - n),
+            i => concat_ws(" ", slice($"t", i + 1, lit(n))))),
+        s => xxhash64(concat(lit(prefix), s)))
+      val rows = docs.select(
+        WordShingleHash64($"t", n, prefix).as("native"),
+        reference.as("composed")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+          s"n=$n prefix='$prefix'")
+      }
+    }
+    // null array -> null out (nullIntolerant)
+    val withNull = Seq(Some(Seq("a", "b")), None).toDF("t")
+    val out = withNull.select(WordShingleHash64($"t", 2).as("h")).collect()
+    assert(out.count(_.isNullAt(0)) === 1)
+    // null ELEMENTS skip like concat_ws: ["a", null, "b"] at n=3 hashes "a b"
+    val withNullElem = Seq(Seq(Some("a"), None, Some("b")))
+      .toDF("t")
+    val h1 = withNullElem.select(WordShingleHash64($"t", 3).as("h"))
+      .head.getSeq[Long](0)
+    val h2 = Seq("a b").toDF("text").select(
+      WordShingleHash64(text.tokens($"text"), 3).as("h")).head.getSeq[Long](0)
+    assert(h1 === h2)
+  }
 }
