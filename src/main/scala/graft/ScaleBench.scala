@@ -518,7 +518,31 @@ object ScaleBench {
       // signal (the one-off x1000 point is recorded in SCALE.md).
       "dup_spans" -> (dir =>
         graft.operators.Curation.duplicatedSpans(docsD(dir),
-          "doc_id", "text", n = 5, minDf = 2, fastHash = true)))
+          "doc_id", "text", n = 5, minDf = 2, fastHash = true)),
+      // Span REMOVAL (q212's operator): detection (above) plus the
+      // per-doc span-list aggregate and the one id-keyed join where
+      // document bodies reassemble — the only body-width shuffle in
+      // the span family, and the reason this shape exists: its output
+      // mass is corpus-sized text, so a superlinear exponent here
+      // would mean the reassembly join (not the detection) stopped
+      // scaling. Same x100 cap and fastHash configuration as
+      // dup_spans. Forced through an aggregate over the COMPUTED
+      // columns (the asof-pair trick), with the guard filter on the
+      // EXPENSIVE aggregates: a bare count() preserves the left-outer
+      // join's cardinality, so Catalyst — correctly — eliminates the
+      // unique-keyed spans side and the whole detection pipeline with
+      // it (measured: 1.1 s "x100", i.e. a scan); and a guard on
+      // n_docs alone lets column pruning drop the sums and reach the
+      // same elimination (measured: count 0.77 s vs show 9.5 s on the
+      // identical frame). The filter must reference the columns whose
+      // computation is the work being timed.
+      "remove_spans" -> (dir =>
+        graft.operators.Curation.removeDuplicatedSpans(docsD(dir),
+          "doc_id", "text", n = 5, minDf = 2, fastHash = true)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_removed")).as("toks_removed"),
+            sum(length(col("clean_text"))).as("clean_chars"))
+          .where(col("toks_removed") >= 0 && col("clean_chars") >= 0)))
 
     // Similarity shapes: a FIXED 100-query set against the replicated
     // corpus — query work constant, corpus work xN. Brute force is the
