@@ -225,17 +225,28 @@ object Curation {
     val segHash: Column => Column =
       if (fastHash) xxhash64(_) else md5(_)
     val staged = df
-      .select(col(idCol), text.tokens(col(textCol)).as("__t"))
-      // tokens() of any string is >= 1 element, so n_segments >= 1 and
-      // the sequence() below never sees an empty range.
+      // NULL text reads as ZERO tokens (n_segments 0, clean_text "") —
+      // distinct from the empty string, whose tokens() is [""] (one
+      // empty token, n_segments 1). Without the coalesce a null row
+      // emitted null counts and broke the n_kept + n_removed =
+      // n_segments accounting.
+      .select(col(idCol),
+        coalesce(text.tokens(col(textCol)), lit(Array.empty[String]))
+          .as("__t"))
+      // tokens() of any non-null string is >= 1 element, so n_segments
+      // >= 1 there; the null-text row has __n_seg = 0 and the when()
+      // below keeps sequence() from seeing a DESCENDING (0, -1) range
+      // (Spark's sequence walks backwards when start > stop — it would
+      // emit garbage segments, not zero of them).
       .withColumn("__n_seg",
         ((org.apache.spark.sql.functions.size(col("__t")) + (segTokens - 1))
           .cast(LongType) / segTokens).cast(LongType))
     val seg = staged.select(col(idCol),
-      posexplode(transform(
+      posexplode(when(col("__n_seg") > 0L, transform(
         sequence(lit(0L), col("__n_seg") - 1L),
         k => concat_ws(" ",
           slice(col("__t"), (k * segTokens + 1).cast("int"), lit(segTokens)))))
+        .otherwise(lit(Array.empty[String])))
         .as(Seq("seg_idx", "seg")))
       .select(col(idCol), col("seg_idx").cast(LongType).as("seg_idx"),
         col("seg"), segHash(col("seg")).as("__h"))
@@ -396,8 +407,10 @@ object Curation {
       n: Int = 5,
       minDf: Int = 2,
       fastHash: Boolean = false,
-      distinctDocs: Boolean = true): DataFrame = {
+      distinctDocs: Boolean = true,
+      provenanceK: Int = 0): DataFrame = {
     require(n > 0 && minDf > 1, s"need n > 0 and minDf > 1, got $n/$minDf")
+    require(provenanceK >= 0, s"provenanceK must be >= 0, got $provenanceK")
     val staged = df
       .select(col(idCol), text.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= n)
@@ -425,40 +438,78 @@ object Curation {
     val grams = OutputMass.repartitionByOutputMass(
       staged.select(col(idCol), posexplode(gramHashes).as(Seq("pos", "__h"))),
       nWindows, bytesPerRow = if (fastHash) 48L else 96L, col("__h"))
+    // Span provenance (provenanceK > 0): curation audits ask
+    // "duplicated WITH WHOM", so each duplicated window also carries
+    // the provenanceK SMALLEST sharing doc ids (sorted distinct set,
+    // sliced — deterministic, engine-mirrorable), and the span rolls
+    // its windows' samples up into one bounded sorted sample. Cost
+    // rides the existing gram exchange: the window aggregate gains a
+    // collect_set whose state is the window's DISTINCT doc set — the
+    // one piece that is NOT output-bounded before the slice, so a
+    // boilerplate window shared by half the corpus holds its sharers in
+    // one aggregation buffer. That is the audit price, paid only when
+    // asked (provenanceK = 0 keeps the exact detection-only plan);
+    // corpora with mega-duplicated windows should collapse exact dups
+    // first (the same precondition the LSH banding documents).
+    val sampleAgg =
+      slice(sort_array(collect_set(col(idCol))), 1, provenanceK)
+        .as("__sample")
     val dupHashes =
-      if (!distinctDocs)
+      if (!distinctDocs) {
         // total-occurrence mode: one plain count per window — no
         // distinct machinery at all.
-        grams.groupBy(col("__h"))
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") >= minDf)
-          .select(col("__h"))
-      else if (minDf == 2)
-        grams.groupBy(col("__h"))
-          .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
-          .filter(col("__mn") =!= col("__mx"))
-          .select(col("__h"))
-      else
-        grams.groupBy(col("__h"))
-          .agg(countDistinct(col(idCol)).as("__df"))
-          .filter(col("__df") >= minDf)
-          .select(col("__h"))
+        val base = grams.groupBy(col("__h"))
+        val agged =
+          if (provenanceK > 0) base.agg(count(lit(1)).as("__df"), sampleAgg)
+          else base.agg(count(lit(1)).as("__df"))
+        agged.filter(col("__df") >= minDf).drop("__df")
+      } else if (minDf == 2) {
+        val base = grams.groupBy(col("__h"))
+        val agged =
+          if (provenanceK > 0)
+            base.agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"),
+              sampleAgg)
+          else
+            base.agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+        agged.filter(col("__mn") =!= col("__mx")).drop("__mn", "__mx")
+      } else {
+        val base = grams.groupBy(col("__h"))
+        val agged =
+          if (provenanceK > 0)
+            base.agg(countDistinct(col(idCol)).as("__df"), sampleAgg)
+          else base.agg(countDistinct(col(idCol)).as("__df"))
+        agged.filter(col("__df") >= minDf).drop("__df")
+      }
     // shuffle_hash, never broadcast: the dup list is corpus-derived
     // and can be corpus-sized on a duplicate-heavy corpus; an SMJ
     // would sort the window-count-sized probe side.
     val dup = grams.join(dupHashes.hint("shuffle_hash"), Seq("__h"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    dup
+    val runs = dup
       .withColumn("__new",
         when(col("pos") - lag(col("pos"), 1).over(w) === 1, 0L).otherwise(1L))
       .withColumn("span_id", sum(col("__new")).over(
         Window.partitionBy(col(idCol)).orderBy(col("pos"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("span_id"))
-      .agg(
-        min(col("pos")).cast(LongType).as("start_tok"),
-        (max(col("pos")) + (n - 1)).cast(LongType).as("end_tok"))
-      .withColumn("span_tokens", col("end_tok") - col("start_tok") + 1L)
+    val spans =
+      if (provenanceK > 0)
+        runs.agg(
+          min(col("pos")).cast(LongType).as("start_tok"),
+          (max(col("pos")) + (n - 1)).cast(LongType).as("end_tok"),
+          // Roll the windows' bounded samples up to one bounded span
+          // sample: union, distinct, sorted, first provenanceK, joined
+          // to a comma string (scalar output — oracle-hashable, and an
+          // audit column, not a join key).
+          concat_ws(",", transform(
+            slice(array_sort(array_distinct(flatten(
+              collect_list(col("__sample"))))), 1, provenanceK),
+            x => x.cast("string"))).as("sample_docs"))
+      else
+        runs.agg(
+          min(col("pos")).cast(LongType).as("start_tok"),
+          (max(col("pos")) + (n - 1)).cast(LongType).as("end_tok"))
+    spans.withColumn("span_tokens", col("end_tok") - col("start_tok") + 1L)
   }
 
   /** Maximal duplicated-span REMOVAL — the acting half of the
@@ -502,7 +553,16 @@ object Curation {
         .groupBy(col(idCol))
         .agg(collect_list(
           struct(col("start_tok"), col("end_tok"))).as("__spans"))
-    df.select(col(idCol), text.tokens(col(textCol)).as("__t"))
+    // NULL text reads as ZERO tokens (n_tokens 0, clean_text "", kept =
+    // removed = 0) — distinct from the empty string, whose tokens() is
+    // [""] (one empty token). Without the coalesce a null row emitted
+    // null counts and broke the documented n_kept + n_removed =
+    // n_tokens accounting (duplicatedSpans itself already drops null
+    // rows via its size >= n filter, so only the reassembly side needs
+    // the guard).
+    df.select(col(idCol),
+      coalesce(text.tokens(col(textCol)), lit(Array.empty[String]))
+        .as("__t"))
       .join(spans, Seq(idCol), "left")
       .withColumn("__kept",
         when(col("__spans").isNull, col("__t")).otherwise(
@@ -596,30 +656,8 @@ object Curation {
     require(nBuckets > 0 && nBuckets <= (1 << 20),
       s"nBuckets must be in [1, 2^20], got $nBuckets")
     require(n > 0, s"n must be positive, got $n")
-    def buckets(df: DataFrame, keep: Seq[Column]): DataFrame = {
-      val staged = df.select(keep :+ text.tokens(col(textCol)).as("__t"): _*)
-      if (fastHash) {
-        // native hash-then-explode: one compiled shingle-hash loop per
-        // document emits the seeded xxhash64 values (bit-identical to
-        // xxhash64(concat(lit("seed:"), shingle)) — WordShingleHash64's
-        // parity spec), and only LONGs flow through the Generate. The
-        // n = 1 case rides the same expression (each token is its own
-        // window).
-        staged.select(keep :+ explode(
-          graft.plans.WordShingleHash64(col("__t"), n, s"$seed:")).as("__h"): _*)
-          .select(keep :+ pmod(col("__h"), lit(nBuckets.toLong)).as("__b"): _*)
-      } else {
-        // md5 path: the cross-engine-mirrorable form the oracle replays.
-        // n = 1 explodes the token array directly (shinglesOf(tok, 1)
-        // emits the same tokens but through a concat_ws per element);
-        // n >= 2 explodes the n-gram shingles.
-        val features =
-          if (n == 1) col("__t") else text.shinglesOf(col("__t"), n)
-        staged.select(keep :+ explode(features).as("__w"): _*)
-          .select(keep :+
-            (text.md5Hash32(col("__w"), seed) % nBuckets).as("__b"): _*)
-      }
-    }
+    def buckets(df: DataFrame, keep: Seq[Column]): DataFrame =
+      featureBuckets(df, keep, textCol, nBuckets, seed, fastHash, n)
     val rawB = buckets(raw, Seq(col(idCol)))
     // Shared (id, bucket) frequency compaction for the reuse path: the
     // grouping keys include the id, so neither consumer can prune the
@@ -676,4 +714,135 @@ object Curation {
     require(k > 0, s"k must be positive, got $k")
     weights.orderBy(col("imp_micro").desc, col(idCol)).limit(k)
   }
+
+  /** Shared hashed-feature bucketing: one row per word n-gram feature of
+    * `textCol`, bucketed into [0, nBuckets) — the feature space of both
+    * [[importanceWeights]] (DSIR) and [[classifierScore]] (fastText-style
+    * inference). `keep` columns ride through the explode unchanged.
+    *
+    * The md5 default is the cross-engine-mirrorable form the DuckDB
+    * oracle replays; `fastHash` rides the native
+    * [[graft.plans.WordShingleHash64]] expression (one compiled
+    * shingle-hash loop per document, seeded xxhash64, LONGs through the
+    * Generate — bit-parity with the composable form is spec-pinned).
+    * Documents shorter than n tokens contribute ONE whole-text feature
+    * (shinglesOf's contract), so every non-null document scores. */
+  private def featureBuckets(
+      df: DataFrame,
+      keep: Seq[Column],
+      textCol: String,
+      nBuckets: Int,
+      seed: Int,
+      fastHash: Boolean,
+      n: Int): DataFrame = {
+    val staged = df.select(keep :+ text.tokens(col(textCol)).as("__t"): _*)
+    if (fastHash) {
+      staged.select(keep :+ explode(
+        graft.plans.WordShingleHash64(col("__t"), n, s"$seed:")).as("__h"): _*)
+        .select(keep :+ pmod(col("__h"), lit(nBuckets.toLong)).as("__b"): _*)
+    } else {
+      // n = 1 explodes the token array directly (shinglesOf(tok, 1)
+      // emits the same tokens but through a concat_ws per element);
+      // n >= 2 explodes the n-gram shingles.
+      val features =
+        if (n == 1) col("__t") else text.shinglesOf(col("__t"), n)
+      staged.select(keep :+ explode(features).as("__w"): _*)
+        .select(keep :+
+          (text.md5Hash32(col("__w"), seed) % nBuckets).as("__b"): _*)
+    }
+  }
+
+  /** Hashed linear text-classifier INFERENCE (the fastText architecture
+    * — Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    * Classification", arXiv:1607.01759 — collapsed to its scoring
+    * shape): a document's hashed word-n-gram bucket counts dotted with
+    * a trained weight table, mean-pooled over the feature count. This
+    * is the model-based quality-filter stage of the curation pipeline
+    * ("keep documents the classifier scores like the reference
+    * corpus"): training happens offline on a small labeled set; at
+    * corpus scale only this inference pass runs.
+    *
+    * Integer-exact variant of w·x/|x| + b: `weights` holds one
+    * INTEGER micro-unit weight per bucket (bucket, weight_micro) —
+    * micro-units are the repo-wide fixed-point discipline, so the dot
+    * product, the mean (truncating div — Spark `div` and DuckDB `//`
+    * both round toward zero, verified on negatives), and the sign are
+    * engine-exact with no transcendental sigmoid (the sigmoid is
+    * monotone, so thresholding score_micro IS thresholding the
+    * probability).
+    *
+    * Scale shape: one narrow feature explode (LONGs only under
+    * `fastHash`), a BROADCAST join against the weight table (bounded
+    * by nBuckets ≤ 2^20 ⇒ ≤ ~16 MB — a trained model, tiny next to the
+    * corpus), and one map-side-combined per-doc aggregate with a
+    * DECIMAL(38,0) accumulator (a doc whose features all land in
+    * extreme-weight buckets cannot silently wrap 64 bits). Nothing
+    * document-sized shuffles beyond (id, bucket) pairs; no UDF, no
+    * floats. Buckets absent from `weights` contribute weight 0 (an
+    * untrained bucket is no evidence).
+    *
+    * Output: (idCol, n_features, score_sum_micro, score_micro) —
+    * score_micro = biasMicro + score_sum_micro div n_features. */
+  def classifierScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      nBuckets: Int = 1024,
+      seed: Int = 7,
+      n: Int = 1,
+      fastHash: Boolean = false,
+      biasMicro: Long = 0L): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [1, 2^20], got $nBuckets")
+    require(n > 0, s"n must be positive, got $n")
+    val w = broadcast(
+      weights.select(col("bucket").cast(LongType).as("__b"),
+        col("weight_micro").cast(LongType).as("__w_micro")))
+    featureBuckets(df, Seq(col(idCol)), textCol, nBuckets, seed, fastHash, n)
+      .join(w, Seq("__b"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_features"),
+        sum(coalesce(col("__w_micro"), lit(0L)).cast(DecimalType(38, 0)))
+          .as("__sum"))
+      .select(col(idCol), col("n_features"),
+        col("__sum").cast(LongType).as("score_sum_micro"),
+        (lit(biasMicro) + expr("__sum div n_features").cast(LongType))
+          .as("score_micro"))
+  }
+
+  /** DSIR exchange-reuse decision probe (the lshCandidateProfile
+    * precedent): measures the COMPACTION FACTOR `reuseBucketExchange`
+    * would achieve on this corpus — total features F vs distinct
+    * (id, bucket) pairs D — without running either variant end to end.
+    * The reuse knob shuffles the compacted (id, bucket, f) aggregate
+    * where the default shuffles nothing feature-sized twice but pays a
+    * second tokenize+hash; the trade follows F/D (SCALE.md dsir_knob:
+    * F/D ~ 1 on ~100-token docs lost 48 → 79 s; the win condition is
+    * doclen >> nBuckets, where F/D ~ doclen/nBuckets). Rule of thumb
+    * from the measured points: enable reuse when compaction_x1000 is
+    * well above ~2000 (each shuffled pair replaces >= 2 hash+tokenize
+    * visits), keep the lazy default below it.
+    *
+    * One aggregation pass over the same featureBuckets stream the real
+    * operator consumes — exact counts, no sampling. Output (1 row):
+    * (n_docs, n_features, distinct_pairs, compaction_x1000). */
+  def dsirCompactionProfile(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 1024,
+      seed: Int = 7,
+      fastHash: Boolean = false,
+      n: Int = 1): DataFrame =
+    featureBuckets(raw, Seq(col(idCol)), textCol, nBuckets, seed, fastHash, n)
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__f"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        sum(col("__f")).cast(LongType).as("n_features"),
+        count(lit(1)).cast(LongType).as("distinct_pairs"))
+      .withColumn("compaction_x1000",
+        expr("n_features * 1000 div distinct_pairs").cast(LongType))
 }

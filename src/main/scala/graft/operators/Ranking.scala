@@ -138,6 +138,82 @@ object Ranking {
       .withColumn("avg_p_micro", expr("sum_p_micro div n_pairs").cast(LongType))
   }
 
+  /** CCNet-style perplexity-proxy document scoring (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", arXiv:1911.00359): score each document by how
+    * SURPRISING its bigrams are under a language model trained on a
+    * trusted corpus, then filter the weird tail. CCNet's model is a
+    * Kneser-Ney LM and its score is per-token log-perplexity;
+    * transcendental logs cannot be pinned across engines, so this
+    * variant keeps the structure on exact integers (the DSIR
+    * ratio-micro discipline): the model is the `model` corpus's
+    * add-one-smoothed bigram table, a bigram's surprisal surrogate is
+    *
+    *   surprisal_micro(w1,w2)
+    *     = (prefix_n + V) * 10^6 div (pair_n + 1)  -  10^6
+    *
+    * — exactly 10^6·(1/p̂ − 1) for the smoothed p̂ = (pair_n+1) /
+    * (prefix_n+V), the first-order surrogate of −ln p̂, STRICTLY
+    * monotone in p̂ at micro resolution (a spec pins the ordering
+    * against a driver float −ln reference) — and the document score is
+    * the mean surrogate over its bigrams, the log-perplexity analog.
+    * V = the model's conditioned-vocabulary size (distinct following
+    * words), the add-one event count. Bigrams or prefixes the model
+    * never saw get pair_n = 0 / prefix_n = 0 — maximal surprisal at
+    * that prefix, never a divide-by-zero (the +1/+V smoothing is
+    * total).
+    *
+    * Scale shape: the model corpus is the small trusted slice (CCNet
+    * trains on Wikipedia), so its bigram/prefix/vocab tables BROADCAST;
+    * the corpus side is one narrow bigram explode, two broadcast left
+    * joins, and one map-side-combined per-doc aggregate with a
+    * DECIMAL(38,0) accumulator (surprisal is bounded by (prefix+V)·10^6
+    * ~ 10^12-ish per bigram — a long doc of unseen bigrams would wrap
+    * 64 bits). Nothing document-sized shuffles beyond (id, w1, w2).
+    *
+    * Documents with fewer than 2 tokens have no bigrams and are NOT
+    * scored (same contract as [[bigramLmScore]] — a perplexity of
+    * nothing is not 0, it is undefined). Output: (idCol, n_pairs,
+    * sum_surprisal_micro, ppl_proxy_micro) with ppl_proxy_micro =
+    * sum div n_pairs; 0 means "every bigram is the model's most
+    * expected event", larger = weirder. */
+  def perplexityProxy(
+      df: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    def pairsOf(d: DataFrame): DataFrame = d
+      .select(col(idCol).as("__id"), text.tokens(col(contentCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("__id"), explode(expr(
+        """zip_with(slice(__t, 1, size(__t) - 1), slice(__t, 2, size(__t) - 1),
+          |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("__p"))
+      .select(col("__id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val modelPairs = pairsOf(model)
+    val c2 = modelPairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__pair_n"))
+    val c1 = modelPairs.groupBy(col("w1"))
+      .agg(count(lit(1)).as("__prefix_n"))
+    val vocab = modelPairs.agg(
+      countDistinct(col("w2")).as("__v"))
+    pairsOf(df)
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__surprisal_micro", expr(
+        """(coalesce(__prefix_n, 0) + __v) * 1000000
+          |  div (coalesce(__pair_n, 0) + 1) - 1000000""".stripMargin))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_pairs"),
+        sum(col("__surprisal_micro")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__sum"))
+      .select(col(idCol), col("n_pairs"),
+        col("__sum").cast(LongType).as("sum_surprisal_micro"),
+        expr("__sum div n_pairs").cast(LongType)
+          .as("ppl_proxy_micro"))
+  }
+
   /** Character-level encoding quality: replacement characters (U+FFFD,
     * the mojibake fingerprint), C0 control characters, and the
     * ASCII-printable ratio in basis points. Count-by-removal

@@ -211,6 +211,34 @@ object CurationQueries {
         "doc_id", "text", n = 5, minDf = 2, distinctDocs = false)
     }),
 
+    // fastText-style hashed linear classifier INFERENCE (Joulin et al.
+    // 2016, integer micro-unit variant — Curation.classifierScore
+    // scaladoc): a deterministic 1024-bucket weight table (md5-derived,
+    // centered on 0, mirrored verbatim by the oracle — standing in for
+    // an offline-trained model) dotted with each doc's hashed BIGRAM
+    // bucket counts, mean-pooled, plus a bias. The oracle rebuilds the
+    // weights, buckets, and the truncating mean from scratch in SQL.
+    "q215_classifier_score" -> ((s, dir) => {
+      val weights = s.range(0, 1024).select(
+        col("id").as("bucket"),
+        (text.md5Hash32(concat(lit("w"), col("id")), 13) % 2000001L
+          - 1000000L).as("weight_micro"))
+      Curation.classifierScore(
+        CoreQueries.spread(t(s, dir, "documents")), "doc_id", "text",
+        weights, nBuckets = 1024, seed = 7, n = 2, biasMicro = 250000L)
+    }),
+
+    // Duplicated spans WITH provenance (the audit question "duplicated
+    // with WHOM"): each span carries the 3 smallest sharing doc ids,
+    // rolled up from its windows' bounded sorted samples and joined to
+    // a comma string. Oracle: same independent run-merge as q211 plus
+    // DuckDB list machinery for the per-window/per-span samples.
+    "q217_span_provenance" -> ((s, dir) => {
+      Curation.duplicatedSpans(
+        CoreQueries.spread(t(s, dir, "documents")),
+        "doc_id", "text", n = 5, minDf = 2, provenanceK = 3)
+    }),
+
     // Stratified deterministic sample: 10 docs per lang, ordered by
     // content md5 (reproducible "random" with no RNG state).
     "q65_stratified_sample" -> ((s, dir) => {
@@ -773,6 +801,58 @@ object CurationQueries {
          |  FROM tk JOIN ratio USING (b) GROUP BY 1)
          |SELECT doc_id, n_tokens, imp_micro
          |FROM sc ORDER BY imp_micro DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q215_classifier_score" ->
+      s"""WITH w AS (
+         |  SELECT CAST(b AS BIGINT) AS b,
+         |    ('0x' || substr(md5('13:w' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+         |      % 2000001 - 1000000 AS wm
+         |  FROM (SELECT unnest(generate_series(0, 1023)) AS b)),
+         |tk AS (
+         |  SELECT doc_id, ${dHash32(7, "g")} % 1024 AS b
+         |  FROM (SELECT doc_id, unnest(${dShingles(2)}) AS g
+         |        FROM (SELECT doc_id, $dTok AS t FROM documents)))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         |  CAST(sum(CAST(coalesce(wm, 0) AS HUGEINT)) AS BIGINT)
+         |    AS score_sum_micro,
+         |  CAST(250000 + sum(CAST(coalesce(wm, 0) AS HUGEINT)) // count(*)
+         |    AS BIGINT) AS score_micro
+         |FROM tk LEFT JOIN w USING (b) GROUP BY doc_id""".stripMargin,
+
+    "q217_span_provenance" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $dTok AS t FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, t,
+         |    unnest(generate_series(0, len(t) - 5)) AS pos
+         |  FROM toks WHERE len(t) >= 5),
+         |g AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    md5(array_to_string(t[pos+1:pos+5], ' ')) AS h
+         |  FROM g0),
+         |dfh AS (
+         |  SELECT h, list_sort(list_distinct(list(doc_id)))[1:3] AS sample
+         |  FROM g GROUP BY h
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT doc_id, pos, sample FROM g JOIN dfh USING (h)),
+         |r AS (
+         |  SELECT doc_id, pos, sample,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS grp
+         |  FROM d),
+         |sp AS (
+         |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+         |    CAST(max(pos) + 4 AS BIGINT) AS end_tok,
+         |    array_to_string(list_transform(
+         |      list_sort(list_distinct(flatten(list(sample))))[1:3],
+         |      v -> CAST(v AS VARCHAR)), ',') AS sample_docs
+         |  FROM r GROUP BY doc_id, grp)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+         |    AS BIGINT) AS span_id,
+         |  start_tok, end_tok, end_tok - start_tok + 1 AS span_tokens,
+         |  sample_docs
+         |FROM sp""".stripMargin,
 
     "q214_dup_spans_occ" ->
       s"""WITH toks AS (

@@ -65,6 +65,19 @@ object RankingQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // CCNet-style perplexity-proxy scoring (Wenzek et al. 2020,
+    // integer surrogate — Ranking.perplexityProxy scaladoc): the model
+    // is the trusted doc_id % 19 == 0 slice's add-one-smoothed bigram
+    // table; every document scores by its mean integer surprisal
+    // surrogate 10^6*(1/p̂ - 1) — "filter the weird tail by LM score"
+    // as one broadcast-join operator. The oracle rebuilds counts,
+    // vocab, smoothing, and the HUGEINT mean from scratch.
+    "q216_perplexity_proxy" -> ((s, dir) => {
+      val docs = CoreQueries.spread(t(s, dir, "documents"))
+      Ranking.perplexityProxy(
+        docs, docs.filter(col("doc_id") % 19 === 0), "doc_id", "text")
+    }),
+
     // Unicode-script profile — the multilingual-curation signal behind
     // "route this document to the right language pipeline": per-doc
     // character counts for five script classes via the same
@@ -228,5 +241,34 @@ object RankingQueries {
            |  CAST(CAST(sum(p_micro) AS BIGINT) // count(*) AS BIGINT)
            |    AS avg_p_micro
            |FROM scored
-           |GROUP BY id""".stripMargin)
+           |GROUP BY id""".stripMargin,
+
+    "q216_perplexity_proxy" ->
+      raw"""WITH tk AS (
+           |  SELECT doc_id, $dTok AS t FROM documents),
+           |pairs AS (
+           |  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+           |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+           |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+           |    FROM tk WHERE len(t) >= 2)),
+           |mp AS (SELECT * FROM pairs WHERE doc_id % 19 = 0),
+           |c2 AS (SELECT w1, w2, count(*) AS pair_n FROM mp GROUP BY 1, 2),
+           |c1 AS (SELECT w1, count(*) AS prefix_n FROM mp GROUP BY 1),
+           |v AS (SELECT count(DISTINCT w2) AS vv FROM mp),
+           |scored AS (
+           |  SELECT p.doc_id,
+           |    (coalesce(prefix_n, 0) + vv) * 1000000
+           |      // (coalesce(pair_n, 0) + 1) - 1000000 AS surp
+           |  FROM pairs p
+           |  LEFT JOIN c2 USING (w1, w2)
+           |  LEFT JOIN c1 USING (w1)
+           |  CROSS JOIN v)
+           |SELECT doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CAST(surp AS HUGEINT)) AS BIGINT)
+           |    AS sum_surprisal_micro,
+           |  CAST(sum(CAST(surp AS HUGEINT)) // count(*) AS BIGINT)
+           |    AS ppl_proxy_micro
+           |FROM scored
+           |GROUP BY doc_id""".stripMargin)
 }

@@ -443,6 +443,140 @@ class CurationSpec extends SparkSpec {
       s"nothing here may sort-merge:\n$plan")
   }
 
+  test("classifierScore: matches a driver brute force (hash, missing " +
+      "buckets, bias, trunc-toward-zero mean on negative sums)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "beta gamma"),
+      (3L, "zeta"), // shorter than n=2 -> ONE whole-text feature
+      (4L, "alpha alpha alpha alpha alpha"))
+      .toDF("doc_id", "text")
+    val nB = 8
+    // driver brute force: same md5-derived bucket hash, same shingle
+    // contract (short doc -> one whole-text feature), Long '/' is
+    // trunc-toward-zero like Spark div.
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(("7:" + s).getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString, 16)
+    def shingles(text: String): Seq[String] = {
+      val t = text.trim.split("\\s+").toSeq
+      if (t.size < 2) Seq(t.mkString(" "))
+      else t.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    // pin doc 3's single-feature bucket to a big negative weight so a
+    // negative sum (and its trunc-toward-zero mean) is exercised no
+    // matter where the other features hash; one other bucket is left
+    // absent (-> weight 0).
+    val negBucket = h32("zeta") % nB
+    val absent = (negBucket + 1) % nB
+    val wRows = (0L until nB).collect {
+      case b if b == negBucket => b -> -700001L
+      case b if b != absent => b -> (b * 97003L - 300000L)
+    }.toSeq
+    val weights = wRows.toDF("bucket", "weight_micro")
+    val bias = -50000L
+    val out = Curation.classifierScore(docs, "doc_id", "text", weights,
+      nBuckets = nB, seed = 7, n = 2, biasMicro = bias)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val wMap = wRows.toMap.withDefaultValue(0L)
+    docs.as[(Long, String)].collect().foreach { case (id, txt) =>
+      val feats = shingles(txt).map(s => h32(s) % nB)
+      val sum = feats.map(wMap).sum
+      val expected = (feats.size.toLong, sum, bias + sum / feats.size)
+      assert(out(id) === expected, s"doc $id")
+    }
+    // at least one doc must actually exercise a negative sum, or the
+    // trunc-direction claim is untested
+    assert(out.values.exists(_._2 < 0L))
+  }
+
+  test("classifierScore plan: weight table joins broadcast, no SMJ") {
+    val docs = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
+    val weights = Seq((0L, 1L), (1L, -2L)).toDF("bucket", "weight_micro")
+    val plan = Curation.classifierScore(docs, "doc_id", "text", weights,
+      nBuckets = 16).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no SMJ here:\n$plan")
+  }
+
+  test("dsirCompactionProfile: exact feature/pair counts and factor") {
+    // 2 docs x heavy repetition into few buckets -> compaction > 1
+    val docs = Seq(
+      (1L, ("w " * 64).trim),                  // 64 identical tokens
+      (2L, (1 to 8).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Curation.dsirCompactionProfile(
+      docs, "doc_id", "text", nBuckets = 4, seed = 7).head()
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("n_features") === 72L)
+    // doc1: one bucket (identical tokens); doc2: <= 4 buckets
+    val pairs = r.getAs[Long]("distinct_pairs")
+    assert(pairs >= 2L && pairs <= 5L)
+    assert(r.getAs[Long]("compaction_x1000") === 72000L / pairs)
+  }
+
+  test("removeDuplicatedSpans: null text reads as zero tokens, " +
+      "counts stay non-null and account") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "a b c d e x y"),
+      (3L, null.asInstanceOf[String]), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Curation.removeDuplicatedSpans(docs, "doc_id", "text",
+      n = 5, minDf = 2)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(3L) === ((3L, "", 0L, 0L, 0L))) // null: zero tokens
+    assert(out(4L)._3 === 1L) // empty string: one empty token
+    out.values.foreach { case (id, _, nt, nk, nr) =>
+      assert(nk + nr === nt, s"accounting broke for doc $id") }
+    // shared "a b c d e" excised whole from both sharers
+    assert(out(1L)._2 === "f g")
+    assert(out(2L)._2 === "x y")
+  }
+
+  test("removeDuplicatedSegments: null text reads as zero segments") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Curation.removeDuplicatedSegments(docs, "doc_id", "text",
+      segTokens = 2, maxDf = 2)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(3L) === ((3L, "", 0L, 0L, 0L)))
+    // segment "a b" occurs in 2 docs >= maxDf -> dropped from both
+    assert(out(1L)._2 === "c d" && out(2L)._2 === "x y")
+  }
+
+  test("duplicatedSpans provenance: k smallest sharing docs per span; " +
+      "provenanceK = 0 keeps the detection-only schema") {
+    val shared = "p q r s t"
+    val docs = Seq(
+      (5L, s"$shared aa bb"), (9L, s"$shared cc dd"),
+      (2L, s"$shared ee ff"), (7L, s"$shared gg hh"),
+      (1L, "nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = Curation.duplicatedSpans(docs, "doc_id", "text",
+      n = 5, minDf = 2, provenanceK = 3)
+    assert(out.columns.contains("sample_docs"))
+    val rows = out
+      .select($"doc_id", $"start_tok", $"end_tok", $"sample_docs")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.length === 4)
+    rows.foreach { case (_, st, en, sd) =>
+      assert(st === 0L && en === 4L)
+      // 4 sharers {2,5,7,9}; the 3 smallest, sorted, comma-joined
+      assert(sd === "2,5,7")
+    }
+    val plain = Curation.duplicatedSpans(docs, "doc_id", "text",
+      n = 5, minDf = 2)
+    assert(plain.columns.toSeq ===
+      Seq("doc_id", "span_id", "start_tok", "end_tok", "span_tokens"))
+  }
+
   test("kmvDistinct: exact below k, estimate within 2x at 25 values") {
     val small = (1 to 5).map(i => ("g1", s"v$i")) // 5 distinct < k=8
     val big = (1 to 25).map(i => ("g2", s"w$i"))

@@ -126,4 +126,57 @@ class RankingSpec extends SparkSpec {
     assert(r(11L) == (90909L + 1000000L + 1000000L) / 3)
     assert(r(1L) > r(11L))
   }
+
+  test("perplexityProxy: matches a hand-computed add-one-smoothed " +
+      "reference; unscoreable docs are absent") {
+    import spark.implicits._
+    val model = Seq(
+      (100L, "the quick brown fox"), (101L, "the quick red fox"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox"),   // all bigrams seen
+      (2L, "the slow brown fox"),    // unseen bigram + unseen prefix
+      (3L, "unseen words entirely novel"),
+      (4L, "single"))                // < 2 tokens: not scored
+      .toDF("doc_id", "text")
+    val out = Ranking.perplexityProxy(docs, model, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // model: pairs (the,quick)x2, (quick,brown), (quick,red),
+    // (brown,fox), (red,fox); prefixes the->2, quick->2, brown->1,
+    // red->1; V = |{quick, brown, red, fox}| = 4.
+    // doc1: 6e6/3-1e6=1e6; 6e6/2-1e6=2e6; 5e6/2-1e6=1.5e6
+    assert(out(1L) === ((3L, 4500000L, 1500000L)))
+    // doc2: (the,slow) 6e6/1-1e6=5e6; (slow,brown) 4e6/1-1e6=3e6;
+    // (brown,fox) 1.5e6 -> sum 9.5e6, mean truncates to 3166666
+    assert(out(2L) === ((3L, 9500000L, 3166666L)))
+    // doc3: three fully-unseen bigrams at 3e6 each
+    assert(out(3L) === ((3L, 9000000L, 3000000L)))
+    assert(!out.contains(4L))
+    // the weird tail ranks weirder: doc1 < doc3 <= doc2
+    assert(out(1L)._3 < out(3L)._3 && out(3L)._3 <= out(2L)._3)
+  }
+
+  test("perplexityProxy surrogate: monotone (strict on distinct p-hat " +
+      "here) against a float -ln reference") {
+    // enumerate smoothed (pair_n, prefix_n) combos at fixed V: the
+    // integer surrogate 1e6*(1/p-1) must order EXACTLY like -ln(p)
+    val V = 7L
+    val pts = for {
+      pair <- 0L to 6L
+      prefix <- pair to 12L
+    } yield {
+      val p = (pair + 1).toDouble / (prefix + V)
+      val s = (prefix + V) * 1000000L / (pair + 1) - 1000000L
+      (p, s, -math.log(p))
+    }
+    for (a <- pts; b <- pts) {
+      if (a._1 < b._1 - 1e-12) {
+        assert(a._2 > b._2, s"surrogate not strictly decreasing: $a $b")
+        assert(a._3 > b._3) // sanity: -ln agrees
+      }
+      if (math.abs(a._1 - b._1) < 1e-12)
+        assert(a._2 === b._2)
+    }
+  }
 }
