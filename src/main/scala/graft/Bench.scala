@@ -69,6 +69,49 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Parses the isolated-adjudication child's stdout into per-query
+    * verdicts. Returns (oks, errs): oks maps a flagged name to its
+    * isolated (sec, task_time_ms, os_load); errs maps a name to WHY no
+    * isolated time may be recorded for it — the child reported it in
+    * its errors map (exit 3), it was missing from the child's queries,
+    * or the child emitted no summary line at all. A flagged query that
+    * THREW in the child must land in errs, never in oks: its
+    * time-to-failure would read as a clean fast sample and wrongly
+    * acquit a real regression. Object-level (not main-local) so the
+    * parse is unit-testable without forking a JVM. */
+  private[graft] def parseIsolated(
+      stdout: String,
+      names: Seq[String],
+      exitCode: Int): (Map[String, (Double, String, String)], Map[String, String]) = {
+    val line = stdout.linesIterator
+      .find(_.startsWith("{\"metric\":\"total\"")).getOrElse("")
+    if (line.isEmpty)
+      return (Map.empty,
+        names.map(_ -> s"no child summary line (exit=$exitCode)").toMap)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(line)
+    val oks = Map.newBuilder[String, (Double, String, String)]
+    val errs = Map.newBuilder[String, String]
+    names.foreach { name =>
+      val childErr = root.path("errors").path(name)
+      val sec = root.path("queries").path(name)
+      if (childErr.isTextual)
+        errs += name ->
+          s"child errored (exit=$exitCode): ${childErr.asText().take(160)}"
+      else if (!sec.isNumber)
+        errs += name -> s"missing from child output (exit=$exitCode)"
+      else {
+        val m = root.path("details").path(name).path("metrics")
+        def num(f: String): String = {
+          val v = m.path(f)
+          if (v.isNumber) v.asText() else "null"
+        }
+        oks += name -> ((sec.asDouble, num("task_time_ms"), num("os_load")))
+      }
+    }
+    (oks.result(), errs.result())
+  }
+
   /** JVM JIT compiler bean (None when compile-time monitoring is
     * unsupported). Cumulative ms spent in compiler threads — per-run
     * deltas are recorded in details as runs_jit_ms. */
@@ -734,9 +777,17 @@ object Bench {
     // on fast queries from flagging). Heavy-tail entries compare
     // median-vs-previous-median, so a flagged entry here reproduced
     // across 3 runs — it is a regression, not a one-sample spike.
+    // The two pipeline entries are README HEADLINE figures compared
+    // round-over-round as records/s, and they are best-of-3 (far more
+    // stable than a single query median) — a 2x bar let a -14%/-20%
+    // drift pass unadjudicated (r17). They flag at >1.25x AND >2 s
+    // absolute, entering the same quiet-box isolation as queries.
     val regressions = all.flatMap { case (k, v) =>
+      val isPipeline = k.startsWith("pipeline_")
       prevTimes.get(k).collect {
-        case p if p > 0 && v > 2 * p && v - p > 0.5 => k -> ((p, v))
+        case p if p > 0 &&
+          (if (isPipeline) v > 1.25 * p && v - p > 2.0
+           else v > 2 * p && v - p > 0.5) => k -> ((p, v))
       }
     }
     val regJson = regressions
@@ -755,11 +806,20 @@ object Bench {
     // drift (r14/r16) adjudicates from the committed artifact alone
     // instead of costing a round of re-run prose. Opt out with
     // GRAFT_BENCH_ISOLATE=0.
-    val isolated: Map[String, (Double, String, String)] =
+    val (isolated, isolatedErrs):
+        (Map[String, (Double, String, String)], Map[String, String]) =
       if (args.nonEmpty || regressions.isEmpty ||
-        sys.env.get("GRAFT_BENCH_ISOLATE").contains("0")) Map.empty
+        sys.env.get("GRAFT_BENCH_ISOLATE").contains("0"))
+        (Map.empty, Map.empty)
       else try {
         import scala.jdk.CollectionConverters._
+        // Shed the parent's weight BEFORE forking: the child competes
+        // with this JVM's resident set on a memory-constrained host, so
+        // drop caches/broadcasts and hint a GC first (the local[*]
+        // session itself stays up — stopping it would kill the summary
+        // emission below, and its executors are idle while we wait).
+        try releaseAll() catch { case _: Throwable => () }
+        System.gc()
         val javaBin = java.nio.file.Paths
           .get(System.getProperty("java.home"), "bin", "java").toString
         val jvmArgs = java.lang.management.ManagementFactory
@@ -782,28 +842,12 @@ object Bench {
           proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
         if (!finished) proc.destroyForcibly()
         drainer.join(5000)
-        val stdout = outBuf.toString("UTF-8")
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val line = stdout.linesIterator
-          .find(_.startsWith("{\"metric\":\"total\"")).getOrElse("{}")
-        val root = mapper.readTree(line)
-        regressions.map(_._1).flatMap { name =>
-          val sec = root.path("queries").path(name)
-          if (!sec.isNumber) None
-          else {
-            val m = root.path("details").path(name).path("metrics")
-            def num(f: String): String = {
-              val v = m.path(f)
-              if (v.isNumber) v.asText() else "null"
-            }
-            Some(name ->
-              ((sec.asDouble, num("task_time_ms"), num("os_load"))))
-          }
-        }.toMap
+        val exit = if (finished) proc.exitValue() else -1
+        parseIsolated(outBuf.toString("UTF-8"), regressions.map(_._1), exit)
       } catch {
         case e: Throwable =>
           progress(s"""{"isolate":"failed","err":"${esc(e.toString.take(200))}"}""")
-          Map.empty
+          (Map.empty, Map.empty)
       }
     // Splice each isolated verdict into the flagged query's detail so
     // the per-query record is self-contained...
@@ -813,10 +857,20 @@ object Bench {
           d + s""","isolated_sec":$sec,"isolated_task_ms":$taskMs,"isolated_os_load":$osLoad"""
       }
     }
+    // A child-side FAILURE is an annotation, never a time: recording a
+    // time-to-failure as isolated_sec would read as a clean fast run
+    // and wrongly acquit a real regression.
+    isolatedErrs.foreach { case (name, err) =>
+      details.get(name).foreach { d =>
+        details(name) = d + s""","isolated_err":"${esc(err)}""""
+      }
+    }
     // ...and as a top-level map for the compact tail.
-    val isoJson = isolated
+    val isoJson = (isolated
       .map { case (k, (sec, t, l)) =>
-        "\"" + k + s"""\":{"sec":$sec,"task_ms":$t,"os_load":$l}""" }
+        "\"" + k + s"""\":{"sec":$sec,"task_ms":$t,"os_load":$l}""" } ++
+      isolatedErrs.map { case (k, e) =>
+        "\"" + k + s"""\":{"err":"${esc(e)}"}""" })
       .mkString("{", ",", "}")
     val detJson = details
       .map { case (k, v) => "\"" + k + "\":{" + v + "}" }
