@@ -202,6 +202,45 @@ object ScaleBench {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dest/documents.parquet")
     }
+    // Span-DENSE documents (r18): remove_spans' reassembly filter is
+    // O(tokens x spans) per document, and the default corpus is span-
+    // SPARSE (a handful of spans per affected doc) — the operator's
+    // target workload (template-heavy crawl dumps) is the opposite.
+    // This corpus makes ~half of all positions covered by MANY short
+    // spans: 10 base docs concatenate into one ~1000-own-token
+    // document, and a fixed 5-token boilerplate phrase is injected
+    // between every 5-own-token chunk — every injection is a
+    // cross-document duplicated 5-gram (one span each), so a ~2000-
+    // token doc carries ~200 disjoint 5-token spans (~50% coverage,
+    // tokens x spans ~ 400k interval checks/doc under the filter()
+    // form). The per-copy alphabet permutation also permutes the
+    // boilerplate's letters, so spans stay intra-copy and work stays
+    // linear in copies by construction.
+    def replicateDocsDense(n: Int, dest: String): Unit = {
+      val boiler = "qzjxv wkqbz jvqxd pzqkw xqvzb"
+      val grouped = spark.read.parquet(s"$base/documents.parquet")
+        .groupBy(expr("doc_id div 10").as("gid"))
+        .agg(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(doc_id, text)))," +
+            " s -> s.text)")).as("t0"))
+        .withColumn("__t", split(trim(col("t0")), "\\s+"))
+        .select(col("gid"), concat_ws(s" $boiler ", expr(
+          "transform(sequence(0, cast((size(__t) + 4) / 5 as int) - 1)," +
+            " k -> concat_ws(' ', slice(__t, k * 5 + 1, 5)))")).as("text"))
+      val cp = explode(sequence(lit(0), lit(n - 1))).as("cp")
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      def perm(i: Int): String =
+        if (i == 0) alpha
+        else new scala.util.Random(i).shuffle(alpha.toList).mkString
+      val perms = array((0 until n).map(i => lit(perm(i))): _*)
+      grouped.select(col("gid"), col("text")).select(cp, col("*"))
+        .withColumn("p", element_at(perms, col("cp").cast("int") + 1))
+        .select((col("gid") + col("cp") * docOff).as("doc_id"),
+          expr(s"translate(text, '$alpha', p)").as("text"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+    }
+
     // Embeddings replicate deep like events (2000 vectors at sf0.1 —
     // 10x only measures overhead): 100x = 200k vectors. Vectors are
     // reused verbatim across copies (offset ids); that is fine for
@@ -509,6 +548,34 @@ object ScaleBench {
       val d = s"$work/doc_x$m"
       build(d, Seq("documents"), m)(replicateDocsPerm(m, d)); d
     }
+    // Span-dense corpus (see replicateDocsDense): same x100 cap as the
+    // other span shapes.
+    val denseCopies = ppjoinCopies
+    val dirDd1 = s"$work/doc_dense_x1"
+    val dirDdN = s"$work/doc_dense_x$denseCopies"
+    build(dirDd1, Seq("documents"), 1)(replicateDocsDense(1, dirDd1))
+    build(dirDdN, Seq("documents"), denseCopies)(
+      replicateDocsDense(denseCopies, dirDdN))
+    val midDd = midFor(denseCopies)
+    val dirMidDd = midDd.map { m =>
+      val d = s"$work/doc_dense_x$m"
+      build(d, Seq("documents"), m)(replicateDocsDense(m, d)); d
+    }
+    val denseShapes: Seq[(String, String => DataFrame)] = Seq(
+      // remove_spans on the span-DENSE corpus: ~200 disjoint 5-token
+      // spans per ~2000-token doc (~50% coverage). This is the deep
+      // point that stresses the REASSEMBLY side (span-list aggregate +
+      // per-token excision) rather than the detection side — the
+      // operator's actual workload on template-heavy crawl data. Same
+      // eliminated-work forcing as remove_spans: aggregate over the
+      // computed columns, guard filter referencing them.
+      "remove_spans_dense" -> (dir =>
+        graft.operators.Curation.removeDuplicatedSpans(docsD(dir),
+          "doc_id", "text", n = 5, minDf = 2, fastHash = true)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_removed")).as("toks_removed"),
+            sum(length(col("clean_text"))).as("clean_chars"))
+          .where(col("toks_removed") >= 0 && col("clean_chars") >= 0)))
     val ppjoinShapes: Seq[(String, String => DataFrame)] = Seq(
       "ppjoin_prefix" -> (dir =>
         Dedup.prefixFilterPairs(docsD(dir), "doc_id", "text",
@@ -780,6 +847,9 @@ object ScaleBench {
         ppjoinShapes.map { case (nm, fn) =>
           Job(nm, fn, dirD1, dirDP, ppjoinCopies,
             dirMidP, midP.getOrElse(0)) } ++
+        denseShapes.map { case (nm, fn) =>
+          Job(nm, fn, dirDd1, dirDdN, denseCopies,
+            dirMidDd, midDd.getOrElse(0)) } ++
         embShapes.map { case (nm, fn) =>
           Job(nm, fn, dirM1, dirMN, embCopies,
             dirMidM, midM.getOrElse(0)) })

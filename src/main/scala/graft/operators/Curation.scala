@@ -564,12 +564,19 @@ object Curation {
       coalesce(text.tokens(col(textCol)), lit(Array.empty[String]))
         .as("__t"))
       .join(spans, Seq(idCol), "left")
+      // Excision is the native merged sweep (graft.plans.ExciseSpans,
+      // O(tokens + spans log spans) compiled): the composable
+      // filter/exists form re-probes the WHOLE span list per token,
+      // interpreted — invisible on span-sparse corpora, but on the
+      // template-heavy corpora this operator exists for (r18 span-dense
+      // deep shape: ~200 spans per ~2000-token doc, ~50% coverage) it
+      // measured 554 s of task time at the x100 point (~11 ms/doc,
+      // tokens x spans interval checks) with a 1.15 task exponent.
+      // Bit-parity with the HOF form is spec-pinned (ExciseSpansSpec),
+      // including span lists duplicatedSpans never emits.
       .withColumn("__kept",
         when(col("__spans").isNull, col("__t")).otherwise(
-          filter(col("__t"), (_, i) =>
-            !exists(col("__spans"), s =>
-              i.cast(LongType) >= s.getField("start_tok") &&
-                i.cast(LongType) <= s.getField("end_tok")))))
+          graft.plans.ExciseSpans(col("__t"), col("__spans"))))
       .select(col(idCol),
         concat_ws(" ", col("__kept")).as("clean_text"),
         size(col("__t")).cast(LongType).as("n_tokens"),
