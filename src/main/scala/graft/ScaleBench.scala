@@ -1022,6 +1022,58 @@ object ScaleBench {
         }
         s""","dsir_knob":{"corpus":"doc_x$docsCopies","n_buckets":1024,"points":[${pts.mkString(",")}]}"""
       }
+    // ---- DSIR long-doc knob (r18): the r17 dsir_knob measured
+    // exchange-reuse as a NET LOSS on ~100-token docs (compaction
+    // factor F/D ~ 1: the shared (id, bucket, f) exchange shuffles as
+    // many pairs as there were features, for no saved work). The
+    // documented inversion condition is doclen >> nBuckets — this
+    // probe measures THAT side: 50 base docs concatenate to ~5000
+    // tokens against 256 buckets (F/D ~ 19 predicted), and
+    // dsirCompactionProfile's measured factor is recorded NEXT TO the
+    // A/B so the profile's decision rule ("enable reuse when
+    // compaction_x1000 >> 2000") is validated against the outcome it
+    // predicts, on both hash paths. Skipped unless named.
+    val dsirLongKnobFrag =
+      if (!shapeFilter.forall(_.contains("dsir_longdoc_knob"))) ""
+      else {
+        val dirLong = s"$work/doc_long"
+        build(dirLong, Seq("documents"), ppjoinCopies) {
+          docsD(dirDP)
+            .groupBy(expr("doc_id div 50").as("gid"))
+            .agg(concat_ws(" ", expr(
+              "transform(array_sort(collect_list(struct(doc_id, text)))," +
+                " s -> s.text)")).as("text"))
+            .select(col("gid").as("doc_id"), col("text"))
+            .repartition(cpus.toInt)
+            .write.mode("overwrite").parquet(s"$dirLong/documents.parquet")
+        }
+        val docsL = docsD(dirLong)
+        val pr = graft.operators.Curation.dsirCompactionProfile(
+          docsL, "doc_id", "text", nBuckets = 256, seed = 7,
+          fastHash = true).head()
+        val profJson =
+          s"""{"n_docs":${pr.getAs[Long]("n_docs")},"n_features":${pr.getAs[Long]("n_features")},"distinct_pairs":${pr.getAs[Long]("distinct_pairs")},"compaction_x1000":${pr.getAs[Long]("compaction_x1000")}}"""
+        System.err.println(s"""{"dsir_longdoc_profile":$profJson}""")
+        try releaseAll() catch { case _: Throwable => () }
+        val pts = for {
+          fast <- Seq(false, true)
+          reuse <- Seq(false, true)
+        } yield {
+          def run() = onceMeasure(dir =>
+            graft.operators.Curation.importanceTopK(
+              graft.operators.Curation.importanceWeights(docsD(dir),
+                docsD(dir).filter(col("doc_id") % 19 === 0),
+                "doc_id", "text", nBuckets = 256, seed = 7,
+                fastHash = fast, reuseBucketExchange = reuse),
+              "doc_id", 50), dirLong)
+          val draws = Seq(run(), run())
+          val (sec, met, _) = draws.minBy(_._1)
+          val j = s"""{"fast_hash":$fast,"reuse":$reuse,"runs":[${draws.map(_._1).mkString(",")}],"min":$sec,"metrics":$met}"""
+          System.err.println(s"""{"dsir_longdoc_knob":$j}""")
+          j
+        }
+        s""","dsir_longdoc_knob":{"corpus":"doc_x$ppjoinCopies div 50","n_buckets":256,"profile":$profJson,"points":[${pts.mkString(",")}]}"""
+      }
     // ---- containment co-mass guard: measure the word-level (shingle=1)
     // degenerate regime against the shingled form at both scales with
     // the containmentCoMass probe, then PROVE the budget gate fires —
@@ -1162,7 +1214,7 @@ object ScaleBench {
       }
     }
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"docs_copies":$docsCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}}$knobFrag$ppjoinKnobFrag$lshKnobFrag$dsirKnobFrag$containKnobFrag,"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); since r18 task_exponent is computed between the two LARGEST points (mid = n/10 -> hi, see task_exponent_basis) on MEDIAN summed task time — the pre-r18 x1->hi basis divided by a 1-2 s x1 wall that swings 2x with shared-box weather and made same-code artifacts disagree (ppjoin te 0.99-1.11 across five identical-code runs); the legacy value stays as task_exponent_x1 and the mid point's raw samples land in each shape's mid block; streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"docs_copies":$docsCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}}$knobFrag$ppjoinKnobFrag$lshKnobFrag$dsirKnobFrag$dsirLongKnobFrag$containKnobFrag,"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); since r18 task_exponent is computed between the two LARGEST points (mid = n/10 -> hi, see task_exponent_basis) on MEDIAN summed task time — the pre-r18 x1->hi basis divided by a 1-2 s x1 wall that swings 2x with shared-box weather and made same-code artifacts disagree (ppjoin te 0.99-1.11 across five identical-code runs); the legacy value stays as task_exponent_x1 and the mid point's raw samples land in each shape's mid block; streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
     println(out)
     // A shape-filtered run covers a subset — never let it replace the
     // artifact of record.

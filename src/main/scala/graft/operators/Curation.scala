@@ -648,8 +648,16 @@ object Curation {
     * only per-doc partial aggregates (82 MB). Kept, default OFF,
     * because the trade inverts with document length: at doclen >>
     * nBuckets the pairs compact by ~doclen/nBuckets and the saved
-    * second tokenize+hash can win — re-measure via the dsir_knob probe
-    * before enabling. */
+    * second tokenize+hash can win. MEASURED at the inversion point
+    * (r18 dsir_longdoc_knob, ~2700 features/doc vs 256 buckets, F/D =
+    * 93.6): reuse WINS on the md5 path (14.1 -> 7.3 s, task 333 ->
+    * 169 s — the deleted second tokenize+md5 pass dominates) and still
+    * LOSES on the fastHash path (2.6 -> 3.8 s — the native hash is so
+    * cheap that re-hashing beats the extra exchange at ANY measured
+    * compaction). Decision rule, validated by both knob points: enable
+    * only when md5 buckets are required (oracle-mirrorable runs) AND
+    * [[dsirCompactionProfile]] reports compaction_x1000 well above
+    * ~2000; on fastHash leave it off. */
   def importanceWeights(
       raw: DataFrame,
       target: DataFrame,
@@ -825,12 +833,15 @@ object Curation {
     * (id, bucket) pairs D — without running either variant end to end.
     * The reuse knob shuffles the compacted (id, bucket, f) aggregate
     * where the default shuffles nothing feature-sized twice but pays a
-    * second tokenize+hash; the trade follows F/D (SCALE.md dsir_knob:
-    * F/D ~ 1 on ~100-token docs lost 48 → 79 s; the win condition is
-    * doclen >> nBuckets, where F/D ~ doclen/nBuckets). Rule of thumb
-    * from the measured points: enable reuse when compaction_x1000 is
-    * well above ~2000 (each shuffled pair replaces >= 2 hash+tokenize
-    * visits), keep the lazy default below it.
+    * second tokenize+hash; the trade follows F/D AND the hash cost
+    * (SCALE.md dsir_knob: F/D ~ 1 on ~100-token docs lost 48 → 79 s;
+    * r18 dsir_longdoc_knob at F/D = 93.6 WON 14.1 → 7.3 s on md5 and
+    * still lost 2.6 → 3.8 s on fastHash — the native hash is cheaper
+    * than the extra exchange at any measured compaction). Rule
+    * validated by both knob points: enable reuse only where md5
+    * buckets are required (oracle-mirrorable runs) AND this profile
+    * reports compaction_x1000 well above ~2000; on the fastHash path
+    * keep the lazy default regardless.
     *
     * One aggregation pass over the same featureBuckets stream the real
     * operator consumes — exact counts, no sampling. Output (1 row):
