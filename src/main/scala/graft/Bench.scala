@@ -780,13 +780,16 @@ object Bench {
     // The two pipeline entries are README HEADLINE figures compared
     // round-over-round as records/s, and they are best-of-3 (far more
     // stable than a single query median) — a 2x bar let a -14%/-20%
-    // drift pass unadjudicated (r17). They flag at >1.25x AND >2 s
-    // absolute, entering the same quiet-box isolation as queries.
+    // drift pass unadjudicated (r17). They flag at >1.25x AND >0.3 s
+    // absolute (pipeline_e2e is ~1 s at sf0.1, so a seconds-scale
+    // floor would make the flag unreachable), entering the same
+    // quiet-box isolation as queries — a false flag costs one ~30 s
+    // fork that adjudicates itself into the artifact.
     val regressions = all.flatMap { case (k, v) =>
       val isPipeline = k.startsWith("pipeline_")
       prevTimes.get(k).collect {
         case p if p > 0 &&
-          (if (isPipeline) v > 1.25 * p && v - p > 2.0
+          (if (isPipeline) v > 1.25 * p && v - p > 0.3
            else v > 2 * p && v - p > 0.5) => k -> ((p, v))
       }
     }

@@ -1151,13 +1151,24 @@ object ScaleBench {
           // their medians repeat, so same-code artifacts agree. The
           // x1-based value (min-run metrics, the pre-r18 definition)
           // stays as task_exponent_x1 for cross-artifact continuity.
-          def taskMs(met: String): Option[Double] =
-            """"task_time_ms":([0-9]+)""".r.findFirstMatchIn(met)
+          def metField(f: String)(met: String): Option[Double] =
+            (s""""$f":([0-9]+)""").r.findFirstMatchIn(met)
               .map(_.group(1).toDouble)
-          def medTask(rs: Vector[(Double, String)]): Option[Double] = {
-            val ts = rs.flatMap(r => taskMs(r._2)).filter(_ > 0)
+          val taskMs = metField("task_time_ms") _
+          val cpuMs = metField("task_cpu_ms") _
+          def medOf(rs: Vector[(Double, String)],
+              f: String => Option[Double]): Option[Double] = {
+            val ts = rs.flatMap(r => f(r._2)).filter(_ > 0)
             if (ts.isEmpty) None else Some(median(ts))
           }
+          // SERIES (r18, second iteration): task_cpu_ms, not
+          // task_time_ms. Per-task "run time" counts time the task
+          // thread is STALLED — OS timesharing under load (r17
+          // ppjoin's x100 task sum swung 1035 vs 2199 s at os_load
+          // ~5 on identical work) and GC pauses both inflate it; CPU
+          // time counts only on-CPU cycles, so it is the series whose
+          // medians actually repeat across same-code artifacts. Falls
+          // back to task_time_ms if a run lacks the cpu counter.
           val teX1 = (for {
             t1m <- taskMs(met1); tNm <- taskMs(metN)
             if t1m > 0 && tNm > 0
@@ -1165,9 +1176,13 @@ object ScaleBench {
           val rMs = runsM.get(name).filter(_.nonEmpty)
           val teMid = (for {
             ms <- rMs; if job.m > 0 && job.m < n
-            tM <- medTask(ms); tN <- medTask(rNs)
+            useCpu = medOf(ms, cpuMs).isDefined &&
+              medOf(rNs, cpuMs).isDefined
+            f = if (useCpu) cpuMs else taskMs
+            tM <- medOf(ms, f); tN <- medOf(rNs, f)
           } yield (r4(math.log(tN / tM) / math.log(n.toDouble / job.m)),
-            s"x${job.m}->x$n/median_task_ms"))
+            s"x${job.m}->x$n/median_" +
+              (if (useCpu) "task_cpu_ms" else "task_ms")))
           val taskFrag =
             (teMid, teX1) match {
               case (Some((te, basis)), x1) =>
@@ -1177,12 +1192,21 @@ object ScaleBench {
                 s""","task_exponent":$v,"task_exponent_basis":"x1->x$n/min_run","task_exponent_x1":$v"""
               case (None, None) => ""
             }
+          // Per-run work counters at every point, so a reader can
+          // recompute (or re-base) the exponent from the artifact
+          // alone — the min-run metrics blob only carries one sample.
+          def workLists(rs: Vector[(Double, String)]): String = {
+            def arr(f: String => Option[Double]): String =
+              rs.map(r => f(r._2).map(_.toLong.toString).getOrElse("null"))
+                .mkString("[", ",", "]")
+            s""""runs_task_ms":${arr(taskMs)},"runs_cpu_ms":${arr(cpuMs)}"""
+          }
           // The mid point's own samples land in the artifact so a
           // reader can recompute the exponent from raw data.
           val midFrag = rMs.map { ms =>
             val (tM, metM) = ms.minBy(_._1)
             val medM = r4(median(ms.map(_._1)))
-            s""","mid":{"copies":${job.m},"min":$tM,"median":$medM,"runs":[${ms.map(_._1).mkString(",")}],"metrics":$metM}"""
+            s""","mid":{"copies":${job.m},"min":$tM,"median":$medM,"runs":[${ms.map(_._1).mkString(",")}],${workLists(ms)},"metrics":$metM}"""
           }.getOrElse("")
           // Per-run GC alongside the per-run walls: single-draw GC at
           // the deep points swings 2.8 s / 4.5 s / 16.9 s across
@@ -1206,7 +1230,7 @@ object ScaleBench {
           val errFrag = failed.get(name)
             .map(m => s""","err":"${m.replace("\"", "'")}"""").getOrElse("")
           System.err.println(s"""{"shape":"$name","x1":$med1,"x$n":$medN,"ratio":$ratio,"exponent":$exponent$taskFrag$streamFrag$errFrag}""")
-          s""""$name":{"x1":{"min":$t1,"median":$med1,"runs":[${r1s.map(_._1).mkString(",")}],"runs_gc_ms":${gcList(r1s)},"rows":$rows1,"metrics":$met1}$midFrag,"x$n":{"min":$tN,"median":$medN,"runs":[${rNs.map(_._1).mkString(",")}],"runs_gc_ms":${gcList(rNs)},"rows":$rowsN,"metrics":$metN},"copies":$n,"ratio":$ratio,"exponent":$exponent$taskFrag$streamFrag$errFrag}"""
+          s""""$name":{"x1":{"min":$t1,"median":$med1,"runs":[${r1s.map(_._1).mkString(",")}],"runs_gc_ms":${gcList(r1s)},${workLists(r1s)},"rows":$rows1,"metrics":$met1}$midFrag,"x$n":{"min":$tN,"median":$medN,"runs":[${rNs.map(_._1).mkString(",")}],"runs_gc_ms":${gcList(rNs)},${workLists(rNs)},"rows":$rowsN,"metrics":$metN},"copies":$n,"ratio":$ratio,"exponent":$exponent$taskFrag$streamFrag$errFrag}"""
         case (err, _, _) =>
           val m = err.getOrElse("no samples")
           System.err.println(s"""{"shape":"$name","err":"${m.replace("\"", "'")}"}""")
@@ -1214,7 +1238,7 @@ object ScaleBench {
       }
     }
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"docs_copies":$docsCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}}$knobFrag$ppjoinKnobFrag$lshKnobFrag$dsirKnobFrag$dsirLongKnobFrag$containKnobFrag,"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); since r18 task_exponent is computed between the two LARGEST points (mid = n/10 -> hi, see task_exponent_basis) on MEDIAN summed task time — the pre-r18 x1->hi basis divided by a 1-2 s x1 wall that swings 2x with shared-box weather and made same-code artifacts disagree (ppjoin te 0.99-1.11 across five identical-code runs); the legacy value stays as task_exponent_x1 and the mid point's raw samples land in each shape's mid block; streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"docs_copies":$docsCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}}$knobFrag$ppjoinKnobFrag$lshKnobFrag$dsirKnobFrag$dsirLongKnobFrag$containKnobFrag,"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); since r18 task_exponent is computed between the two LARGEST points (mid = n/10 -> hi, see task_exponent_basis) on MEDIAN summed task CPU time (task_cpu_ms — per-task run time counts stall time, which OS timesharing and GC inflate 2x with weather; CPU cycles repeat across same-code artifacts) — the pre-r18 x1->hi basis divided by a 1-2 s x1 wall that swings 2x with shared-box weather and made same-code artifacts disagree (ppjoin te 0.99-1.11 across five identical-code runs); the legacy value stays as task_exponent_x1 and every point carries runs_task_ms/runs_cpu_ms arrays so the exponent is recomputable (or re-basable) from the artifact alone; streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
     println(out)
     // A shape-filtered run covers a subset — never let it replace the
     // artifact of record.
