@@ -650,14 +650,18 @@ object Curation {
     * nBuckets the pairs compact by ~doclen/nBuckets and the saved
     * second tokenize+hash can win. MEASURED at the inversion point
     * (r18 dsir_longdoc_knob, ~2700 features/doc vs 256 buckets, F/D =
-    * 93.6): reuse WINS on the md5 path (14.1 -> 7.3 s, task 333 ->
-    * 169 s — the deleted second tokenize+md5 pass dominates) and still
-    * LOSES on the fastHash path (2.6 -> 3.8 s — the native hash is so
-    * cheap that re-hashing beats the extra exchange at ANY measured
-    * compaction). Decision rule, validated by both knob points: enable
-    * only when md5 buckets are required (oracle-mirrorable runs) AND
-    * [[dsirCompactionProfile]] reports compaction_x1000 well above
-    * ~2000; on fastHash leave it off. */
+    * 93.6): reuse WINS on the md5 path in BOTH measurements (isolated
+    * 14.1 -> 7.3 s / task 333 -> 169 s; in-suite 6.2 -> 3.7 s — the
+    * deleted second tokenize+md5 pass dominates), while the fastHash
+    * direction did not reproduce across runs (isolated 2.6 -> 3.8 s,
+    * in-suite 1.5 -> 1.2 s): at 1-4 s walls the trade is a WASH inside
+    * weather — the native hash is cheap enough that neither side
+    * dominates. Decision rule: enable reuse when md5 buckets are
+    * required (oracle-mirrorable runs) AND [[dsirCompactionProfile]]
+    * reports compaction_x1000 well above ~2000; on fastHash the knob
+    * does not matter at measured scales — prefer the simpler default
+    * (off). At F/D ~ 1 (short docs) reuse loses clearly on BOTH paths
+    * (the r17 measurement). */
   def importanceWeights(
       raw: DataFrame,
       target: DataFrame,
@@ -834,14 +838,13 @@ object Curation {
     * The reuse knob shuffles the compacted (id, bucket, f) aggregate
     * where the default shuffles nothing feature-sized twice but pays a
     * second tokenize+hash; the trade follows F/D AND the hash cost
-    * (SCALE.md dsir_knob: F/D ~ 1 on ~100-token docs lost 48 → 79 s;
-    * r18 dsir_longdoc_knob at F/D = 93.6 WON 14.1 → 7.3 s on md5 and
-    * still lost 2.6 → 3.8 s on fastHash — the native hash is cheaper
-    * than the extra exchange at any measured compaction). Rule
-    * validated by both knob points: enable reuse only where md5
-    * buckets are required (oracle-mirrorable runs) AND this profile
-    * reports compaction_x1000 well above ~2000; on the fastHash path
-    * keep the lazy default regardless.
+    * (SCALE.md dsir_knob: F/D ~ 1 on ~100-token docs lost 48 → 79 s on
+    * both paths; r18 dsir_longdoc_knob at F/D = 93.6 WON ~1.9x on md5
+    * in both measurements, and was a weather-level WASH on fastHash).
+    * Rule: enable reuse only where md5 buckets are required
+    * (oracle-mirrorable runs) AND this profile reports compaction_x1000
+    * well above ~2000; on the fastHash path keep the simpler lazy
+    * default — the knob does not matter there at measured scales.
     *
     * One aggregation pass over the same featureBuckets stream the real
     * operator consumes — exact counts, no sampling. Output (1 row):
