@@ -1183,10 +1183,37 @@ object ScaleBench {
           } yield (r4(math.log(tN / tM) / math.log(n.toDouble / job.m)),
             s"x${job.m}->x$n/median_" +
               (if (useCpu) "task_cpu_ms" else "task_ms")))
+          // Error bar: the remaining variance channel after the mid
+          // basis and the CPU series is the raw per-sample CPU sums
+          // themselves — on this shared box the heaviest shapes'
+          // samples swing up to ~2x within ONE run (ppjoin hi cpu
+          // 602/1138/1434 s in a single r18 artifact; bandwidth /
+          // frequency / JIT weather that a median of 3 cannot reject).
+          // So the exponent ships WITH its half-width, derived from
+          // the min/max sample at each endpoint:
+          //   spread = (ln(maxHi/minHi) + ln(maxMid/minMid)) / (2 ln r)
+          // and the cross-artifact agreement contract is
+          //   |te_a - te_b| <= spread_a + spread_b
+          // — machine-checkable from two committed artifacts (see
+          // tools/scale_te.py), no adjudication prose.
+          def spreadOf(rs: Vector[(Double, String)],
+              f: String => Option[Double]): Option[Double] = {
+            val ts = rs.flatMap(r => f(r._2)).filter(_ > 0)
+            if (ts.isEmpty) None else Some(math.log(ts.max / ts.min))
+          }
+          val teSpread = (for {
+            ms <- rMs; if job.m > 0 && job.m < n
+            useCpu = medOf(ms, cpuMs).isDefined &&
+              medOf(rNs, cpuMs).isDefined
+            f = if (useCpu) cpuMs else taskMs
+            sM <- spreadOf(ms, f); sN <- spreadOf(rNs, f)
+          } yield r4((sM + sN) / (2 * math.log(n.toDouble / job.m))))
           val taskFrag =
             (teMid, teX1) match {
               case (Some((te, basis)), x1) =>
                 s""","task_exponent":$te,"task_exponent_basis":"$basis"""" +
+                  teSpread.map(s => s""","task_exponent_spread":$s""")
+                    .getOrElse("") +
                   x1.map(v => s""","task_exponent_x1":$v""").getOrElse("")
               case (None, Some(v)) =>
                 s""","task_exponent":$v,"task_exponent_basis":"x1->x$n/min_run","task_exponent_x1":$v"""
