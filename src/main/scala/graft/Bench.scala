@@ -57,10 +57,17 @@ import org.apache.spark.sql.SparkSession
   * classpath, only the flagged names as args — a targeted child run
   * skips the pipelines, never writes bench_summary.json and never
   * re-isolates) and the verdict lands in the artifact as
-  * isolated_sec/isolated_task_ms/isolated_os_load per flagged query
-  * plus a top-level "isolated" map. The recurring ambient 1.1-1.3x
-  * suite drift then adjudicates from the committed artifact alone.
-  * GRAFT_BENCH_ISOLATE=0 opts out.
+  * isolated_sec/isolated_task_ms/isolated_task_cpu_ms/
+  * isolated_os_load/isolated_verdict per flagged query plus a
+  * top-level "isolated" map. The recurring ambient 1.1-1.3x suite
+  * drift then adjudicates from the committed artifact alone. Since
+  * r19 the child's own os_load gates the verdict ("quiet" vs
+  * "load-contaminated", threshold cpus/4) with ONE retry on a loaded
+  * sample, and task_cpu_ms rides along — CPU cycles are insensitive
+  * to both stall inflation and the fresh-vs-warm JVM wall gap that
+  * make isolated WALLS structurally higher for catalog/JIT-heavy
+  * queries (q201's fresh-JVM floor is ~2x its warm in-suite time at
+  * IDENTICAL cpu). GRAFT_BENCH_ISOLATE=0 opts out.
   *
   * Also measures the full events-table transform pipeline as records/s
   * — batch (`pipeline_e2e`) and streaming (`pipeline_stream`, append
@@ -82,7 +89,7 @@ object Bench {
   private[graft] def parseIsolated(
       stdout: String,
       names: Seq[String],
-      exitCode: Int): (Map[String, (Double, String, String)], Map[String, String]) = {
+      exitCode: Int): (Map[String, (Double, String, String, String)], Map[String, String]) = {
     val line = stdout.linesIterator
       .find(_.startsWith("{\"metric\":\"total\"")).getOrElse("")
     if (line.isEmpty)
@@ -90,7 +97,7 @@ object Bench {
         names.map(_ -> s"no child summary line (exit=$exitCode)").toMap)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(line)
-    val oks = Map.newBuilder[String, (Double, String, String)]
+    val oks = Map.newBuilder[String, (Double, String, String, String)]
     val errs = Map.newBuilder[String, String]
     names.foreach { name =>
       val childErr = root.path("errors").path(name)
@@ -106,11 +113,34 @@ object Bench {
           val v = m.path(f)
           if (v.isNumber) v.asText() else "null"
         }
-        oks += name -> ((sec.asDouble, num("task_time_ms"), num("os_load")))
+        // task_cpu_ms rides along since r19: CPU cycles are the one
+        // counter that is insensitive to BOTH stall-time inflation
+        // (os timesharing, GC) and the fresh-vs-warm JVM wall gap, so
+        // it is the series a downstream diff should adjudicate on (the
+        // r18 q201 flag would have self-acquitted from it: isolated
+        // cpu 7.9 s vs the baseline's 8.3 s with the walls 2x apart).
+        oks += name -> ((sec.asDouble, num("task_time_ms"),
+          num("task_cpu_ms"), num("os_load")))
       }
     }
     (oks.result(), errs.result())
   }
+
+  /** Quiet-box verdict for an isolated child sample: the adjudication
+    * method's premise is that the fresh-JVM re-run happened on an
+    * otherwise-idle box, and the r18 round committed an isolated
+    * sample taken at os_load 15.2 that the diff tooling then printed
+    * as a confirmation — the one thing the isolation exists to
+    * prevent. A 1-minute load average above a quarter of the core
+    * count means the sample competed for CPU and its wall cannot
+    * acquit or convict; "unknown" when the child could not read the
+    * gauge. Pure and object-level so the threshold is unit-tested. */
+  private[graft] def isolationVerdict(osLoad: String, cpus: Int): String =
+    osLoad.toDoubleOption match {
+      case None => "unknown"
+      case Some(l) if l <= cpus * 0.25 => "quiet"
+      case Some(_) => "load-contaminated"
+    }
 
   /** JVM JIT compiler bean (None when compile-time monitoring is
     * unsupported). Cumulative ms spent in compiler threads — per-run
@@ -810,43 +840,71 @@ object Bench {
     // instead of costing a round of re-run prose. Opt out with
     // GRAFT_BENCH_ISOLATE=0.
     val (isolated, isolatedErrs):
-        (Map[String, (Double, String, String)], Map[String, String]) =
+        (Map[String, (Double, String, String, String)], Map[String, String]) =
       if (args.nonEmpty || regressions.isEmpty ||
         sys.env.get("GRAFT_BENCH_ISOLATE").contains("0"))
         (Map.empty, Map.empty)
       else try {
         import scala.jdk.CollectionConverters._
-        // Shed the parent's weight BEFORE forking: the child competes
-        // with this JVM's resident set on a memory-constrained host, so
-        // drop caches/broadcasts and hint a GC first (the local[*]
-        // session itself stays up — stopping it would kill the summary
-        // emission below, and its executors are idle while we wait).
-        try releaseAll() catch { case _: Throwable => () }
-        System.gc()
-        val javaBin = java.nio.file.Paths
-          .get(System.getProperty("java.home"), "bin", "java").toString
-        val jvmArgs = java.lang.management.ManagementFactory
-          .getRuntimeMXBean.getInputArguments.asScala.toSeq
-        val cmd = Seq(javaBin) ++ jvmArgs ++
-          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++
-          regressions.map(_._1)
-        progress(s"""{"isolate":"start","n":${regressions.size}}""")
-        val pb = new ProcessBuilder(cmd: _*)
-        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-        val proc = pb.start()
-        // Drain stdout concurrently: the child's full summary JSON can
-        // exceed the pipe buffer, and an undrained pipe deadlocks the
-        // child against waitFor.
-        val outBuf = new java.io.ByteArrayOutputStream()
-        val drainer = new Thread(() => proc.getInputStream.transferTo(outBuf))
-        drainer.setDaemon(true)
-        drainer.start()
-        val finished =
-          proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
-        if (!finished) proc.destroyForcibly()
-        drainer.join(5000)
-        val exit = if (finished) proc.exitValue() else -1
-        parseIsolated(outBuf.toString("UTF-8"), regressions.map(_._1), exit)
+        def forkOnce(): (Map[String, (Double, String, String, String)],
+            Map[String, String]) = {
+          // Shed the parent's weight BEFORE forking: the child competes
+          // with this JVM's resident set on a memory-constrained host, so
+          // drop caches/broadcasts and hint a GC first (the local[*]
+          // session itself stays up — stopping it would kill the summary
+          // emission below, and its executors are idle while we wait).
+          try releaseAll() catch { case _: Throwable => () }
+          System.gc()
+          val javaBin = java.nio.file.Paths
+            .get(System.getProperty("java.home"), "bin", "java").toString
+          val jvmArgs = java.lang.management.ManagementFactory
+            .getRuntimeMXBean.getInputArguments.asScala.toSeq
+          val cmd = Seq(javaBin) ++ jvmArgs ++
+            Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++
+            regressions.map(_._1)
+          progress(s"""{"isolate":"start","n":${regressions.size}}""")
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+          val proc = pb.start()
+          // Drain stdout concurrently: the child's full summary JSON can
+          // exceed the pipe buffer, and an undrained pipe deadlocks the
+          // child against waitFor.
+          val outBuf = new java.io.ByteArrayOutputStream()
+          val drainer = new Thread(() => proc.getInputStream.transferTo(outBuf))
+          drainer.setDaemon(true)
+          drainer.start()
+          val finished =
+            proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+          if (!finished) proc.destroyForcibly()
+          drainer.join(5000)
+          val exit = if (finished) proc.exitValue() else -1
+          parseIsolated(outBuf.toString("UTF-8"), regressions.map(_._1), exit)
+        }
+        val first = forkOnce()
+        // Quiet-box premise check (r19): an isolated sample taken on a
+        // loaded box proves nothing — the r18 artifact committed one at
+        // os_load 15.2 and it cost a round of adjudication. One retry
+        // when any sample came back contaminated; per query the QUIETER
+        // attempt is kept (lower child os_load), and the verdict field
+        // spliced below says whether even that one met the premise.
+        val contaminated = first._1.values.exists { case (_, _, _, l) =>
+          isolationVerdict(l, cpus.toInt) == "load-contaminated" }
+        if (!contaminated) first
+        else {
+          progress(s"""{"isolate":"retry","reason":"load-contaminated"}""")
+          val second = forkOnce()
+          def loadOf(t: (Double, String, String, String)): Double =
+            t._4.toDoubleOption.getOrElse(Double.MaxValue)
+          val oks = (first._1.keySet ++ second._1.keySet).map { k =>
+            k -> ((first._1.get(k), second._1.get(k)) match {
+              case (Some(a), Some(b)) => if (loadOf(a) <= loadOf(b)) a else b
+              case (Some(a), None) => a
+              case (None, Some(b)) => b
+              case (None, None) => throw new IllegalStateException(k)
+            })
+          }.toMap
+          (oks, (first._2 ++ second._2) -- oks.keySet)
+        }
       } catch {
         case e: Throwable =>
           progress(s"""{"isolate":"failed","err":"${esc(e.toString.take(200))}"}""")
@@ -854,10 +912,10 @@ object Bench {
       }
     // Splice each isolated verdict into the flagged query's detail so
     // the per-query record is self-contained...
-    isolated.foreach { case (name, (sec, taskMs, osLoad)) =>
+    isolated.foreach { case (name, (sec, taskMs, cpuMs, osLoad)) =>
       details.get(name).foreach { d =>
         details(name) =
-          d + s""","isolated_sec":$sec,"isolated_task_ms":$taskMs,"isolated_os_load":$osLoad"""
+          d + s""","isolated_sec":$sec,"isolated_task_ms":$taskMs,"isolated_task_cpu_ms":$cpuMs,"isolated_os_load":$osLoad,"isolated_verdict":"${isolationVerdict(osLoad, cpus.toInt)}""""
       }
     }
     // A child-side FAILURE is an annotation, never a time: recording a
@@ -870,8 +928,8 @@ object Bench {
     }
     // ...and as a top-level map for the compact tail.
     val isoJson = (isolated
-      .map { case (k, (sec, t, l)) =>
-        "\"" + k + s"""\":{"sec":$sec,"task_ms":$t,"os_load":$l}""" } ++
+      .map { case (k, (sec, t, c, l)) =>
+        "\"" + k + s"""\":{"sec":$sec,"task_ms":$t,"task_cpu_ms":$c,"os_load":$l,"verdict":"${isolationVerdict(l, cpus.toInt)}"}""" } ++
       isolatedErrs.map { case (k, e) =>
         "\"" + k + s"""\":{"err":"${esc(e)}"}""" })
       .mkString("{", ",", "}")

@@ -14,7 +14,7 @@ class BenchParseSpec extends AnyFunSuite {
     """{"metric":"total","value":9.9,"unit":"sec","basis":"noop",""" +
       """"queries":{"q1":1.5,"q2":0.07,"pipeline_e2e":4.0},""" +
       """"errors":{"q2":"SparkException: stage failed"},""" +
-      """"details":{"q1":{"metrics":{"task_time_ms":123,"os_load":0.5}},""" +
+      """"details":{"q1":{"metrics":{"task_time_ms":123,"task_cpu_ms":77,"os_load":0.5}},""" +
       """"pipeline_e2e":{"runs":[4.0],"min":4.0}}}"""
 
   private val stdout =
@@ -22,7 +22,7 @@ class BenchParseSpec extends AnyFunSuite {
 
   test("clean query lands isolated sec + metrics") {
     val (oks, errs) = Bench.parseIsolated(stdout, Seq("q1"), 0)
-    assert(oks === Map("q1" -> ((1.5, "123", "0.5"))))
+    assert(oks === Map("q1" -> ((1.5, "123", "77", "0.5"))))
     assert(errs.isEmpty)
   }
 
@@ -38,7 +38,7 @@ class BenchParseSpec extends AnyFunSuite {
   test("pipeline entry without a metrics block still lands sec " +
       "(nulls for the counters)") {
     val (oks, errs) = Bench.parseIsolated(stdout, Seq("pipeline_e2e"), 0)
-    assert(oks === Map("pipeline_e2e" -> ((4.0, "null", "null"))))
+    assert(oks === Map("pipeline_e2e" -> ((4.0, "null", "null", "null"))))
     assert(errs.isEmpty)
   }
 
@@ -55,5 +55,18 @@ class BenchParseSpec extends AnyFunSuite {
     assert(oks.isEmpty)
     assert(errs.keySet === Set("q1", "q2"))
     assert(errs.values.forall(_.contains("no child summary line (exit=-1)")))
+  }
+
+  test("isolation verdict: quiet box under cpus/4, contaminated above, " +
+      "unknown when the gauge is missing (planted high-load case)") {
+    // the r18 committed case: os_load 15.2 on a 32-cpu box must NOT
+    // read as a quiet-box confirmation.
+    assert(Bench.isolationVerdict("15.2", 32) === "load-contaminated")
+    assert(Bench.isolationVerdict("2.7", 32) === "quiet")
+    assert(Bench.isolationVerdict("8.0", 32) === "quiet") // boundary: <=
+    assert(Bench.isolationVerdict("8.1", 32) === "load-contaminated")
+    assert(Bench.isolationVerdict("null", 32) === "unknown")
+    assert(Bench.isolationVerdict("", 32) === "unknown")
+    assert(Bench.isolationVerdict("1.5", 4) === "load-contaminated")
   }
 }

@@ -9,9 +9,19 @@ For every query whose time moved by more than --threshold (default
 move from the artifacts' own counters — the same adjudication ladder
 the round reports use:
 
+  ISOLATED-CPU-OK  the isolated sample's task CPU is within 1.3x of the
+                 old run's task CPU -> the WORK is unchanged; the wall
+                 moved with stall time / JIT / catalog latency (q201's
+                 fresh-JVM wall floor is ~2x its warm in-suite time at
+                 identical cpu) -> ambient/structural, not the plan
   ISOLATED-OK    the new artifact carries an isolated fresh-JVM verdict
                  within 1.3x of the old time -> ambient/suite weather
-  ISOLATED-SLOW  isolated verdict confirms the slowdown -> REAL
+  ISOLATED-LOADED the isolated sample itself ran at os_load above
+                 cpus/4 (or its verdict field says load-contaminated):
+                 the quiet-box premise failed, so the sample can
+                 neither acquit nor convict -> re-run on a quiet box
+                 (counted as unresolved: exit 2)
+  ISOLATED-SLOW  a QUIET isolated verdict confirms the slowdown -> REAL
   TASK-FLAT      wall moved but median summed task time moved <1.15x ->
                  driver/ambient (GC neighbors, os_load), not the plan
   JIT            the slow run's jit_ms delta dominates its wall delta ->
@@ -29,6 +39,7 @@ Exit status: 0 = no unexplained moves, 2 = at least one TASK-MOVED /
 ISOLATED-SLOW survived.
 """
 import json
+import os
 import sys
 
 
@@ -45,16 +56,45 @@ def med(xs):
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
-def classify(name, old, new, o_det, n_det, isolated):
+def classify(name, old, new, o_det, n_det, isolated, cpus):
     """Returns (verdict, evidence) for one moved query."""
     o_sec, n_sec = old, new
     iso = isolated.get(name)
     if iso is not None and isinstance(iso.get("sec"), (int, float)):
+        # CPU first: the isolated child's task_cpu_ms vs the OLD run's
+        # task_cpu_ms is the one compare that survives both stall-time
+        # inflation and the fresh-vs-warm JVM wall gap. A flat CPU means
+        # the plan does the same work — whatever the walls say.
+        o_cpu = (o_det or {}).get("metrics", {}).get("task_cpu_ms")
+        i_cpu = iso.get("task_cpu_ms")
+        if isinstance(o_cpu, (int, float)) and o_cpu > 0 and \
+                isinstance(i_cpu, (int, float)) and i_cpu > 0 and \
+                i_cpu <= o_cpu * 1.3:
+            return ("ISOLATED-CPU-OK",
+                    f"isolated task cpu {i_cpu/1000:.1f}s vs prev "
+                    f"{o_cpu/1000:.1f}s — work unchanged, wall is "
+                    "stall/JIT/catalog latency")
         if iso["sec"] <= max(o_sec * 1.3, o_sec + 0.3):
             return ("ISOLATED-OK",
                     f"fresh-JVM re-run {iso['sec']:.2f}s vs prev {o_sec:.2f}s")
+        # The isolated wall is slow — but a wall measured on a loaded
+        # box cannot confirm anything (the r18 artifact committed an
+        # isolated sample at os_load 15.2 and this branch printed
+        # "confirms"). Consult the sample's own os_load / verdict field
+        # before claiming confirmation.
+        load = iso.get("os_load")
+        verdict = iso.get("verdict")
+        loaded = verdict == "load-contaminated" or (
+            verdict is None and isinstance(load, (int, float)) and
+            load > cpus * 0.25)
+        if loaded:
+            return ("ISOLATED-LOADED",
+                    f"isolated {iso['sec']:.2f}s but sampled at os_load "
+                    f"{load} (cpus={cpus}) — quiet-box premise failed; "
+                    "inconclusive, re-run on a quiet box")
         return ("ISOLATED-SLOW",
-                f"fresh-JVM re-run {iso['sec']:.2f}s confirms (prev {o_sec:.2f}s)")
+                f"quiet fresh-JVM re-run {iso['sec']:.2f}s confirms "
+                f"(prev {o_sec:.2f}s, os_load {load})")
     if not o_det or not n_det:
         return ("NO-DETAIL", "single-run entries carry no run arrays")
     o_task = med(o_det.get("runs_task_ms", []))
@@ -86,10 +126,16 @@ def classify(name, old, new, o_det, n_det, isolated):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 1.3
+    # Core count for the quiet-box os_load gate (bench artifacts do not
+    # record it); default = this harness's local[32].
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     for a in sys.argv[1:]:
         if a.startswith("--threshold"):
             thr = float(a.split("=", 1)[1]) if "=" in a \
                 else float(sys.argv[sys.argv.index(a) + 1])
+        if a.startswith("--cpus"):
+            cpus = int(a.split("=", 1)[1]) if "=" in a \
+                else int(sys.argv[sys.argv.index(a) + 1])
     if len(args) < 2:
         sys.exit(__doc__)
     old, new = load(args[0]), load(args[1])
@@ -125,8 +171,9 @@ def main():
             direction = "SLOWER" if n > o else "faster"
             verdict, why = classify(
                 q, o, n, old.get("details", {}).get(q),
-                new.get("details", {}).get(q), iso)
-            if verdict in ("TASK-MOVED", "ISOLATED-SLOW") and n > o:
+                new.get("details", {}).get(q), iso, cpus)
+            if verdict in ("TASK-MOVED", "ISOLATED-SLOW",
+                           "ISOLATED-LOADED") and n > o:
                 real += 1
             print(f"{q}: {o:.2f} -> {n:.2f} s ({direction})  "
                   f"[{verdict}] {why}")
