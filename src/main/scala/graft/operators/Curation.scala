@@ -440,19 +440,31 @@ object Curation {
       nWindows, bytesPerRow = if (fastHash) 48L else 96L, col("__h"))
     // Span provenance (provenanceK > 0): curation audits ask
     // "duplicated WITH WHOM", so each duplicated window also carries
-    // the provenanceK SMALLEST sharing doc ids (sorted distinct set,
-    // sliced — deterministic, engine-mirrorable), and the span rolls
-    // its windows' samples up into one bounded sorted sample. Cost
-    // rides the existing gram exchange: the window aggregate gains a
-    // collect_set whose state is the window's DISTINCT doc set — the
-    // one piece that is NOT output-bounded before the slice, so a
-    // boilerplate window shared by half the corpus holds its sharers in
-    // one aggregation buffer. That is the audit price, paid only when
-    // asked (provenanceK = 0 keeps the exact detection-only plan);
-    // corpora with mega-duplicated windows should collapse exact dups
-    // first (the same precondition the LSH banding documents).
+    // the provenanceK SMALLEST sharing doc ids, and the span rolls its
+    // windows' samples up into one bounded sorted sample. Cost rides
+    // the existing gram exchange. The window aggregate is the native
+    // BottomKAgg KMV sketch (k smallest DISTINCT longs, O(k) buffer,
+    // mergeable partials) whenever the id column is integral — the
+    // same result as slice(sort_array(collect_set(id)), 1, k) with the
+    // one unbounded buffer removed: a boilerplate window shared by
+    // half the corpus used to hold its FULL distinct sharer set in one
+    // aggregation buffer pre-slice (the r18-documented "audit price");
+    // the sketch caps that at k ids per window at every partial. The
+    // collect_set form survives only as the fallback for non-integral
+    // id columns, where the bounded-state precondition is "collapse
+    // exact dups first" (the LSH banding's documented precondition).
+    val idIsIntegral = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
     val sampleAgg =
-      slice(sort_array(collect_set(col(idCol))), 1, provenanceK)
+      (if (idIsIntegral)
+        graft.plans.BottomKAgg.bottomK(
+          col(idCol).cast(LongType), provenanceK.max(1))
+      else slice(sort_array(collect_set(col(idCol))), 1, provenanceK))
         .as("__sample")
     val dupHashes =
       if (!distinctDocs) {
@@ -539,7 +551,14 @@ object Curation {
     * the doc's own (few) spans — no UDF, no driver path.
     *
     * Output: (idCol, clean_text, n_tokens, n_kept, n_removed) — one row
-    * per input document. */
+    * per input document. With `provenanceK > 0` the output additionally
+    * carries `removed_spans`: each excised span as "start-end@ids"
+    * (ids = the span's provenanceK smallest sharing docs, the
+    * [[duplicatedSpans]] audit column), ';'-joined in start order —
+    * "who caused each excision", completing the audit story for the
+    * cost of carrying the already-computed span aggregate through the
+    * reassembly join (the span list itself rides that join either
+    * way). Docs with nothing excised carry "". */
   def removeDuplicatedSpans(
       df: DataFrame,
       idCol: String,
@@ -547,11 +566,26 @@ object Curation {
       n: Int = 5,
       minDf: Int = 2,
       fastHash: Boolean = false,
-      distinctDocs: Boolean = true): DataFrame = {
+      distinctDocs: Boolean = true,
+      provenanceK: Int = 0): DataFrame = {
+    val detected = duplicatedSpans(
+      df, idCol, textCol, n, minDf, fastHash, distinctDocs, provenanceK)
+    val grouped = detected.groupBy(col(idCol))
     val spans =
-      duplicatedSpans(df, idCol, textCol, n, minDf, fastHash, distinctDocs)
-        .groupBy(col(idCol))
-        .agg(collect_list(
+      if (provenanceK > 0)
+        grouped.agg(
+          collect_list(struct(col("start_tok"), col("end_tok")))
+            .as("__spans"),
+          // deterministic: struct sort orders by (start, end, sample)
+          // and maximal spans never share a start within a doc.
+          concat_ws(";", transform(
+            array_sort(collect_list(struct(
+              col("start_tok"), col("end_tok"), col("sample_docs")))),
+            s => concat_ws("@",
+              concat_ws("-", s.getField("start_tok"), s.getField("end_tok")),
+              s.getField("sample_docs")))).as("__prov"))
+      else
+        grouped.agg(collect_list(
           struct(col("start_tok"), col("end_tok"))).as("__spans"))
     // NULL text reads as ZERO tokens (n_tokens 0, clean_text "", kept =
     // removed = 0) — distinct from the empty string, whose tokens() is
@@ -577,12 +611,15 @@ object Curation {
       .withColumn("__kept",
         when(col("__spans").isNull, col("__t")).otherwise(
           graft.plans.ExciseSpans(col("__t"), col("__spans"))))
-      .select(col(idCol),
+      .select((Seq(col(idCol),
         concat_ws(" ", col("__kept")).as("clean_text"),
         size(col("__t")).cast(LongType).as("n_tokens"),
         size(col("__kept")).cast(LongType).as("n_kept"),
         (size(col("__t")) - size(col("__kept"))).cast(LongType)
-          .as("n_removed"))
+          .as("n_removed")) ++
+        (if (provenanceK > 0)
+          Seq(coalesce(col("__prov"), lit("")).as("removed_spans"))
+        else Seq.empty)): _*)
   }
 
   /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
@@ -829,6 +866,73 @@ object Curation {
         col("__sum").cast(LongType).as("score_sum_micro"),
         (lit(biasMicro) + expr("__sum div n_features").cast(LongType))
           .as("score_micro"))
+  }
+
+  /** Hashed linear text-classifier TRAINING — the missing half of
+    * [[classifierScore]]: aggregate per-bucket log-odds weights from a
+    * LABELED slice (positive = reference corpus, negative = crawl
+    * sample — the fastText quality-filter setup of Joulin et al. 2016
+    * as used in curation pipelines), emitting exactly the
+    * (bucket, weight_micro) table [[classifierScore]] consumes.
+    *
+    * Integer-exact discipline (the DSIR ratio-micro form,
+    * [[importanceWeights]]): a bucket's weight is the add-one-smoothed
+    * class-probability ratio in micro-units, 0-centered —
+    *
+    *   weight_micro(b) = (c_pos(b)+1)·(N_neg+B)·10^6
+    *                       div ((c_neg(b)+1)·(N_pos+B))  −  10^6
+    *
+    * (c_pos/c_neg = class feature counts hashed into bucket b, N_pos/
+    * N_neg the class totals, B = nBuckets) — the first-order surrogate
+    * of the naive-Bayes log-odds ln(p(b|pos)/p(b|neg)), monotone in
+    * the true ratio, so thresholding the downstream mean-pooled score
+    * orders documents exactly like the log-linear model would. All
+    * intermediates ride DECIMAL(38,0); transcendental logs never
+    * appear, so the table is engine-exact and oracle-mirrorable.
+    *
+    * `isPositive` is evaluated per input row; rows where it is NULL
+    * are unlabeled and contribute to NEITHER class (dropping them
+    * silently would be a label-quality trap — they are excluded from
+    * both numerator and denominator, never misread as negatives).
+    * Buckets no training feature hits are absent from the output;
+    * classifierScore reads absent buckets as weight 0 (no evidence),
+    * which matches the smoothed weight's 0-centering.
+    *
+    * Scale shape: ONE narrow feature explode over the labeled slice
+    * (bounded — labeled data is small by construction), one
+    * map-side-combined per-bucket aggregate with conditional sums (no
+    * per-class scan), one B-row broadcast of the totals. The output is
+    * ≤ nBuckets ≤ 2^20 rows — broadcastable by contract. */
+  def trainClassifier(
+      df: DataFrame,
+      textCol: String,
+      isPositive: Column,
+      nBuckets: Int = 1024,
+      seed: Int = 7,
+      n: Int = 1,
+      fastHash: Boolean = false): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [1, 2^20], got $nBuckets")
+    require(n > 0, s"n must be positive, got $n")
+    // Pre-project the label: featureBuckets re-selects its `keep`
+    // columns after the tokenize projection, so a computed label
+    // expression must already BE a column there.
+    val labeled = df.select(
+      isPositive.cast("boolean").as("__pos"), col(textCol))
+    val counts = featureBuckets(
+      labeled, Seq(col("__pos")), textCol, nBuckets, seed, fastHash, n)
+      .groupBy(col("__b"))
+      .agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("__c_p"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("__c_n"))
+    val totals = counts.agg(
+      sum(col("__c_p")).as("__p_tot"), sum(col("__c_n")).as("__n_tot"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("__b").as("bucket"), expr(
+        s"CAST((CAST(__c_p + 1 AS DECIMAL(38,0))" +
+          s" * (__n_tot + $nBuckets) * 1000000)" +
+          s" div (CAST(__c_n + 1 AS DECIMAL(38,0)) * (__p_tot + $nBuckets))" +
+          s" AS BIGINT) - 1000000").as("weight_micro"))
   }
 
   /** DSIR exchange-reuse decision probe (the lshCandidateProfile

@@ -194,8 +194,15 @@ object Ranking {
       .agg(count(lit(1)).as("__pair_n"))
     val c1 = modelPairs.groupBy(col("w1"))
       .agg(count(lit(1)).as("__prefix_n"))
+    // greatest(V, 1): a DEGENERATE model (no document with >= 2
+    // tokens) has V = 0, and an un-floored V would score every bigram
+    // at a constant -10^6 — below the documented minimum 0 ("most
+    // expected"). With the floor the smoothing stays total and unseen
+    // bigrams under an empty model read surprisal 0, the least-
+    // informative value a model with no events can honestly assign;
+    // any real model (V >= 1) is numerically unchanged.
     val vocab = modelPairs.agg(
-      countDistinct(col("w2")).as("__v"))
+      greatest(countDistinct(col("w2")), lit(1L)).as("__v"))
     pairsOf(df)
       .join(broadcast(c2), Seq("w1", "w2"), "left")
       .join(broadcast(c1), Seq("w1"), "left")

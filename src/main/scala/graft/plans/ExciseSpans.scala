@@ -15,8 +15,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, St
   *     s -> i >= s.start_tok AND i <= s.end_tok))
   *
   * (a spec pins the parity, including overlapping/unsorted/duplicate
-  * spans and spans beyond the document end), but ONE compiled merged
-  * sweep instead of an interpreted O(tokens x spans) filter.
+  * spans, spans beyond the document end, and starts up to Long.Max),
+  * but ONE compiled merged sweep instead of an interpreted
+  * O(tokens x spans) filter. Parity holds for any span list with
+  * non-null elements — the only shape the producing aggregates
+  * (collect_list) emit; a NULL span ELEMENT covers nothing here,
+  * where the HOF form's three-valued logic would drop every
+  * uncovered token (see [[ExciseSpans.excise]]).
   *
   * Why it exists: higher-order lambdas run OUTSIDE whole-stage codegen,
   * and the exists() probe is re-run per token over the whole span list.
@@ -75,11 +80,20 @@ object ExciseSpans {
       GraftColumnBridge.expression(spans)))
 
   /** One merged sweep per row. Span starts sort via packed
-    * (start << 24 | index) longs — positions are document-length-
-    * bounded (well under 2^39) and span counts under 2^24, so the pack
-    * preserves start order; starts clamp at 0 (coverage below token 0
-    * cannot exclude anything, and negative values would break the
-    * pack). A null span element is treated as covering nothing. */
+    * (start << 24 | index) longs — span counts stay under 2^24 (an
+    * ArrayData bound), and starts clamp into [0, numTokens]: coverage
+    * below token 0 cannot exclude anything, a start at or past the
+    * document end covers nothing (the sweep never reaches it), and the
+    * clamp makes the pack overflow-proof for ANY Long input — an
+    * unclamped start >= 2^40 would wrap the shift, activate at token 0
+    * and excise the whole document (the opposite of the HOF form).
+    * A null span element is treated as covering nothing — here the
+    * native sweep deliberately DIVERGES from the composable
+    * filter/exists form, whose three-valued logic would drop EVERY
+    * token once one null span element exists (exists() yields SQL NULL
+    * for tokens no real span covers, and filter() drops on NULL);
+    * unreachable from collect_list output, where elements are never
+    * null, so the parity contract excludes null elements explicitly. */
   def excise(tokens: ArrayData, spans: ArrayData): ArrayData = {
     val m = tokens.numElements()
     val s = spans.numElements()
@@ -88,12 +102,13 @@ object ExciseSpans {
     var j = 0
     while (j < s) {
       if (spans.isNullAt(j)) {
-        // a start sentinel beyond any token index: sorts last and never
-        // activates in the sweep (covers nothing); low 24 bits keep the
-        // element index like every other key.
-        keys(j) = (0x7FFFFFFFFFL << 24) | j.toLong
+        // a start sentinel at the document end: never activates in the
+        // sweep (covers nothing); low 24 bits keep the element index
+        // like every other key.
+        keys(j) = (m.toLong << 24) | j.toLong
       } else {
-        val start = math.max(0L, spans.getStruct(j, 2).getLong(0))
+        val start = math.min(m.toLong,
+          math.max(0L, spans.getStruct(j, 2).getLong(0)))
         keys(j) = (start << 24) | j.toLong
       }
       j += 1

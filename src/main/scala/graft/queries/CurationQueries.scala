@@ -228,6 +228,23 @@ object CurationQueries {
         weights, nBuckets = 1024, seed = 7, n = 2, biasMicro = 250000L)
     }),
 
+    // Classifier TRAINED end to end (the inference-only q215's missing
+    // half): per-bucket log-odds micro-weights aggregated from a
+    // labeled slice (doc_id % 3 = 0 is the "labeled" subset; positive
+    // class = lang 'en', the reference-corpus-vs-crawl setup), then the
+    // FULL corpus scored with the trained table — train -> score as one
+    // composition, bigram feature space. The oracle rebuilds the
+    // training counts, the add-one-smoothed HUGEINT ratio weights, the
+    // bucketing, and the truncating mean from scratch in SQL.
+    "q218_classifier_trained" -> ((s, dir) => {
+      val docs = CoreQueries.spread(t(s, dir, "documents"))
+      val weights = Curation.trainClassifier(
+        docs.filter(col("doc_id") % 3 === 0), "text",
+        col("lang") === "en", nBuckets = 1024, seed = 7, n = 2)
+      Curation.classifierScore(docs, "doc_id", "text", weights,
+        nBuckets = 1024, seed = 7, n = 2)
+    }),
+
     // Duplicated spans WITH provenance (the audit question "duplicated
     // with WHOM"): each span carries the 3 smallest sharing doc ids,
     // rolled up from its windows' bounded sorted samples and joined to
@@ -816,6 +833,35 @@ object CurationQueries {
          |  CAST(sum(CAST(coalesce(wm, 0) AS HUGEINT)) AS BIGINT)
          |    AS score_sum_micro,
          |  CAST(250000 + sum(CAST(coalesce(wm, 0) AS HUGEINT)) // count(*)
+         |    AS BIGINT) AS score_micro
+         |FROM tk LEFT JOIN w USING (b) GROUP BY doc_id""".stripMargin,
+
+    "q218_classifier_trained" ->
+      s"""WITH tr AS (
+         |  SELECT (lang = 'en') AS pos, ${dHash32(7, "g")} % 1024 AS b
+         |  FROM (SELECT lang, unnest(${dShingles(2)}) AS g
+         |        FROM (SELECT lang, $dTok AS t FROM documents
+         |              WHERE doc_id % 3 = 0))),
+         |cnt AS (
+         |  SELECT b,
+         |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_p,
+         |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS c_n
+         |  FROM tr GROUP BY b),
+         |tot AS (SELECT sum(c_p) AS p_tot, sum(c_n) AS n_tot FROM cnt),
+         |w AS (
+         |  SELECT b,
+         |    CAST((CAST(c_p + 1 AS HUGEINT) * (n_tot + 1024) * 1000000)
+         |      // (CAST(c_n + 1 AS HUGEINT) * (p_tot + 1024)) AS BIGINT)
+         |      - 1000000 AS wm
+         |  FROM cnt CROSS JOIN tot),
+         |tk AS (
+         |  SELECT doc_id, ${dHash32(7, "g")} % 1024 AS b
+         |  FROM (SELECT doc_id, unnest(${dShingles(2)}) AS g
+         |        FROM (SELECT doc_id, $dTok AS t FROM documents)))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         |  CAST(sum(CAST(coalesce(wm, 0) AS HUGEINT)) AS BIGINT)
+         |    AS score_sum_micro,
+         |  CAST(sum(CAST(coalesce(wm, 0) AS HUGEINT)) // count(*)
          |    AS BIGINT) AS score_micro
          |FROM tk LEFT JOIN w USING (b) GROUP BY doc_id""".stripMargin,
 

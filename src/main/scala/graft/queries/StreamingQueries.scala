@@ -108,6 +108,44 @@ object StreamingQueries {
           col("userId").as("user_id"),
           col("nEvents").as("n_events"),
           col("sumValueMicros").as("sum_value_micros"))
+    }),
+
+    // Streaming classifier scoring == the batch classifierScore shape:
+    // documents score AS THEY ARRIVE through a stateless append-mode
+    // projection (row-local dot product against a 1-row broadcast
+    // weight map — no per-doc aggregation state, so batch splits
+    // cannot change the answer). Weight table = q215's deterministic
+    // md5-derived synthetic model; unigram feature space. The oracle
+    // rebuilds weights, buckets and the truncating mean in SQL —
+    // identical arithmetic to the batch operator's oracle, which is
+    // the point: stream == batch == oracle.
+    "q219_stream_classifier" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val weights = s.range(0, 1024).select(
+        col("id").as("bucket"),
+        (graft.functions.text.md5Hash32(concat(lit("w"), col("id")), 13)
+          % 2000001L - 1000000L).as("weight_micro"))
+      val stream = Streaming.docsStream(s, s"$dir/documents.parquet")
+      Streaming.runToCompletion(s,
+        Streaming.classifierScoreStream(stream, "doc_id", "text", weights,
+          nBuckets = 1024, seed = 7, n = 1),
+        s"stream_classifier_${runId.incrementAndGet()}",
+        outputMode = "append")
+    }),
+
+    // Streaming perplexity-proxy scoring == batch perplexityProxy: the
+    // trusted-slice bigram model lands as two static map columns + the
+    // vocab scalar; each arriving document folds its own bigram array
+    // (stateless, append). Same model slice as q216 (doc_id % 19).
+    "q220_stream_perplexity" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val model = CoreQueries.t(s, dir, "documents")
+        .filter(col("doc_id") % 19 === 0)
+      val stream = Streaming.docsStream(s, s"$dir/documents.parquet")
+      Streaming.runToCompletion(s,
+        Streaming.perplexityProxyStream(stream, model, "doc_id", "text"),
+        s"stream_perplexity_${runId.incrementAndGet()}",
+        outputMode = "append")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -152,5 +190,54 @@ object StreamingQueries {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) * 1000000 AS BIGINT)
         |    AS sum_value_micros
-        |FROM events GROUP BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q219_stream_classifier" ->
+      raw"""WITH w AS (
+           |  SELECT CAST(b AS BIGINT) AS b,
+           |    ('0x' || substr(md5('13:w' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+           |      % 2000001 - 1000000 AS wm
+           |  FROM (SELECT unnest(generate_series(0, 1023)) AS b)),
+           |tk AS (
+           |  SELECT doc_id,
+           |    ('0x' || substr(md5('7:' || w), 1, 8))::BIGINT % 1024 AS b
+           |  FROM (SELECT doc_id,
+           |          unnest(string_split_regex(trim(text), '\s+')) AS w
+           |        FROM documents))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+           |  CAST(sum(CAST(coalesce(wm, 0) AS HUGEINT)) AS BIGINT)
+           |    AS score_sum_micro,
+           |  CAST(sum(CAST(coalesce(wm, 0) AS HUGEINT)) // count(*)
+           |    AS BIGINT) AS score_micro
+           |FROM tk LEFT JOIN w USING (b) GROUP BY doc_id""".stripMargin,
+
+    "q220_stream_perplexity" ->
+      raw"""WITH tk AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+           |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+           |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+           |    FROM tk WHERE len(t) >= 2)),
+           |mp AS (SELECT * FROM pairs WHERE doc_id % 19 = 0),
+           |c2 AS (SELECT w1, w2, count(*) AS pair_n FROM mp GROUP BY 1, 2),
+           |c1 AS (SELECT w1, count(*) AS prefix_n FROM mp GROUP BY 1),
+           |v AS (SELECT greatest(count(DISTINCT w2), 1) AS vv FROM mp),
+           |scored AS (
+           |  SELECT p.doc_id,
+           |    (coalesce(prefix_n, 0) + vv) * 1000000
+           |      // (coalesce(pair_n, 0) + 1) - 1000000 AS surp
+           |  FROM pairs p
+           |  LEFT JOIN c2 USING (w1, w2)
+           |  LEFT JOIN c1 USING (w1)
+           |  CROSS JOIN v)
+           |SELECT doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CAST(surp AS HUGEINT)) AS BIGINT)
+           |    AS sum_surprisal_micro,
+           |  CAST(sum(CAST(surp AS HUGEINT)) // count(*) AS BIGINT)
+           |    AS ppl_proxy_micro
+           |FROM scored
+           |GROUP BY doc_id""".stripMargin)
 }

@@ -131,6 +131,142 @@ object Streaming {
     withTs.withWatermark("ts", watermark)
   }
 
+  /** Documents schema for the streaming quality-scoring feed. */
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming DataFrame over a documents path (directory or single
+    * parquet file — same symlink dispatch as [[eventsStream]]). No
+    * event-time column and no watermark: the scoring consumers are
+    * STATELESS projections, so nothing needs time-based eviction. */
+  def docsStream(spark: SparkSession, path: String): DataFrame = {
+    val t0 = System.nanoTime()
+    val (dir, _, srcBytes) = sourceCache.computeIfAbsent(path, { p =>
+      val d =
+        if (p.endsWith(".parquet") &&
+            !Files.isDirectory(java.nio.file.Paths.get(p))) {
+          val sd = scratchDir("graft-stream-src")
+          Files.createSymbolicLink(
+            sd.resolve("part-0.parquet"), java.nio.file.Paths.get(p))
+          sd.toString
+        } else p
+      (d, StringType, dirBytes(d))
+    })
+    pendingSourceBytes.updateAndGet(b => math.max(b, srcBytes))
+    val df = spark.readStream.schema(docsSchema).parquet(dir)
+    pendingSetupNs.addAndGet(System.nanoTime() - t0)
+    df
+  }
+
+  /** STREAMING-side classifier inference — semantically identical to
+    * [[graft.operators.Curation.classifierScore]] (same buckets, same
+    * integer micro-unit dot product, same truncating mean) but computed
+    * ROW-LOCALLY so it runs as a stateless append-mode projection:
+    * documents score as they arrive, zero aggregation state, batch
+    * splits cannot change the answer. The batch form explodes features
+    * and re-aggregates by id — on a stream that per-doc aggregation
+    * would hold keyed state for every document ever seen; here the
+    * weight table rides ONE static 1-row map column (bounded by
+    * nBuckets ≤ 2^20 — a trained model, ≤ ~16 MB) through a
+    * stream-static join, and the dot product folds over the row's own
+    * feature array with a DECIMAL(38,0) accumulator (same overflow
+    * discipline as batch). Docs with NULL text are unscored, matching
+    * the batch operator's explode semantics. */
+  def classifierScoreStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      nBuckets: Int = 1024,
+      seed: Int = 7,
+      n: Int = 1,
+      biasMicro: Long = 0L): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [1, 2^20], got $nBuckets")
+    require(n > 0, s"n must be positive, got $n")
+    val wmap = weights.agg(
+      map_from_entries(collect_list(struct(
+        col("bucket").cast(LongType),
+        col("weight_micro").cast(LongType)))).as("__wmap"))
+    val toks = graft.functions.text.tokens(col(textCol))
+    val feats =
+      if (n == 1) toks else graft.functions.text.shinglesOf(toks, n)
+    docs
+      .crossJoin(wmap)
+      .select(col(idCol), feats.as("__f"), col("__wmap"))
+      .filter(col("__f").isNotNull)
+      .withColumn("n_features", size(col("__f")).cast(LongType))
+      .withColumn("__sum", expr(
+        // the bucket is the batch path's md5Hash32 verbatim: conv()
+        // yields a STRING, so the BIGINT cast must precede the modulo
+        // (an uncast string % int would coerce through double).
+        s"""aggregate(__f, CAST(0 AS DECIMAL(38,0)), (acc, w) ->
+           |  acc + CAST(coalesce(
+           |    __wmap[CAST(conv(substr(md5(concat('$seed:', w)), 1, 8),
+           |                     16, 10) AS BIGINT) % $nBuckets],
+           |    0) AS DECIMAL(38,0)))""".stripMargin))
+      .select(col(idCol), col("n_features"),
+        col("__sum").cast(LongType).as("score_sum_micro"),
+        (lit(biasMicro) + expr("__sum div n_features").cast(LongType))
+          .as("score_micro"))
+  }
+
+  /** STREAMING-side perplexity-proxy scoring — semantically identical
+    * to [[graft.operators.Ranking.perplexityProxy]] (same add-one-
+    * smoothed integer surprisal surrogate, same V >= 1 floor, same
+    * truncating mean; docs with < 2 tokens unscored) computed
+    * row-locally: the model's bigram/prefix tables land as TWO static
+    * 1-row map columns plus the vocab scalar (the model corpus is the
+    * small trusted slice by the batch operator's contract), and each
+    * arriving document folds its own bigram array — stateless,
+    * append-mode, batch-split-invariant. Map keys: "w1 w2" — tokens
+    * are whitespace-split so the single-space join is unambiguous. */
+  def perplexityProxyStream(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val mp = model
+      .select(graft.functions.text.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        """zip_with(slice(__t, 1, size(__t) - 1), slice(__t, 2, size(__t) - 1),
+          |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val pairMap = mp.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(map_from_entries(collect_list(struct(
+        concat_ws(" ", col("w1"), col("w2")), col("__n")))).as("__pm"))
+    val prefixMap = mp.groupBy(col("w1"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(map_from_entries(collect_list(struct(
+        col("w1"), col("__n")))).as("__fm"))
+    val vocab = mp.agg(
+      greatest(countDistinct(col("w2")), lit(1L)).as("__v"))
+    docs
+      .crossJoin(pairMap.crossJoin(prefixMap).crossJoin(vocab))
+      .select(col(idCol),
+        graft.functions.text.tokens(col(textCol)).as("__t"),
+        col("__pm"), col("__fm"), col("__v"))
+      .filter(size(col("__t")) >= 2)
+      .withColumn("__g", expr(
+        """zip_with(slice(__t, 1, size(__t) - 1), slice(__t, 2, size(__t) - 1),
+          |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin))
+      .withColumn("n_pairs", size(col("__g")).cast(LongType))
+      .withColumn("__sum", expr(
+        """aggregate(__g, CAST(0 AS DECIMAL(38,0)), (acc, p) ->
+          |  acc + CAST((coalesce(__fm[p.w1], 0) + __v) * 1000000
+          |    div (coalesce(__pm[concat(p.w1, ' ', p.w2)], 0) + 1)
+          |    - 1000000 AS DECIMAL(38,0)))""".stripMargin))
+      .select(col(idCol), col("n_pairs"),
+        col("__sum").cast(LongType).as("sum_surprisal_micro"),
+        expr("__sum div n_pairs").cast(LongType).as("ppl_proxy_micro"))
+  }
+
   /** Hourly tumbling-window aggregation per event type: counts + exact
     * sum, carried as integer micro-units in a Long (the same
     * double->decimal(20,6) cast as the batch surface rounds each value,

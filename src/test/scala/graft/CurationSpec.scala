@@ -577,6 +577,107 @@ class CurationSpec extends SparkSpec {
       Seq("doc_id", "span_id", "start_tok", "end_tok", "span_tokens"))
   }
 
+  test("duplicatedSpans provenance state is O(k) for integral ids: " +
+      "bottom-k sketch in the plan, exact on a mega-duplicated window") {
+    // One boilerplate window shared by EVERY doc — the shape whose
+    // provenance buffer used to hold the window's full distinct doc set
+    // pre-slice (one collect_set buffer with n_docs entries). With the
+    // KMV swap each partial holds at most k ids.
+    val n = 500
+    val docs = spark.range(n)
+      .select((col("id") + 10L).as("doc_id"),
+        concat(lit("p q r s t tail"), col("id").cast("string")).as("text"))
+    val out = Curation.duplicatedSpans(docs, "doc_id", "text",
+      n = 5, minDf = 2, provenanceK = 4)
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("bottomkagg"),
+      s"expected the bottom-k sketch aggregate in the plan:\n$plan")
+    assert(!plan.contains("collect_set"),
+      "the unbounded collect_set buffer must be gone for long ids")
+    val rows = out.select($"doc_id", $"sample_docs")
+      .as[(Long, String)].collect()
+    assert(rows.length === n)
+    // 500 sharers; the 4 smallest ids are 10,11,12,13 for every span.
+    rows.foreach { case (_, sd) => assert(sd === "10,11,12,13") }
+    // Non-integral id column: same semantics through the collect_set
+    // fallback (k smallest distinct by the type's ordering).
+    import spark.implicits._
+    val sdocs = Seq(("dA", "p q r s t x"), ("dB", "p q r s t y"),
+      ("dC", "p q r s t z")).toDF("doc_id", "text")
+    val sout = Curation.duplicatedSpans(sdocs, "doc_id", "text",
+      n = 5, minDf = 2, provenanceK = 2)
+      .select($"sample_docs").as[String].collect()
+    assert(sout.length === 3)
+    sout.foreach(sd => assert(sd === "dA,dB"))
+  }
+
+  test("removeDuplicatedSpans provenanceK: removed_spans says who " +
+      "caused each excision; schema unchanged when off") {
+    val docs = Seq(
+      (1L, "p q r s t f1 f2 u v w x y"), // both shared phrases
+      (2L, "p q r s t aa bb cc dd ee"),  // shares the head phrase
+      (3L, "zz u v w x y qq"))           // shares the tail phrase
+      .toDF("doc_id", "text")
+    val out = Curation.removeDuplicatedSpans(docs, "doc_id", "text",
+      n = 5, minDf = 2, provenanceK = 2)
+    assert(out.columns.last === "removed_spans")
+    val rows = out.select($"doc_id", $"clean_text", $"removed_spans")
+      .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(rows(1L)._2 === "f1 f2")
+    assert(rows(1L)._3 === "0-4@1,2;7-11@1,3")
+    assert(rows(2L)._3 === "0-4@1,2")
+    assert(rows(3L)._3 === "1-5@1,3")
+    // off: schema identical to the pre-provenance contract
+    val off = Curation.removeDuplicatedSpans(docs, "doc_id", "text",
+      n = 5, minDf = 2)
+    assert(off.columns.toSeq ===
+      Seq("doc_id", "clean_text", "n_tokens", "n_kept", "n_removed"))
+  }
+
+  test("trainClassifier: weights match a driver brute force; null " +
+      "labels contribute to neither class; score end-to-end separates") {
+    val docs = Seq(
+      (1L, "good clean prose text", "pos"),
+      (2L, "good solid prose here", "pos"),
+      (3L, "spam spam buy now", "neg"),
+      (4L, "buy cheap spam offer", "neg"),
+      (5L, "totally unlabeled words", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "label")
+    val nB = 64
+    val w = Curation.trainClassifier(docs, "text",
+      when($"label".isNotNull, $"label" === "pos"), nBuckets = nB, seed = 7)
+      .as[(Long, Long)].collect().toMap
+    // driver brute force: same md5("seed:" + token) first-8-hex bucket,
+    // add-one-smoothed class ratio in micro units, truncating division.
+    def bucket(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$tok".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) % nB
+    }
+    val pos = Seq("good clean prose text", "good solid prose here")
+    val neg = Seq("spam spam buy now", "buy cheap spam offer")
+    def cnt(ts: Seq[String]) = ts.flatMap(_.split("\\s+")).map(bucket)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (cp, cn) = (cnt(pos), cnt(neg))
+    val (pTot, nTot) = (cp.values.sum, cn.values.sum)
+    val expected = (cp.keySet ++ cn.keySet).map { b =>
+      val num = BigInt(cp.getOrElse(b, 0L) + 1) * (nTot + nB) * 1000000
+      val den = BigInt(cn.getOrElse(b, 0L) + 1) * (pTot + nB)
+      b -> ((num / den).toLong - 1000000L)
+    }.toMap
+    assert(w === expected)
+    // the unlabeled doc's tokens are in no bucket count: brute force
+    // above never saw doc 5, and the engine agrees.
+    val scored = Curation.classifierScore(docs, "doc_id", "text",
+      Seq.empty[(Long, Long)].toDF("bucket", "weight_micro")
+        .unionByName(w.toSeq.toDF("bucket", "weight_micro")),
+      nBuckets = nB, seed = 7)
+      .select($"doc_id", $"score_micro").as[(Long, Long)].collect().toMap
+    assert(scored(1L) > 0L && scored(2L) > 0L, s"positives: $scored")
+    assert(scored(3L) < 0L && scored(4L) < 0L, s"negatives: $scored")
+  }
+
   test("kmvDistinct: exact below k, estimate within 2x at 25 values") {
     val small = (1 to 5).map(i => ("g1", s"v$i")) // 5 distinct < k=8
     val big = (1 to 25).map(i => ("g2", s"w$i"))

@@ -36,7 +36,13 @@ class ExciseSpansSpec extends SparkSpec {
         Seq(Seq(1L, 3L), Seq(2L, 4L), Seq(1L, 3L))),             // overlap+dup
       (7L, Seq("a", "b"), Seq(Seq(-3L, 0L))),                    // neg start
       (8L, Seq.empty[String], Seq(Seq(0L, 1L))),                 // empty doc
-      (9L, Seq("a", "b", "c"), Seq(Seq(5L, 9L))))                // all past end
+      (9L, Seq("a", "b", "c"), Seq(Seq(5L, 9L))),                // all past end
+      // start >= 2^40: an unclamped (start << 24) pack would wrap to a
+      // small key, activate at token 0 and excise the whole doc — the
+      // clamp-to-numTokens makes any Long start cover nothing past end
+      (10L, Seq("a", "b", "c"), Seq(Seq(1L << 41, Long.MaxValue))),
+      (11L, Seq("a", "b", "c"),
+        Seq(Seq(Long.MaxValue, Long.MaxValue), Seq(1L, 1L))))
       .toDF("id", "toks", "raw")
       .withColumn("spans", spanCol)
     val both = docs.select($"id",
@@ -54,6 +60,8 @@ class ExciseSpansSpec extends SparkSpec {
     assert(byId(6L) === Seq("a", "f", "g"))
     assert(byId(7L) === Seq("b"))
     assert(byId(9L) === Seq("a", "b", "c"))
+    assert(byId(10L) === Seq("a", "b", "c"))
+    assert(byId(11L) === Seq("a", "c"))
   }
 
   test("parity on randomized docs/spans (deterministic seed)") {

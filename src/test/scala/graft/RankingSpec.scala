@@ -157,6 +157,19 @@ class RankingSpec extends SparkSpec {
     assert(out(1L)._3 < out(3L)._3 && out(3L)._3 <= out(2L)._3)
   }
 
+  test("perplexityProxy: degenerate model (no doc with >= 2 tokens) " +
+      "keeps the contract 0 = minimum, never negative") {
+    import spark.implicits._
+    // V would be 0 un-floored and every bigram would score a constant
+    // -1e6, below the documented minimum; with greatest(V, 1) the
+    // smoothed table is total and unseen bigrams read 0.
+    val model = Seq((100L, "single"), (101L, "")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = Ranking.perplexityProxy(docs, model, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 0L, 0L)))
+  }
+
   test("perplexityProxy surrogate: monotone (strict on distinct p-hat " +
       "here) against a float -ln reference") {
     // enumerate smoothed (pair_n, prefix_n) combos at fixed V: the
