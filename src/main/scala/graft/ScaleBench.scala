@@ -133,20 +133,28 @@ object ScaleBench {
         // as N times more files — replicate that.
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
-      // Per-copy substitution cipher (rotate the lowercase alphabet by
-      // 7i mod 26 — distinct nonzero rotations for i in 1..9): copies
-      // of a document share no shingles, so dedup/LSH candidate
-      // structure is intra-copy and total pairs scale linearly.
+      // Per-copy FULL alphabet permutation (the replicateDocsPerm
+      // construction): copies of a document share no letter mapping,
+      // so dedup/LSH candidate structure is intra-copy and total pairs
+      // scale linearly AT ANY copy count. The original rotation cipher
+      // (rotate by 7i mod 26) repeats every 26 copies — at the deep
+      // runs' copies=100, copies i and i+26 carried IDENTICAL text and
+      // cross-copy duplicate pairs grew ~quadratically in copies/26,
+      // which is exactly the mid(x10, all-distinct rotations) ->
+      // hi(x100, 4-way collisions) superlinearity minhash_lsh's te
+      // 1.25±0.06 measured across two r18 artifacts: a replication
+      // artifact, not an operator wall. Fixed r19; the replica
+      // provenance marker is cipher-tagged so REUSE=1 rebuilds.
       val alpha = "abcdefghijklmnopqrstuvwxyz"
-      def rot(i: Int): String = { val r = (i * 7) % 26; alpha.drop(r) + alpha.take(r) }
-      val docs = spark.read.parquet(s"$base/documents.parquet")
+      def perm26(i: Int): String =
+        if (i == 0) alpha
+        else new scala.util.Random(i).shuffle(alpha.toList).mkString
+      val perms26 = array((0 until n).map(i => lit(perm26(i))): _*)
+      spark.read.parquet(s"$base/documents.parquet")
         .select(col("doc_id"), col("text")).select(cp, col("*"))
-      val ciphered = (1 until n).foldLeft(
-        when(col("cp") === 0, col("text"))) { (acc, i) =>
-        acc.when(col("cp") === i, translate(col("text"), alpha, rot(i)))
-      }
-      docs.select((col("doc_id") + col("cp") * docOff).as("doc_id"),
-        ciphered.otherwise(col("text")).as("text"))
+        .withColumn("p", element_at(perms26, col("cp").cast("int") + 1))
+        .select((col("doc_id") + col("cp") * docOff).as("doc_id"),
+          expr(s"translate(text, '$alpha', p)").as("text"))
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dest/documents.parquet")
     }
@@ -280,8 +288,12 @@ object ScaleBench {
         java.nio.file.Paths.get(s"$dest/$t.parquet/_SUCCESS"))) &&
         java.nio.file.Files.exists(marker(dest)) &&
         java.nio.file.Files.readString(marker(dest)) == prov
-    def build(dest: String, tables: Seq[String], n: Int)(write: => Unit): Unit = {
-      val prov = s"base=$base copies=$n"
+    // `tag` extends the provenance marker when a family's replication
+    // RECIPE changes (not just its inputs): the r19 cipher fix must not
+    // let REUSE=1 benchmark replicas written by the old rotation cipher.
+    def build(dest: String, tables: Seq[String], n: Int, tag: String = "")(
+        write: => Unit): Unit = {
+      val prov = s"base=$base copies=$n$tag"
       if (!(reuse && complete(dest, tables, prov))) {
         java.nio.file.Files.deleteIfExists(marker(dest))
         write
@@ -289,8 +301,10 @@ object ScaleBench {
         java.nio.file.Files.writeString(marker(dest), prov)
       }
     }
-    build(dir1, Seq("lineitem", "documents"), 1)(replicate(1, dir1))
-    build(dirN, Seq("lineitem", "documents"), copies)(replicate(copies, dirN))
+    build(dir1, Seq("lineitem", "documents"), 1, " cipher=perm")(
+      replicate(1, dir1))
+    build(dirN, Seq("lineitem", "documents"), copies, " cipher=perm")(
+      replicate(copies, dirN))
     build(dirE1, Seq("events"), 1)(replicateEvents(1, dirE1))
     build(dirEN, Seq("events"), eventsCopies)(replicateEvents(eventsCopies, dirEN))
     build(dirM1, Seq("embeddings"), 1)(replicateEmb(1, dirM1))
@@ -319,7 +333,8 @@ object ScaleBench {
     val midD = midFor(docsCopies)
     val dirMidL = midL.map { m =>
       val d = s"$work/x$m"
-      build(d, Seq("lineitem", "documents"), m)(replicate(m, d)); d
+      build(d, Seq("lineitem", "documents"), m, " cipher=perm")(
+        replicate(m, d)); d
     }
     val dirMidE = midE.map { m =>
       val d = s"$work/ev_x$m"
@@ -355,7 +370,6 @@ object ScaleBench {
         Graph.coOccurrenceEdges(li(dir).filter(col("l_orderkey") % 10 === 0),
           "l_orderkey", "l_partkey", broadcastBuild = true),
         seedPred = col("sn") % pkOff < 100, hops = 3)),
-      "minhash_lsh" -> (dir => lshPairs(dir)),
       // The BLOCKED banding (q199): the legacy 15-bit chunk join
       // (q39's shape) was measured quadratic at this scale point —
       // random chunk collisions grow n²/2^15, and at 500k docs that
@@ -368,11 +382,6 @@ object ScaleBench {
       "simhash_dup" -> (dir =>
         Dedup.simhashDupBlocked(docs(dir), "doc_id", "text",
           maxHamming = 3, blocks = 6)),
-      "cc_distributed" -> (dir =>
-        Dedup.connectedComponents(
-          lshPairs(dir).select(col("id_a"), col("id_b")),
-          driverEdgeThreshold = 0L)
-          .groupBy(col("label")).agg(count(lit(1)).as("n_members"))),
       // Storage-layout pair: the SAME orderkey self-join (≈4 partners
       // per key, keys disjoint per copy → pairs linear in N) over
       // bucketed vs plain storage. The bucketed side pays its one-time
@@ -457,6 +466,29 @@ object ScaleBench {
     // output-sized as the corpus grows.
     def docsD(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
     val docShapes: Seq[(String, String => DataFrame)] = Seq(
+      // MinHash+LSH banding pairs, moved here in r19 from the lineitem
+      // family for two reasons: (a) a decade deeper — the old x100
+      // point's mid was a 3k-doc corpus whose CPU was half fixed cost,
+      // so mid->hi read the marginal exponent at fixed-cost exit; the
+      // docs family's x1000 cap puts 30k docs at the mid and 300k at
+      // the hi, both in-regime; (b) the old family's rotation cipher
+      // repeated every 26 copies, so the x100 corpus carried IDENTICAL
+      // cross-copy documents and candidate pairs grew ~quadratically in
+      // copies/26 — the te 1.25±0.06 both r18 artifacts agreed on was a
+      // replication artifact, not an operator wall. The permutation
+      // cipher is collision-free at any measured depth; banded
+      // equi-joins over intra-copy dup structure are linear by
+      // construction, so te here is a clean proportionality check.
+      "minhash_lsh" -> (dir => lshPairs(dir)),
+      // Connected components over the LSH pair output — same corpus
+      // move and the same two reasons (its edges ARE lshPairs' output,
+      // so the rotation-cipher collision artifact fed it directly;
+      // cc's own te read 1.31/1.05 across the r18 artifacts).
+      "cc_distributed" -> (dir =>
+        Dedup.connectedComponents(
+          lshPairs(dir).select(col("id_a"), col("id_b")),
+          driverEdgeThreshold = 0L)
+          .groupBy(col("label")).agg(count(lit(1)).as("n_members"))),
       // The DEFAULT key (b=6, 30-bit tables) — a choice the knob probe
       // below justifies with measured counts instead of the n²/2^k
       // model alone: at 5M docs the widened b=8 key does cut distinct
@@ -575,7 +607,21 @@ object ScaleBench {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_removed")).as("toks_removed"),
             sum(length(col("clean_text"))).as("clean_chars"))
-          .where(col("toks_removed") >= 0 && col("clean_chars") >= 0)))
+          .where(col("toks_removed") >= 0 && col("clean_chars") >= 0)),
+      // DETECTION-only at the same ~50% span density (r19): the dense
+      // ladder above measures detect+excise together, so the two growth
+      // terms — the gram-exchange/window-df side and the reassembly
+      // side — were never separated at high dup density. This point
+      // validates the OutputMass gram-exchange sizing independently of
+      // reassembly: its output is span rows (the groupBy(id, span_id)
+      // run-merge), so count() must execute the whole detection
+      // pipeline — the dup-probe join feeding the groups cannot be
+      // pruned away (same forcing argument as the sparse dup_spans
+      // shape; the memory-gotcha class is LEFT-OUTER reassembly joins,
+      // which detection does not have).
+      "dup_spans_dense" -> (dir =>
+        graft.operators.Curation.duplicatedSpans(docsD(dir),
+          "doc_id", "text", n = 5, minDf = 2, fastHash = true)))
     val ppjoinShapes: Seq[(String, String => DataFrame)] = Seq(
       "ppjoin_prefix" -> (dir =>
         Dedup.prefixFilterPairs(docsD(dir), "doc_id", "text",
@@ -1208,8 +1254,29 @@ object ScaleBench {
             f = if (useCpu) cpuMs else taskMs
             sM <- spreadOf(ms, f); sN <- spreadOf(rNs, f)
           } yield r4((sM + sN) / (2 * math.log(n.toDouble / job.m))))
+          // Mid-regime indicator (r19, machine-readable): the mid->hi
+          // exponent is the MARGINAL exponent, and when the mid point's
+          // work is still mostly fixed cost (JVM/driver/stage overhead)
+          // it reads high at fixed-cost exit even for perfectly linear
+          // shapes (r18: cdc's mid CPU was ~19 s vs ~2 s x1 for 100x
+          // the data — under 10% of ideal linear growth). The rule:
+          // mid work under 30% of ideal linear growth from x1
+          // (med(mid) < 0.3 * m * med(x1), same series as te) tags the
+          // shape "overhead" — read its te next to task_exponent_x1;
+          // "in-regime" means the top decade measures marginal work
+          // honestly. tools/scale_te.py recomputes the same rule for
+          // pre-r19 artifacts and prints it next to te.
+          val midRegime = (for {
+            ms <- rMs; if job.m > 0
+            useCpu = medOf(ms, cpuMs).isDefined &&
+              medOf(r1s, cpuMs).isDefined
+            f = if (useCpu) cpuMs else taskMs
+            tM <- medOf(ms, f); t1 <- medOf(r1s, f)
+          } yield if (tM < 0.3 * job.m * t1) "overhead" else "in-regime")
+          val regimeFrag = midRegime
+            .map(r => s""","mid_regime":"$r"""").getOrElse("")
           val taskFrag =
-            (teMid, teX1) match {
+            ((teMid, teX1) match {
               case (Some((te, basis)), x1) =>
                 s""","task_exponent":$te,"task_exponent_basis":"$basis"""" +
                   teSpread.map(s => s""","task_exponent_spread":$s""")
@@ -1218,7 +1285,7 @@ object ScaleBench {
               case (None, Some(v)) =>
                 s""","task_exponent":$v,"task_exponent_basis":"x1->x$n/min_run","task_exponent_x1":$v"""
               case (None, None) => ""
-            }
+            }) + regimeFrag
           // Per-run work counters at every point, so a reader can
           // recompute (or re-base) the exponent from the artifact
           // alone — the min-run metrics blob only carries one sample.
@@ -1265,7 +1332,7 @@ object ScaleBench {
       }
     }
     val out =
-      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"docs_copies":$docsCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}}$knobFrag$ppjoinKnobFrag$lshKnobFrag$dsirKnobFrag$dsirLongKnobFrag$containKnobFrag,"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); since r18 task_exponent is computed between the two LARGEST points (mid = n/10 -> hi, see task_exponent_basis) on MEDIAN summed task CPU time (task_cpu_ms — per-task run time counts stall time, which OS timesharing and GC inflate 2x with weather; CPU cycles repeat across same-code artifacts) — the pre-r18 x1->hi basis divided by a 1-2 s x1 wall that swings 2x with shared-box weather and made same-code artifacts disagree (ppjoin te 0.99-1.11 across five identical-code runs); the legacy value stays as task_exponent_x1 and every point carries runs_task_ms/runs_cpu_ms arrays so the exponent is recomputable (or re-basable) from the artifact alone; streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately)"}"""
+      s"""{"metric":"scale_bench","sf":"$base","copies":$copies,"events_copies":$eventsCopies,"emb_copies":$embCopies,"docs_copies":$docsCopies,"cpus":$cpus,"heap_gb":$heapGb,"shapes":{${entries.mkString(",")}}$knobFrag$ppjoinKnobFrag$lshKnobFrag$dsirKnobFrag$dsirLongKnobFrag$containKnobFrag,"note":"disjoint replication: work scales ~linearly with copies by construction; 3 samples per scale point taken in INTERLEAVED rounds (shape order stride-permuted per round — distinct coprime stride each round, so every shape gets a DIFFERENT predecessor per sample and one heavy neighbor cannot inflate all of a shape's samples identically), each sample preceded by a DISCARDED x1 warmup execution of the same shape (the interleaving runs other shapes between samples, whose traffic deopts the shared generated iterators — the warmup re-heats the shape's code path so samples catch the steady state, not a JIT slow mode), min AND median recorded, ratio/exponent computed on MEDIANS (exponent=ln(medN/med1)/ln(N), ~1.0 = runtime tracks work, no superlinear cliff); task_exponent is the same exponent over SUMMED task time — the work-growth signal that stays meaningful once a shape saturates all local cores (wall must then grow ~linearly with work on fixed hardware; ~1.0 = N x data costs N x CPU, the property that transfers to a 1000-executor cluster; >1.1 = a genuine algorithmic wall); since r18 task_exponent is computed between the two LARGEST points (mid = n/10 -> hi, see task_exponent_basis) on MEDIAN summed task CPU time (task_cpu_ms — per-task run time counts stall time, which OS timesharing and GC inflate 2x with weather; CPU cycles repeat across same-code artifacts) — the pre-r18 x1->hi basis divided by a 1-2 s x1 wall that swings 2x with shared-box weather and made same-code artifacts disagree (ppjoin te 0.99-1.11 across five identical-code runs); the legacy value stays as task_exponent_x1 and every point carries runs_task_ms/runs_cpu_ms arrays so the exponent is recomputable (or re-basable) from the artifact alone; streaming shapes also carry stream_exponent over micro-batch execution only, from the min runs' metrics (setup_sec is fixed driver-side cost, recorded separately); mid_regime (r19) tags whether the mid point left the fixed-cost regime (med(mid work) >= 0.3 * m * med(x1 work)) — an 'overhead' tag means mid->hi is the marginal exponent taken at fixed-cost exit and reads high even for linear shapes, so read task_exponent next to task_exponent_x1 there"}"""
     println(out)
     // A shape-filtered run covers a subset — never let it replace the
     // artifact of record.

@@ -25,17 +25,26 @@ import math
 import sys
 
 
-def series(block):
-    cpu = [x for x in (block.get("runs_cpu_ms") or []) if x]
-    if cpu:
-        return cpu
-    return [x for x in (block.get("runs_task_ms") or []) if x]
+def series_of(block, field):
+    return [x for x in (block.get(field) or []) if x]
 
 
 def med(xs):
     s = sorted(xs)
     n = len(s)
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def pick_series(mid, hi):
+    """ONE series choice for both endpoints, mirroring ScaleBench's
+    useCpu logic: cpu only when BOTH mid and hi carry it, else task for
+    both. A per-point fallback would mix CPU and wall-task series in
+    one exponent and disagree with the artifact's own teMid."""
+    cpu_mid = series_of(mid, "runs_cpu_ms")
+    cpu_hi = series_of(hi, "runs_cpu_ms")
+    if cpu_mid and cpu_hi:
+        return cpu_mid, cpu_hi
+    return series_of(mid, "runs_task_ms"), series_of(hi, "runs_task_ms")
 
 
 def te_of(shape):
@@ -45,7 +54,7 @@ def te_of(shape):
     if not (mid and hi and n):
         return None
     m = mid.get("copies")
-    s_mid, s_hi = series(mid), series(hi)
+    s_mid, s_hi = pick_series(mid, hi)
     if not (s_mid and s_hi and m and m < n):
         return None
     lnr = math.log(n / m)
@@ -53,6 +62,29 @@ def te_of(shape):
     spread = (math.log(max(s_hi) / min(s_hi)) +
               math.log(max(s_mid) / min(s_mid))) / (2 * lnr)
     return te, spread
+
+
+def regime_of(shape):
+    """Machine-readable mid-regime indicator: prefers the artifact's
+    own mid_regime field (r19+); recomputes the same rule for older
+    artifacts. The mid point is 'overhead' when its measured work is
+    under 30% of ideal linear growth from x1 (mid work < 0.3 * m * x1
+    work) — there the mid->hi exponent is the MARGINAL exponent taken
+    right at fixed-cost exit and reads high even for linear shapes."""
+    if shape.get("mid_regime"):
+        return shape["mid_regime"]
+    n = shape.get("copies")
+    mid = shape.get("mid")
+    x1 = shape.get("x1")
+    hi = shape.get("x%d" % n) if n else None
+    if not (mid and x1 and hi):
+        return "?"
+    m = mid.get("copies")
+    s_mid, _ = pick_series(mid, hi)
+    s_x1, _ = pick_series(x1, hi)
+    if not (s_mid and s_x1 and m):
+        return "?"
+    return "overhead" if med(s_mid) < 0.3 * m * med(s_x1) else "in-regime"
 
 
 def main():
@@ -64,7 +96,8 @@ def main():
         for name, s in sorted(arts[0]["shapes"].items()):
             r = te_of(s)
             if r:
-                print("%-24s te=%.3f ± %.3f" % (name, r[0], r[1]))
+                print("%-24s te=%.3f ± %.3f  mid:%s"
+                      % (name, r[0], r[1], regime_of(s)))
             else:
                 print("%-24s (no mid-basis data)" % name)
         return
