@@ -221,6 +221,49 @@ object Ranking {
           .as("ppl_proxy_micro"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): split
+    * a scored corpus into head / middle / tail by rank terciles of the
+    * perplexity score — the paper's "keep the head, audit the middle,
+    * drop the tail" curation split.
+    *
+    * Exact and distributed: rather than a global `ntile(3)` (a
+    * single-partition window over every DOCUMENT — the anti-pattern at
+    * 100 TB), the tercile cut VALUES are derived from the score
+    * HISTOGRAM: group by integer score value, cumulative-sum the
+    * counts with one ordered window over the histogram (histogram-sized
+    * state — distinct integer scores, not documents), pick
+    * cut1 = min v with 3·cum(v) ≥ n and cut2 = min v with
+    * 3·cum(v) ≥ 2n (integer forms of cum ≥ ⌈n/3⌉ / ⌈2n/3⌉), then
+    * broadcast the one-row cut table and assign buckets with a
+    * stateless comparison — exactly how a production CCNet deployment
+    * applies precomputed thresholds to each shard. Ties at a cut value
+    * all land in the lower bucket (the value-threshold contract), so
+    * bucket sizes are ≥ the tercile rank only up to ties —
+    * deterministic, partitioning-independent, and mirrored verbatim by
+    * the oracle.
+    *
+    * Output: (idCol, scoreCol, bucket ∈ head|middle|tail), one row per
+    * scored document. */
+  def perplexityBuckets(
+      scored: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(scoreCol)
+    val cum = scored.groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.orderBy(col("__v"))))
+      .withColumn("__n", max(col("__cum")).over(
+        Window.partitionBy()))
+    val cuts = cum.agg(
+      min(when(col("__cum") * 3 >= col("__n"), col("__v"))).as("__cut1"),
+      min(when(col("__cum") * 3 >= col("__n") * 2, col("__v")))
+        .as("__cut2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), v,
+        when(v <= col("__cut1"), lit("head"))
+          .when(v <= col("__cut2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Character-level encoding quality: replacement characters (U+FFFD,
     * the mojibake fingerprint), C0 control characters, and the
     * ASCII-printable ratio in basis points. Count-by-removal

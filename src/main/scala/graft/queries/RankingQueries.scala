@@ -78,6 +78,23 @@ object RankingQueries {
         docs, docs.filter(col("doc_id") % 19 === 0), "doc_id", "text")
     }),
 
+    // CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    // §4.3) composed end-to-end on top of q216's scorer: score every
+    // document against the trusted-slice bigram model, derive the
+    // tercile cut VALUES from the score histogram (cumsum over
+    // distinct integer scores — histogram-sized window state, never
+    // document-sized), broadcast the one-row cut table, assign
+    // buckets statelessly. The oracle rebuilds the scorer AND the
+    // histogram/cut/assignment chain from scratch.
+    "q221_ccnet_buckets" -> ((s, dir) => {
+      val docs = CoreQueries.spread(t(s, dir, "documents"))
+      Ranking.perplexityBuckets(
+        Ranking.perplexityProxy(
+          docs, docs.filter(col("doc_id") % 19 === 0), "doc_id", "text")
+          .select(col("doc_id"), col("ppl_proxy_micro")),
+        "doc_id", "ppl_proxy_micro")
+    }),
+
     // Unicode-script profile — the multilingual-curation signal behind
     // "route this document to the right language pipeline": per-doc
     // character counts for five script classes via the same
@@ -270,5 +287,44 @@ object RankingQueries {
            |  CAST(sum(CAST(surp AS HUGEINT)) // count(*) AS BIGINT)
            |    AS ppl_proxy_micro
            |FROM scored
-           |GROUP BY doc_id""".stripMargin)
+           |GROUP BY doc_id""".stripMargin,
+
+    "q221_ccnet_buckets" ->
+      raw"""WITH tk AS (
+           |  SELECT doc_id, $dTok AS t FROM documents),
+           |pairs AS (
+           |  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+           |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+           |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+           |    FROM tk WHERE len(t) >= 2)),
+           |mp AS (SELECT * FROM pairs WHERE doc_id % 19 = 0),
+           |c2 AS (SELECT w1, w2, count(*) AS pair_n FROM mp GROUP BY 1, 2),
+           |c1 AS (SELECT w1, count(*) AS prefix_n FROM mp GROUP BY 1),
+           |v AS (SELECT greatest(count(DISTINCT w2), 1) AS vv FROM mp),
+           |surps AS (
+           |  SELECT p.doc_id,
+           |    (coalesce(prefix_n, 0) + vv) * 1000000
+           |      // (coalesce(pair_n, 0) + 1) - 1000000 AS surp
+           |  FROM pairs p
+           |  LEFT JOIN c2 USING (w1, w2)
+           |  LEFT JOIN c1 USING (w1)
+           |  CROSS JOIN v),
+           |doc_scored AS (
+           |  SELECT doc_id,
+           |    CAST(sum(CAST(surp AS HUGEINT)) // count(*) AS BIGINT)
+           |      AS ppl
+           |  FROM surps GROUP BY doc_id),
+           |hist AS (SELECT ppl AS hv, count(*) AS c
+           |         FROM doc_scored GROUP BY 1),
+           |cum AS (SELECT hv, sum(c) OVER (ORDER BY hv) AS cm FROM hist),
+           |nn AS (SELECT max(cm) AS n FROM cum),
+           |cuts AS (SELECT
+           |    min(CASE WHEN cm * 3 >= n THEN hv END) AS cut1,
+           |    min(CASE WHEN cm * 3 >= 2 * n THEN hv END) AS cut2
+           |  FROM cum, nn)
+           |SELECT d.doc_id, d.ppl AS ppl_proxy_micro,
+           |  CASE WHEN d.ppl <= cut1 THEN 'head'
+           |       WHEN d.ppl <= cut2 THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM doc_scored d, cuts""".stripMargin)
 }

@@ -192,4 +192,24 @@ class RankingSpec extends SparkSpec {
         assert(a._2 === b._2)
     }
   }
+
+  test("perplexityBuckets: value-ordered terciles, ties to the lower " +
+      "bucket, partitioning-independent") {
+    import spark.implicits._
+    // 9 docs, scores with a tie straddling the n/3 rank: cut1 is the
+    // VALUE at rank ceil(9/3)=3 (score 20), and both 20s land in head.
+    val scored = Seq(
+      (1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L), (5L, 40L),
+      (6L, 50L), (7L, 60L), (8L, 70L), (9L, 80L)
+    ).toDF("doc_id", "s").repartition(7)
+    val out = Ranking.perplexityBuckets(scored, "doc_id", "s")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBucket("head") === Set(10L, 20L))      // ranks 1-3 incl. tie
+    assert(byBucket("middle") === Set(30L, 40L, 50L)) // ranks 4-6
+    assert(byBucket("tail") === Set(60L, 70L, 80L))
+    // every head score <= every middle score <= every tail score
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+  }
 }
