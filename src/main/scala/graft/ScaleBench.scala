@@ -356,9 +356,41 @@ object ScaleBench {
     import graft.operators.{Dedup, Graph}
     def li(dir: String) = spark.read.parquet(s"$dir/lineitem.parquet")
     def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
-    def lshPairs(dir: String) = Dedup.minhashLsh(
-      docs(dir).filter(col("doc_id") % docOff < 300), "doc_id", "text",
-      k = 8, bands = 4, shingleN = 1, threshold = 0.93)
+    // The LSH corpus: a 300-doc slice per copy plus TWO in-plan
+    // mutants per doc (drop the first 3 / first 6 words; ids offset to
+    // +600/+1200 within the copy's id space — disjoint from the slice
+    // and from each other). The synthetic corpus has NO native
+    // trigram near-dups (brute-forced r19: zero pairs at jaccard 0.5
+    // in the slice), so the mutants supply the near-dup families the
+    // operator exists to find — per-copy structure identical up to the
+    // cipher, so candidate and verified-pair mass is ~linear in copies
+    // by construction, and each family is a 3-clique for cc to merge.
+    //
+    // Operator DEFAULTS (shingleN=3, threshold 0.5): the r18/r19-run1
+    // shape overrode shingleN to 1, and on this ~20-word vocabulary
+    // unigram band keys are DEGENERATE — measured r19 (run-1 artifact
+    // + bucket probe): band buckets of 531 docs at x100 grew to 2962
+    // at x1000 (a bucket bigger than one copy's 300-doc slice spans
+    // copies: short-word images under two alphabet permutations
+    // coincide, so band keys collide ACROSS copies), 8.1M raw pairs
+    // for 30k docs (270/doc — the banding discriminates nothing), and
+    // the verify shuffle grew 93x for 10x data. At trigram shingling
+    // the same probe reads max_bucket 4 and exactly-linear candidates
+    // — banding doing its job. The unigram reading was the operator's
+    // own scaladoc'd degenerate regime (tiny-vocab shingles; "probe
+    // candidates first"), not a scale wall.
+    def lshPairs(dir: String) = {
+      val sl = docs(dir).filter(col("doc_id") % docOff < 300)
+        .select(col("doc_id"), col("text"))
+      def dropWords(n: Int, off: Int) = sl.select(
+        (col("doc_id") + off).as("doc_id"),
+        concat_ws(" ",
+          slice(split(col("text"), " "), n + 1, 100000)).as("text"))
+      val corpus = sl
+        .unionByName(dropWords(3, 600)).unionByName(dropWords(6, 1200))
+      Dedup.minhashLsh(corpus, "doc_id", "text",
+        k = 8, bands = 4, shingleN = 3, threshold = 0.5)
+    }
     val shapes: Seq[(String, String => DataFrame)] = Seq(
       "triangles" -> (dir => Graph.trianglesProfile(
         Graph.coOccurrenceEdges(li(dir), "l_orderkey", "l_partkey"))),
@@ -466,24 +498,20 @@ object ScaleBench {
     // output-sized as the corpus grows.
     def docsD(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
     val docShapes: Seq[(String, String => DataFrame)] = Seq(
-      // MinHash+LSH banding pairs, moved here in r19 from the lineitem
-      // family for two reasons: (a) a decade deeper — the old x100
-      // point's mid was a 3k-doc corpus whose CPU was half fixed cost,
-      // so mid->hi read the marginal exponent at fixed-cost exit; the
-      // docs family's x1000 cap puts 30k docs at the mid and 300k at
-      // the hi, both in-regime; (b) the old family's rotation cipher
-      // repeated every 26 copies, so the x100 corpus carried IDENTICAL
-      // cross-copy documents and candidate pairs grew ~quadratically in
-      // copies/26 — the te 1.25±0.06 both r18 artifacts agreed on was a
-      // replication artifact, not an operator wall. The permutation
-      // cipher is collision-free at any measured depth; banded
-      // equi-joins over intra-copy dup structure are linear by
-      // construction, so te here is a clean proportionality check.
+      // MinHash+LSH banding pairs (see lshPairs above for the corpus
+      // construction and the two measured r19 corrections: the r18
+      // rotation-cipher repeat that carried IDENTICAL cross-copy docs
+      // above 26 copies, and the unigram-shingle banding degeneracy
+      // that survived the cipher fix). Moved here in r19 from the
+      // lineitem family, a decade deeper: mid = 90k docs (300 docs +
+      // 600 mutants per copy x 100), hi = 900k — deep enough that the
+      // top decade measures marginal signature+banding+verify work.
       "minhash_lsh" -> (dir => lshPairs(dir)),
-      // Connected components over the LSH pair output — same corpus
-      // move and the same two reasons (its edges ARE lshPairs' output,
-      // so the rotation-cipher collision artifact fed it directly;
-      // cc's own te read 1.31/1.05 across the r18 artifacts).
+      // Connected components over the LSH pair output — its edges ARE
+      // lshPairs' output, so both r18/r19-run1 corpus artifacts fed it
+      // directly (te read 1.31/1.05 in r18, 1.18 in r19 run 1); the
+      // mutant families give it real 3-clique components to merge,
+      // ~linear in copies by construction.
       "cc_distributed" -> (dir =>
         Dedup.connectedComponents(
           lshPairs(dir).select(col("id_a"), col("id_b")),
