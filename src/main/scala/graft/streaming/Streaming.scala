@@ -170,11 +170,13 @@ object Streaming {
     * splits cannot change the answer. The batch form explodes features
     * and re-aggregates by id — on a stream that per-doc aggregation
     * would hold keyed state for every document ever seen; here the
-    * weight table rides ONE static 1-row map column (bounded by
-    * nBuckets ≤ 2^20 — a trained model, ≤ ~16 MB) through a
-    * stream-static join, and the dot product folds over the row's own
-    * feature array with a DECIMAL(38,0) accumulator (same overflow
-    * discipline as batch). Docs with NULL text are unscored, matching
+    * weight table rides ONE static 1-row sorted (bucket, weight) array
+    * column (bounded by nBuckets ≤ 2^20 — a trained model, ≤ ~16 MB)
+    * through a stream-static join, and the dot product folds the row's
+    * own feature array through the compiled binary-search
+    * [[graft.plans.SortedKvLookupSum]] (Long accumulator — exact in
+    * the same |sum| < 2^63 micro-unit domain the rest of the streaming
+    * surface documents). Docs with NULL text are unscored, matching
     * the batch operator's explode semantics. */
   def classifierScoreStream(
       docs: DataFrame,
@@ -188,30 +190,39 @@ object Streaming {
     require(nBuckets > 0 && nBuckets <= (1 << 20),
       s"nBuckets must be in [1, 2^20], got $nBuckets")
     require(n > 0, s"n must be positive, got $n")
-    val wmap = weights.agg(
-      map_from_entries(collect_list(struct(
-        col("bucket").cast(LongType),
-        col("weight_micro").cast(LongType)))).as("__wmap"))
+    // The weight table lands as ONE sorted (bucket, weight) struct array
+    // — NOT a map: Catalyst's GetMapValue is a linear scan with an
+    // interpreted per-key equality, so the per-token probe cost was
+    // O(nBuckets) (measured ~2 s of task CPU at sf0.1 against a mere
+    // 1024-entry map). The compiled SortedKvLookupSum fold binary-
+    // searches the same entries — identical sums, O(log nBuckets)
+    // probes, and the r19 plan: one static aggregate + stream-static
+    // broadcast + a codegen'd projection.
+    val wkv = weights.agg(
+      sort_array(collect_list(struct(
+        col("bucket").cast(LongType).as("b"),
+        col("weight_micro").cast(LongType).as("w")))).as("__wkv"))
     val toks = graft.functions.text.tokens(col(textCol))
     val feats =
       if (n == 1) toks else graft.functions.text.shinglesOf(toks, n)
     docs
-      .crossJoin(wmap)
-      .select(col(idCol), feats.as("__f"), col("__wmap"))
+      .crossJoin(wkv)
+      .select(col(idCol), feats.as("__f"), col("__wkv"))
       .filter(col("__f").isNotNull)
       .withColumn("n_features", size(col("__f")).cast(LongType))
-      .withColumn("__sum", expr(
-        // the bucket is the batch path's md5Hash32 verbatim: conv()
-        // yields a STRING, so the BIGINT cast must precede the modulo
-        // (an uncast string % int would coerce through double).
-        s"""aggregate(__f, CAST(0 AS DECIMAL(38,0)), (acc, w) ->
-           |  acc + CAST(coalesce(
-           |    __wmap[CAST(conv(substr(md5(concat('$seed:', w)), 1, 8),
-           |                     16, 10) AS BIGINT) % $nBuckets],
-           |    0) AS DECIMAL(38,0)))""".stripMargin))
+      // the bucket is the batch path's md5Hash32 verbatim: conv()
+      // yields a STRING, so the BIGINT cast must precede the modulo
+      // (an uncast string % int would coerce through double); a null
+      // feature's null bucket is a miss (+0), the coalesce semantics
+      // of the replaced map fold.
+      .withColumn("__sum", graft.plans.SortedKvLookupSum(
+        expr(s"""transform(__f, w ->
+                |  CAST(conv(substr(md5(concat('$seed:', w)), 1, 8),
+                |            16, 10) AS BIGINT) % $nBuckets)""".stripMargin),
+        col("__wkv")))
       .select(col(idCol), col("n_features"),
-        col("__sum").cast(LongType).as("score_sum_micro"),
-        (lit(biasMicro) + expr("__sum div n_features").cast(LongType))
+        col("__sum").as("score_sum_micro"),
+        (lit(biasMicro) + expr("__sum div n_features"))
           .as("score_micro"))
   }
 
@@ -220,11 +231,13 @@ object Streaming {
     * smoothed integer surprisal surrogate, same V >= 1 floor, same
     * truncating mean; docs with < 2 tokens unscored) computed
     * row-locally: the model's bigram/prefix tables land as TWO static
-    * 1-row map columns plus the vocab scalar (the model corpus is the
-    * small trusted slice by the batch operator's contract), and each
-    * arriving document folds its own bigram array — stateless,
-    * append-mode, batch-split-invariant. Map keys: "w1 w2" — tokens
-    * are whitespace-split so the single-space join is unambiguous. */
+    * 1-row SORTED struct-array columns plus the vocab scalar (the model
+    * corpus is the small trusted slice by the batch operator's
+    * contract), and each arriving document folds its own consecutive
+    * token pairs through the compiled binary-search fold
+    * [[graft.plans.BigramSurprisalSum]] — stateless, append-mode,
+    * batch-split-invariant. Pair keys: "w1 w2" — tokens are
+    * whitespace-split so the single-space join is unambiguous. */
   def perplexityProxyStream(
       docs: DataFrame,
       model: DataFrame,
@@ -237,34 +250,37 @@ object Streaming {
         """zip_with(slice(__t, 1, size(__t) - 1), slice(__t, 2, size(__t) - 1),
           |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-    val pairMap = mp.groupBy(col("w1"), col("w2"))
+    // Model tables land as SORTED (key, count) struct arrays, not maps:
+    // GetMapValue linear-scans the map per probe with interpreted
+    // UTF8String equality — at sf0.1 (5k docs x ~50 bigrams against a
+    // ~1.4k-entry model) that was ~3x10^8 interpreted compares and
+    // 22 s of task CPU for a query whose real work is milliseconds.
+    // The compiled BigramSurprisalSum fold binary-searches the same
+    // entries (sort_array's struct order IS UTF8String byte order) —
+    // identical sums, O(pairs x log model) per row.
+    val pairArr = mp.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("__n"))
-      .agg(map_from_entries(collect_list(struct(
-        concat_ws(" ", col("w1"), col("w2")), col("__n")))).as("__pm"))
-    val prefixMap = mp.groupBy(col("w1"))
+      .agg(sort_array(collect_list(struct(
+        concat_ws(" ", col("w1"), col("w2")).as("k"), col("__n").as("n"))))
+        .as("__pa"))
+    val prefixArr = mp.groupBy(col("w1"))
       .agg(count(lit(1)).as("__n"))
-      .agg(map_from_entries(collect_list(struct(
-        col("w1"), col("__n")))).as("__fm"))
+      .agg(sort_array(collect_list(struct(
+        col("w1").as("k"), col("__n").as("n")))).as("__fa"))
     val vocab = mp.agg(
       greatest(countDistinct(col("w2")), lit(1L)).as("__v"))
     docs
-      .crossJoin(pairMap.crossJoin(prefixMap).crossJoin(vocab))
+      .crossJoin(pairArr.crossJoin(prefixArr).crossJoin(vocab))
       .select(col(idCol),
         graft.functions.text.tokens(col(textCol)).as("__t"),
-        col("__pm"), col("__fm"), col("__v"))
+        col("__pa"), col("__fa"), col("__v"))
       .filter(size(col("__t")) >= 2)
-      .withColumn("__g", expr(
-        """zip_with(slice(__t, 1, size(__t) - 1), slice(__t, 2, size(__t) - 1),
-          |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin))
-      .withColumn("n_pairs", size(col("__g")).cast(LongType))
-      .withColumn("__sum", expr(
-        """aggregate(__g, CAST(0 AS DECIMAL(38,0)), (acc, p) ->
-          |  acc + CAST((coalesce(__fm[p.w1], 0) + __v) * 1000000
-          |    div (coalesce(__pm[concat(p.w1, ' ', p.w2)], 0) + 1)
-          |    - 1000000 AS DECIMAL(38,0)))""".stripMargin))
+      .withColumn("n_pairs", (size(col("__t")) - 1).cast(LongType))
+      .withColumn("__sum", graft.plans.BigramSurprisalSum(
+        col("__t"), col("__pa"), col("__fa"), col("__v")))
       .select(col(idCol), col("n_pairs"),
-        col("__sum").cast(LongType).as("sum_surprisal_micro"),
-        expr("__sum div n_pairs").cast(LongType).as("ppl_proxy_micro"))
+        col("__sum").as("sum_surprisal_micro"),
+        expr("__sum div n_pairs").as("ppl_proxy_micro"))
   }
 
   /** Hourly tumbling-window aggregation per event type: counts + exact
