@@ -274,29 +274,24 @@ object Dedup {
 
   /** Per-document 60-bit SimHash over whitespace tokens: tokens hash to
     * 60-bit ints; each bit position accumulates +1/-1 by bit value over
-    * all tokens; positive sums set the output bit. Computed with an
-    * explode + two-level aggregation — both shuffles are on (id, bit),
-    * tiny compared to content. */
+    * all tokens; positive sums set the output bit.
+    *
+    * Since r19 this is the native [[graft.plans.SimHash60]] expression
+    * — SimHash is a pure per-row function of the document's own tokens,
+    * and the explode + 60-sum groupBy(id) aggregate it replaces paid a
+    * corpus-wide shuffle (plus a 60-expression partial aggregate and
+    * one hex-conv per token) to compute what one compiled loop per row
+    * computes with ZERO exchanges. Bit-parity with the grouped form is
+    * spec-pinned (SimHash60Spec), including the null-token vote. The
+    * null-text filter reproduces the old explode's row-dropping: a
+    * null document had no token rows, hence no grouped output row. */
   def simhash(
       df: DataFrame,
       idCol: String,
-      contentCol: String): DataFrame = {
-    val bits = 60
-    val tok = df.select(col(idCol).as("id"),
-      explode(text.tokens(col(contentCol))).as("tok"))
-      .withColumn("h", text.md5Hash60(col("tok")))
-    // One wide aggregate (60 ±1-sums per id) instead of exploding a
-    // (id, bit) row per token x bit — the shuffle carries id + 60 ints,
-    // not 60x the token count.
-    val balances = tok.groupBy("id").agg(
-      sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("b0"),
-      (1 until bits).map(b =>
-        sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b")): _*)
-    balances.select(col("id"),
-      (0 until bits).map(b =>
-        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).cast(LongType).as("simhash"))
-  }
+      contentCol: String): DataFrame =
+    df.select(col(idCol).as("id"), text.tokens(col(contentCol)).as("__t"))
+      .filter(col("__t").isNotNull)
+      .select(col("id"), graft.plans.SimHash60(col("__t")).as("simhash"))
 
   /** SimHash near-duplicate pairs: band the 60-bit hash into 4 x 15-bit
     * chunks; pairs sharing any chunk are candidates (Hamming <= 3 pigeon-

@@ -563,7 +563,13 @@ object CoreQueries {
     // output bounded.
     "q94_nullsafe_join" -> ((s, dir) => {
       val k = get_json_object(col("props"), "$.k").cast(LongType)
-      val ev = t(s, dir, "events")
+      // spread(): the per-row JSON parse is the cost, both join inputs
+      // re-run it over the same single-row-group scan, and at sf0.1 the
+      // whole parse CPU ran on one task per side (r19 baseline: 5
+      // tasks, wall ~= summed task time). One shared spread exchange
+      // fans the parse out; the two branches reuse it (ReusedExchange).
+      val ev = spread(t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("props")))
       val l = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("l_id"), k.as("lk"))
       val r = ev.filter(col("event_type") === "view")

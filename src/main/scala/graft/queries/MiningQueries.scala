@@ -169,8 +169,18 @@ object MiningQueries {
     // shuffles are the DF count and the (a,b) pair count. At 100 TB the
     // n_ab*N*10000 product moves to DECIMAL(38,0); plan shape unchanged.
     "q137_cooc_lift" -> ((s, dir) => {
+      // localCheckpoint: the exploded token stream feeds BOTH the
+      // df-count/vocab subtree (a broadcast build job) and the pair
+      // expansion — as separate jobs they re-ran the scan + tokenize +
+      // array_distinct twice (the spread exchange below the projection
+      // is reusable, but the tokenize sits ABOVE it). Materializing the
+      // compact (doc_id, distinct-token array) frame once halves the
+      // tokenization work; at scale the frame is token-stream-sized
+      // and the same single-materialization trade the dedup operators
+      // already make.
       val toks = CoreQueries.spread(t(s, dir, "documents"))
         .select(col("doc_id"), array_distinct(text.tokens(col("text"))).as("ts"))
+        .localCheckpoint()
       val ex = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
       val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val vocab = dfreq.orderBy(col("df").desc, col("tok")).limit(100)

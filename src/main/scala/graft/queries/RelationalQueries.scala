@@ -221,7 +221,12 @@ object RelationalQueries {
       def sdec(c: org.apache.spark.sql.Column) = sum(c)
       val x = col("l_quantity").cast(d)
       val y = col("l_extendedprice").cast(d)
-      t(s, dir, "lineitem")
+      // spread(): five decimal product-sums per row are the cost, and
+      // the sf0.1 file scans as ONE row-group task — the whole 1.3 s of
+      // aggregate CPU ran single-threaded (r19 baseline: 5 tasks,
+      // wall ~= summed task time). Same rationale/no-op-at-scale
+      // contract as q100.
+      CoreQueries.spread(t(s, dir, "lineitem"))
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
@@ -354,7 +359,9 @@ object RelationalQueries {
       val d = DecimalType(18, 2)
       val x = col("l_quantity").cast(d)
       val y = col("l_extendedprice").cast(d)
-      t(s, dir, "lineitem")
+      // spread(): same single-row-group serialization as q80 — the
+      // decimal product-sum CPU ran on one task at sf0.1.
+      CoreQueries.spread(t(s, dir, "lineitem"))
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
