@@ -142,10 +142,19 @@ object text {
     shingleHashesOf(tokens(c), n)
 
   /** Shingle hashes over a pre-bound token array column (see
-    * shinglesOf for why explode-paths must stage the tokens). */
+    * shinglesOf for why explode-paths must stage the tokens).
+    * Since r19 this is the native [[graft.plans.WordShingleMd5]]
+    * expression (one compiled memcpy + digest loop per row) —
+    * bit-identical to the composable form
+    *   transform(shinglesOf(tok, n), s =>
+    *     conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
+    * which ran interpreted (HOFs evaluate outside whole-stage codegen)
+    * and round-tripped every digest through hex + conv. The 32-bit
+    * VALUE is unchanged — its collisions are mirrored verbatim in the
+    * DuckDB oracles, so it must not widen (WordShingleMd5Spec pins the
+    * parity). */
   def shingleHashesOf(tok: Column, n: Int): Column =
-    transform(shinglesOf(tok, n), s =>
-      conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
+    graft.plans.WordShingleMd5.hash32(tok, n)
 
   /** xxhash64 shingle hashes — integer hashes, far cheaper than the md5
     * path (which exists for cross-engine oracle parity). For operators
@@ -163,17 +172,16 @@ object text {
     graft.plans.WordShingleHash64(tok, n)
 
   /** MinHash signature from pre-hashed shingles: one fold computing all
-    * k minima at once — k universal-hash permutations (a_i*h+b_i) mod p
-    * of the shared base hash. Returns array<long> of length k. */
+    * k universal-hash permutation minima ((a_i*h+b_i) mod p) of the
+    * shared base hash at once. Returns array<long> of length k.
+    * Since r19 the fold is the native
+    * [[graft.plans.MinHashFromHashesNative]] (one compiled two-level
+    * loop) — bit-identical to the interpreted aggregate + zip_with +
+    * least form it replaces, which allocated a k-element array per
+    * (shingle, permutation) pair (parity spec-pinned). */
   def minhashFromHashes(hs: Column, k: Int): Column =
-    aggregate(hs,
-      array((0 until k).map(_ => lit(Long.MaxValue)): _*),
-      (acc, h) => zip_with(acc,
-        array((0 until k).map { i =>
-          val (a, b) = minhashPerm(i)
-          (h * lit(a) + lit(b)) % lit(minhashPrime)
-        }: _*),
-        (x, y) => least(x, y)))
+    graft.plans.MinHashFromHashesNative(
+      hs, (0 until k).map(minhashPerm), minhashPrime)
 
   /** MinHash signature: k universal-hash minima over word n-gram
     * shingles (one md5 per shingle). Returns an array<long> of length k. */

@@ -423,21 +423,21 @@ object Curation {
     // transform+slice+concat_ws pipeline was the dominant CPU of this
     // shape's deep points); staged filters size >= n, so the
     // expression's short-doc branch never fires and window k = array
-    // index = token position. The md5 default keeps the composable
-    // form the DuckDB oracle mirrors.
+    // index = token position. The md5 default (r19) is the native
+    // WordShingleMd5.hash128 — the FULL digest as a (h1, h2) long
+    // struct, bijective with the md5 hex string the pre-r19 form keyed
+    // on (identical groups, identical dup joins, zero collision-
+    // behavior change — md5 strings never collided either), with the
+    // shuffle key down from ~32 hex chars to 16 bytes and the
+    // interpreted per-window transform+slice+concat_ws+hex gone. The
+    // detected SPANS are what the DuckDB oracle mirrors, and those are
+    // hash-representation-independent.
     val gramHashes =
       if (fastHash) graft.plans.WordShingleHash64(col("__t"), n)
-      else transform(
-        sequence(lit(0), size(col("__t")) - n),
-        k => md5(concat_ws(" ", slice(col("__t"), k + 1, lit(n)))))
-    // Partition sizing follows the KEY width: the md5 default carries a
-    // 32-char string key (~96 bytes per UnsafeRow with id + pos) where
-    // the fastHash LONG key rides in ~48 — sizing both at 48 put the
-    // default path's partitions near 2x the 64 MB target, the exact
-    // aggregate-spill mode this repartition exists to prevent.
+      else graft.plans.WordShingleMd5.hash128(col("__t"), n)
     val grams = OutputMass.repartitionByOutputMass(
       staged.select(col(idCol), posexplode(gramHashes).as(Seq("pos", "__h"))),
-      nWindows, bytesPerRow = if (fastHash) 48L else 96L, col("__h"))
+      nWindows, bytesPerRow = 48L, col("__h"))
     // Span provenance (provenanceK > 0): curation audits ask
     // "duplicated WITH WHOM", so each duplicated window also carries
     // the provenanceK SMALLEST sharing doc ids, and the span rolls its
