@@ -34,6 +34,23 @@ object Bucketed {
     s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-" +
       System.getProperty("user.name", "anon")
 
+  /** Scale-derived bucket count: one bucket per ~`targetBytes` of
+    * source (the guide's 128 MB-1 GB output-file target, entered at
+    * 64 MB so growth has headroom), clamped to [min, max]. At sf0.1
+    * (a 10 MB lineitem) this floors at 8 — a fixed 32 put one
+    * lifecycle run at ~160 sub-MB files whose writer/commit overhead
+    * WAS the query (r19 baseline: q200 28 s of task CPU for ~25 MB of
+    * parquet); at production scale the same formula grows the count
+    * with the data, which is the layout a 100 TB fact table needs
+    * anyway. Both sides of a colocated join must derive from the SAME
+    * size basis (bucket counts must match) — callers pass the larger
+    * side's bytes for both. */
+  def bucketCountFor(bytes: Long, min: Int = 8, max: Int = 4096): Int = {
+    val targetBytes = 64L << 20
+    math.max(min, math.min(max.toLong,
+      (bytes + targetBytes - 1) / targetBytes).toInt)
+  }
+
   /** Deterministic catalog name for the bucketed copy of `table` keyed
     * by source dir + bucket spec, so distinct SF dirs (or bucket
     * layouts) in one session never collide. */

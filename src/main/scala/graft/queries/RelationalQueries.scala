@@ -571,14 +571,19 @@ object RelationalQueries {
     // and the append would double the batch.
     "q198_bucketed_append" -> ((s, dir) => {
       import graft.operators.Bucketed
-      Bucketed.drop(s, dir, "lineitem_inc", Seq("l_orderkey"), 32)
+      // bucket count derives from the LARGER join side's bytes (both
+      // sides must match for the colocated join) — scale-adaptive per
+      // Bucketed.bucketCountFor: 8 at sf0.1, growing with the data.
+      val nb = Bucketed.bucketCountFor(
+        new java.io.File(s"$dir/lineitem.parquet").length)
+      Bucketed.drop(s, dir, "lineitem_inc", Seq("l_orderkey"), nb)
       val src = t(s, dir, "lineitem")
       val hist = src.filter(col("l_shipdate") < "1995-06-01")
       val batch = src.filter(col("l_shipdate") >= "1995-06-01")
-      Bucketed.ensure(s, dir, "lineitem_inc", Seq("l_orderkey"), 32)(hist)
+      Bucketed.ensure(s, dir, "lineitem_inc", Seq("l_orderkey"), nb)(hist)
       val li = Bucketed.append(
-        s, dir, "lineitem_inc", Seq("l_orderkey"), 32)(batch)
-      val o = Bucketed.ensure(s, dir, "orders", Seq("o_orderkey"), 32)(
+        s, dir, "lineitem_inc", Seq("l_orderkey"), nb)(batch)
+      val o = Bucketed.ensure(s, dir, "orders", Seq("o_orderkey"), nb)(
         t(s, dir, "orders"))
       Bucketed.colocatedJoin(li, o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("l_returnflag"))
@@ -599,20 +604,23 @@ object RelationalQueries {
     // same run-to-run self-containment as q198.
     "q200_bucketed_compact" -> ((s, dir) => {
       import graft.operators.Bucketed
-      Bucketed.drop(s, dir, "lineitem_cmp", Seq("l_orderkey"), 32)
+      // same derived bucket count as q198 (see bucketCountFor)
+      val nb = Bucketed.bucketCountFor(
+        new java.io.File(s"$dir/lineitem.parquet").length)
+      Bucketed.drop(s, dir, "lineitem_cmp", Seq("l_orderkey"), nb)
       val src = t(s, dir, "lineitem")
-      Bucketed.ensure(s, dir, "lineitem_cmp", Seq("l_orderkey"), 32)(
+      Bucketed.ensure(s, dir, "lineitem_cmp", Seq("l_orderkey"), nb)(
         src.filter(col("l_shipdate") < "1995-01-01"))
       Seq(("1995-01-01", "1995-07-01"), ("1995-07-01", "1996-01-01"))
         .foreach { case (lo, hi) =>
-          Bucketed.append(s, dir, "lineitem_cmp", Seq("l_orderkey"), 32)(
+          Bucketed.append(s, dir, "lineitem_cmp", Seq("l_orderkey"), nb)(
             src.filter(col("l_shipdate") >= lo && col("l_shipdate") < hi))
         }
-      Bucketed.append(s, dir, "lineitem_cmp", Seq("l_orderkey"), 32)(
+      Bucketed.append(s, dir, "lineitem_cmp", Seq("l_orderkey"), nb)(
         src.filter(col("l_shipdate") >= "1996-01-01"))
       val li = Bucketed.compactIfNeeded(
-        s, dir, "lineitem_cmp", Seq("l_orderkey"), 32, maxFilesPerBucket = 2)
-      val o = Bucketed.ensure(s, dir, "orders", Seq("o_orderkey"), 32)(
+        s, dir, "lineitem_cmp", Seq("l_orderkey"), nb, maxFilesPerBucket = 2)
+      val o = Bucketed.ensure(s, dir, "orders", Seq("o_orderkey"), nb)(
         t(s, dir, "orders"))
       Bucketed.colocatedJoin(li, o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("l_returnflag"))
@@ -653,11 +661,18 @@ object RelationalQueries {
           _.iterator().asScala.toSeq.reverse
             .foreach(p => java.nio.file.Files.deleteIfExists(p)))
       }
+      // bucket count derives from the source bytes (8 at sf0.1 — a
+      // fixed 32 times the 31 date partitions put one run at ~1000
+      // sub-MB files, and the writer/commit/readback overhead of those
+      // WAS the query's wall; at scale the same formula grows the
+      // count with the data). Scale policy: Bucketed.bucketCountFor.
+      val nb = graft.operators.Bucketed.bucketCountFor(
+        new java.io.File(s"$dir/events.parquet").length)
       val cfg = PipelineConfig.default.copy(
         cols = ec,
         write = PipelineConfig.default.write.copy(
           partitionBy = Seq("date"),
-          bucketBy = Seq("user_id"), bucketCount = 32,
+          bucketBy = Seq("user_id"), bucketCount = nb,
           sortWithin = Seq("ts")))
       val curated = Transforms.deriveDate(ec)(
         Transforms.shiftToLocal(330, ec)(t(s, dir, "events")))

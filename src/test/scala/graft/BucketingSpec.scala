@@ -200,7 +200,9 @@ class BucketingSpec extends SparkSpec {
     // generation path
     val loc = spark.sql(
       s"DESCRIBE TABLE EXTENDED `${Bucketed.tableName(
-        dir, "lineitem_cmp", Seq("l_orderkey"), 32)}`")
+        dir, "lineitem_cmp", Seq("l_orderkey"),
+        Bucketed.bucketCountFor(
+          new java.io.File(s"$dir/lineitem.parquet").length))}`")
       .filter(col("col_name") === "Location")
       .select("data_type").head.getString(0)
     assert(loc.contains("-g"), s"compaction did not rewrite: $loc")
