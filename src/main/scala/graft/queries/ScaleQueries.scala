@@ -164,10 +164,18 @@ object ScaleQueries {
     // recursive lineage, and the damping arithmetic moves to
     // DECIMAL(38,0) — the plan shape per iteration is unchanged.
     "q136_pagerank" -> ((s, dir) => {
+      // Node ids ride as LONGS internally (suppkey*2 / custkey*2+1 —
+      // disjoint namespaces): every per-iteration join, aggregation and
+      // checkpointed frame keys on an 8-byte long instead of the
+      // concat'd "s123"/"c456" strings (r19: the string form paid a
+      // per-row concat at the edge build plus string hashing/equality
+      // in all seven joins and three aggregations). The display string
+      // materializes once, on the final 20-row output — same values,
+      // same (pr DESC, node-string) order as the oracle.
       val e = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+        .select((col("l_suppkey").cast(LongType) * 2).as("src"),
+          (col("o_custkey").cast(LongType) * 2 + 1).as("dst"))
         .distinct()
         // Materialize the edge list and each iteration's rank frame
         // (localCheckpoint = persist + lineage cut): without this, the
@@ -194,7 +202,14 @@ object ScaleQueries {
               expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
             .localCheckpoint())
       }
-      pr.orderBy(col("pr").desc, col("node")).limit(20)
+      pr.select(
+        when(col("node") % 2 === 0,
+          concat(lit("s"), expr("CAST(node div 2 AS STRING)")))
+          .otherwise(
+            concat(lit("c"), expr("CAST((node - 1) div 2 AS STRING)")))
+          .as("node"),
+        col("pr"))
+        .orderBy(col("pr").desc, col("node")).limit(20)
     }),
 
     // Two-pass binned median: pass 1 computes per-group integer-cent
