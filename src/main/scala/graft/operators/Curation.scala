@@ -797,14 +797,15 @@ object Curation {
         graft.plans.WordShingleHash64(col("__t"), n, s"$seed:")).as("__h"): _*)
         .select(keep :+ pmod(col("__h"), lit(nBuckets.toLong)).as("__b"): _*)
     } else {
-      // n = 1 explodes the token array directly (shinglesOf(tok, 1)
-      // emits the same tokens but through a concat_ws per element);
-      // n >= 2 explodes the n-gram shingles.
-      val features =
-        if (n == 1) col("__t") else text.shinglesOf(col("__t"), n)
-      staged.select(keep :+ explode(features).as("__w"): _*)
-        .select(keep :+
-          (text.md5Hash32(col("__w"), seed) % nBuckets).as("__b"): _*)
+      // The md5 path (r19) is the native WordShingleMd5.hash32 with
+      // the seed prefix — bit-identical to exploding the shingles and
+      // applying md5Hash32(w, seed) per row (WordShingleMd5Spec pins
+      // the prefix-mode parity), minus the per-feature hex round-trip
+      // and, for n >= 2, the interpreted shinglesOf transform.
+      staged.select(keep :+ explode(
+        graft.plans.WordShingleMd5.hash32(col("__t"), n, s"$seed:"))
+        .as("__h"): _*)
+        .select(keep :+ (col("__h") % nBuckets).as("__b"): _*)
     }
   }
 

@@ -123,6 +123,11 @@ object Ranking {
         """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
           |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("p"))
       .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // (Measured r19: a localCheckpoint of `pairs` here was a WASH on
+    // CPU — the (w1,w2) exchange is already shared between the pair
+    // counts and the probe join via ReuseExchange, so only the (w1)
+    // count subtree re-derives the pairs — and it cost wall on the
+    // materialization barrier. Left lazy.)
     val c2 = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("pair_n"))
     val c1 = pairs.groupBy(col("w1"))
@@ -181,44 +186,61 @@ object Ranking {
       df: DataFrame,
       model: DataFrame,
       idCol: String,
-      contentCol: String): DataFrame = {
-    def pairsOf(d: DataFrame): DataFrame = d
-      .select(col(idCol).as("__id"), text.tokens(col(contentCol)).as("__t"))
+      contentCol: String): DataFrame =
+    df.select(col(idCol), text.tokens(col(contentCol)).as("__t"))
       .filter(size(col("__t")) >= 2)
-      .select(col("__id"), explode(expr(
+      .crossJoin(broadcast(bigramModelTables(model, contentCol)))
+      .withColumn("n_pairs", (size(col("__t")) - 1).cast(LongType))
+      .withColumn("__sum", graft.plans.BigramSurprisalSum(
+        col("__t"), col("__pa"), col("__fa"), col("__v")))
+      .select(col(idCol), col("n_pairs"),
+        col("__sum").as("sum_surprisal_micro"),
+        expr("__sum div n_pairs").as("ppl_proxy_micro"))
+
+  /** The broadcastable one-row bigram model frame shared by the batch
+    * [[perplexityProxy]] and the streaming
+    * [[graft.streaming.Streaming.perplexityProxyStream]]: sorted
+    * (key, count) struct arrays for the pair ("w1 w2") and prefix (w1)
+    * tables plus the V >= 1 vocab scalar, consumed by the compiled
+    * binary-search fold [[graft.plans.BigramSurprisalSum]].
+    *
+    * Until r19 the batch side instead exploded the corpus's bigrams
+    * through an interpreted zip_with(slice, slice, named_struct) (a
+    * struct + two slice arrays allocated per pair, outside whole-stage
+    * codegen), probed two broadcast joins per pair, and re-aggregated
+    * by id — the corpus-sized groupBy(id) exchange being the one
+    * shuffle of the operator. The row-local fold computes identical
+    * sums (the streaming parity spec + oracle pin it) with ZERO
+    * corpus-side shuffles — at 100 TB the per-doc score never leaves
+    * the scan stage.
+    *
+    * greatest(V, 1): a DEGENERATE model (no document with >= 2 tokens)
+    * has V = 0, and an un-floored V would score every bigram at a
+    * constant -10^6 — below the documented minimum 0 ("most
+    * expected"). With the floor the smoothing stays total and unseen
+    * bigrams under an empty model read surprisal 0; any real model
+    * (V >= 1) is numerically unchanged. */
+  private[graft] def bigramModelTables(
+      model: DataFrame, contentCol: String): DataFrame = {
+    val mp = model
+      .select(text.tokens(col(contentCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
         """zip_with(slice(__t, 1, size(__t) - 1), slice(__t, 2, size(__t) - 1),
           |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("__p"))
-      .select(col("__id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-    val modelPairs = pairsOf(model)
-    val c2 = modelPairs.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("__pair_n"))
-    val c1 = modelPairs.groupBy(col("w1"))
-      .agg(count(lit(1)).as("__prefix_n"))
-    // greatest(V, 1): a DEGENERATE model (no document with >= 2
-    // tokens) has V = 0, and an un-floored V would score every bigram
-    // at a constant -10^6 — below the documented minimum 0 ("most
-    // expected"). With the floor the smoothing stays total and unseen
-    // bigrams under an empty model read surprisal 0, the least-
-    // informative value a model with no events can honestly assign;
-    // any real model (V >= 1) is numerically unchanged.
-    val vocab = modelPairs.agg(
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val pairArr = mp.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(sort_array(collect_list(struct(
+        concat_ws(" ", col("w1"), col("w2")).as("k"), col("__n").as("n"))))
+        .as("__pa"))
+    val prefixArr = mp.groupBy(col("w1"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(sort_array(collect_list(struct(
+        col("w1").as("k"), col("__n").as("n")))).as("__fa"))
+    val vocab = mp.agg(
       greatest(countDistinct(col("w2")), lit(1L)).as("__v"))
-    pairsOf(df)
-      .join(broadcast(c2), Seq("w1", "w2"), "left")
-      .join(broadcast(c1), Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      .withColumn("__surprisal_micro", expr(
-        """(coalesce(__prefix_n, 0) + __v) * 1000000
-          |  div (coalesce(__pair_n, 0) + 1) - 1000000""".stripMargin))
-      .groupBy(col("__id").as(idCol))
-      .agg(
-        count(lit(1)).cast(LongType).as("n_pairs"),
-        sum(col("__surprisal_micro")
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__sum"))
-      .select(col(idCol), col("n_pairs"),
-        col("__sum").cast(LongType).as("sum_surprisal_micro"),
-        expr("__sum div n_pairs").cast(LongType)
-          .as("ppl_proxy_micro"))
+    pairArr.crossJoin(prefixArr).crossJoin(vocab)
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): split

@@ -243,13 +243,6 @@ object Streaming {
       model: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val mp = model
-      .select(graft.functions.text.tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= 2)
-      .select(explode(expr(
-        """zip_with(slice(__t, 1, size(__t) - 1), slice(__t, 2, size(__t) - 1),
-          |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("__p"))
-      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
     // Model tables land as SORTED (key, count) struct arrays, not maps:
     // GetMapValue linear-scans the map per probe with interpreted
     // UTF8String equality — at sf0.1 (5k docs x ~50 bigrams against a
@@ -257,20 +250,12 @@ object Streaming {
     // 22 s of task CPU for a query whose real work is milliseconds.
     // The compiled BigramSurprisalSum fold binary-searches the same
     // entries (sort_array's struct order IS UTF8String byte order) —
-    // identical sums, O(pairs x log model) per row.
-    val pairArr = mp.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("__n"))
-      .agg(sort_array(collect_list(struct(
-        concat_ws(" ", col("w1"), col("w2")).as("k"), col("__n").as("n"))))
-        .as("__pa"))
-    val prefixArr = mp.groupBy(col("w1"))
-      .agg(count(lit(1)).as("__n"))
-      .agg(sort_array(collect_list(struct(
-        col("w1").as("k"), col("__n").as("n")))).as("__fa"))
-    val vocab = mp.agg(
-      greatest(countDistinct(col("w2")), lit(1L)).as("__v"))
+    // identical sums, O(pairs x log model) per row. The one-row model
+    // frame is SHARED with the batch operator
+    // (Ranking.bigramModelTables), so stream == batch is one code
+    // path, not a parity claim.
     docs
-      .crossJoin(pairArr.crossJoin(prefixArr).crossJoin(vocab))
+      .crossJoin(graft.operators.Ranking.bigramModelTables(model, textCol))
       .select(col(idCol),
         graft.functions.text.tokens(col(textCol)).as("__t"),
         col("__pa"), col("__fa"), col("__v"))
